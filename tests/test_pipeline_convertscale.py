@@ -1,0 +1,132 @@
+"""End-to-end pipeline tests: parser, negotiation, convertscale semantics.
+
+Ports the shape of tests/test-convertscale.sh from the reference (pipeline
+smoke runs) and adds golden-frame checks the reference lacks.
+"""
+
+import numpy as np
+import pytest
+
+from tests.oracle import metal_ref as oracle
+from tests.util import assert_planes_close
+
+from tpuvf.cli.launch import launch, parse_pipeline
+from tpuvf.core.frame import host_to_planes
+from tpuvf.core.formats import VideoFormat
+from tpuvf.core.spec import FrameSpec
+
+
+def run_ok(desc, n=None):
+    assert launch(desc, num_frames=n, quiet=True) > 0
+
+
+FORMATS4 = ["BGRA", "RGBA", "NV12", "I420"]
+
+
+@pytest.mark.parametrize("fmt", FORMATS4)
+def test_passthrough(fmt):
+    # same format and size -> passthrough (m:272-280)
+    run_ok(
+        f"videotestsrc num-buffers=2 ! video/x-raw,format={fmt},width=64,height=48 "
+        f"! vfmetalconvertscale ! video/x-raw,format={fmt},width=64,height=48 "
+        f"! fakesink"
+    )
+
+
+@pytest.mark.parametrize("src_fmt", FORMATS4)
+@pytest.mark.parametrize("dst_fmt", FORMATS4)
+def test_conversion_matrix(src_fmt, dst_fmt):
+    if src_fmt == dst_fmt:
+        pytest.skip("covered by passthrough")
+    run_ok(
+        f"videotestsrc num-buffers=1 pattern=snow "
+        f"! video/x-raw,format={src_fmt},width=64,height=48 "
+        f"! vfmetalconvertscale ! video/x-raw,format={dst_fmt},width=64,height=48 "
+        f"! fakesink"
+    )
+
+
+@pytest.mark.parametrize("fmt", ["UYVY", "YUY2"])
+def test_packed_formats(fmt):
+    run_ok(
+        f"videotestsrc num-buffers=1 ! video/x-raw,format={fmt},width=64,height=48 "
+        f"! vfmetalconvertscale ! video/x-raw,format=BGRA ! fakesink"
+    )
+    run_ok(
+        f"videotestsrc num-buffers=1 ! video/x-raw,format=BGRA,width=64,height=48 "
+        f"! vfmetalconvertscale ! video/x-raw,format={fmt} ! fakesink"
+    )
+
+
+def test_scaling_and_letterbox():
+    run_ok(
+        "videotestsrc num-buffers=1 ! video/x-raw,format=RGBA,width=64,height=48 "
+        "! vfmetalconvertscale method=nearest "
+        "! video/x-raw,format=RGBA,width=128,height=96 ! fakesink"
+    )
+    run_ok(
+        "videotestsrc num-buffers=1 ! video/x-raw,format=NV12,width=64,height=48 "
+        "! vfmetalconvertscale add-borders=true border-color=0xFF00FF00 "
+        "! video/x-raw,format=NV12,width=100,height=30 ! fakesink"
+    )
+
+
+def test_odd_dimensions():
+    run_ok(
+        "videotestsrc num-buffers=1 ! video/x-raw,format=I420,width=37,height=23 "
+        "! vfmetalconvertscale ! video/x-raw,format=BGRA,width=129,height=95 "
+        "! fakesink"
+    )
+
+
+def test_dar_fixation():
+    """Width-only caps fixes height preserving DAR (fixate_caps m:160-248)."""
+    pipe = parse_pipeline(
+        "videotestsrc ! video/x-raw,format=RGBA,width=320,height=240 "
+        "! vfmetalconvertscale ! video/x-raw,width=160 ! fakesink"
+    )
+    pipe.negotiate()
+    sink_in = [l for l in pipe.links if l.downstream is pipe.sinks[0]][0]
+    assert (sink_in.spec.width, sink_in.spec.height) == (160, 120)
+    assert sink_in.spec.format == VideoFormat.RGBA  # format preserved
+
+
+def test_golden_convert_scale_vs_oracle():
+    """Full-element golden test: NV12 64x48 -> BGRA 40x30 bilinear."""
+    in_spec = FrameSpec(VideoFormat.NV12, 64, 48)
+    out_spec = FrameSpec(VideoFormat.BGRA, 40, 30, matrix=in_spec.matrix)
+
+    pipe = parse_pipeline(
+        "videotestsrc pattern=smpte num-buffers=1 "
+        "! video/x-raw,format=NV12,width=64,height=48 "
+        "! vfmetalconvertscale ! video/x-raw,format=BGRA,width=40,height=30 "
+        "! appsink"
+    )
+    pipe.negotiate()
+    pipe.build()
+    pipe.run()
+    sink = pipe.sinks[0]
+    got = sink.frames[0]  # (30, 40, 4) BGRA bytes
+
+    src_host = pipe.sources[0].generate(0, in_spec)
+    planes = host_to_planes(src_host, in_spec)
+    rgba = oracle.sample_rgba(planes, "NV12", in_spec.matrix_index, 40, 30)
+    rgba_q = oracle.quant(rgba).transpose(2, 0, 1)
+    want_planes = oracle.pack_rgba(rgba_q, "BGRA", out_spec.matrix_index)
+    want = want_planes["rgba"].transpose(1, 2, 0)[..., [2, 1, 0, 3]]
+
+    assert_planes_close(
+        {"frame": got.astype(np.int32)},
+        {"frame": want.astype(np.int32)},
+        tol=2,
+        context="convertscale golden",
+    )
+
+
+def test_parser_errors():
+    from tpuvf.cli.launch import ParseError
+
+    with pytest.raises(Exception):
+        parse_pipeline("! fakesink")
+    with pytest.raises(Exception):
+        parse_pipeline("nosuchelement ! fakesink").negotiate()

@@ -1,0 +1,197 @@
+"""gst-launch style pipeline-string parser and runner (`tpuvf-launch`).
+
+Supports the subset of gst-launch-1.0 grammar the reference test suites use
+(tests/test-*.sh):
+
+    videotestsrc pattern=snow num-buffers=5 !
+      video/x-raw,format=NV12,width=320,height=240 !
+      vfmetalconvertscale ! video/x-raw,format=BGRA,width=640,height=480 !
+      fakesink
+
+    vfmetalcompositor name=comp sink_1::xpos=160 ... comp. ! fakesink
+    videotestsrc ! comp.sink_0  videotestsrc ! comp.sink_1
+
+Grammar handled: `!` links, caps filter tokens (video/x-raw,...), element
+properties `key=value`, `name=` assignment, pad properties `pad::key=value`,
+named-pad references `name.pad` / `name.` both as link targets (sink pads)
+and chain heads (src pads).
+"""
+
+from __future__ import annotations
+
+import shlex
+import sys
+from typing import List, Optional, Tuple
+
+from tpuvf.core import registry
+from tpuvf.core.element import Element
+from tpuvf.core.spec import CapsFilter
+from tpuvf.runtime.pipeline import Pipeline
+
+
+class ParseError(ValueError):
+    pass
+
+
+def tokenize(desc: str) -> List[str]:
+    lex = shlex.shlex(desc, posix=True)
+    lex.whitespace_split = True
+    lex.commenters = ""
+    return list(lex)
+
+
+def _is_caps(tok: str) -> bool:
+    return tok.startswith("video/") or tok.startswith("audio/")
+
+
+def _is_pad_ref(tok: str) -> bool:
+    if "=" in tok or _is_caps(tok):
+        return False
+    if tok.endswith("."):
+        return True
+    if "." in tok:
+        head, _, tail = tok.partition(".")
+        return head.isidentifier() and ("::" not in tail)
+    return False
+
+
+def parse_pipeline(desc: str) -> Pipeline:
+    pipe = Pipeline()
+    tokens = tokenize(desc)
+    named: dict = {}
+    auto_idx: dict = {}
+
+    current: Optional[Element] = None  # upstream end of a pending link
+    pending_link = False
+    pending_caps: Optional[CapsFilter] = None
+    # deferred pad-ref links resolved after all elements exist:
+    # (upstream elem | None, caps, target_name, target_pad, direction)
+    deferred: List[Tuple] = []
+    pending_src_ref: Optional[Tuple[str, str]] = None  # (name, pad) chain head
+
+    def finish_link(downstream: Element, sink_pad=None):
+        nonlocal pending_link, pending_caps, current, pending_src_ref
+        if pending_src_ref is not None:
+            deferred.append(
+                (downstream, pending_caps, pending_src_ref[0],
+                 pending_src_ref[1], "from")
+            )
+            pending_src_ref = None
+        elif current is not None:
+            pipe.link(current, downstream, caps=pending_caps, sink_pad=sink_pad)
+        pending_link = False
+        pending_caps = None
+
+    def new_element(factory: str) -> Element:
+        cls = registry.lookup(factory)
+        idx = auto_idx.get(factory, 0)
+        auto_idx[factory] = idx + 1
+        elem = cls(name=f"{factory}{idx}")
+        pipe.add(elem)
+        named[elem.name] = elem
+        return elem
+
+    i = 0
+    while i < len(tokens):
+        tok = tokens[i]
+        i += 1
+        if tok == "!":
+            if current is None and pending_src_ref is None:
+                raise ParseError("dangling '!' with no upstream element")
+            pending_link = True
+            continue
+        if _is_caps(tok):
+            if not pending_link:
+                raise ParseError(f"caps {tok!r} must follow '!'")
+            pending_caps = CapsFilter.parse(tok)
+            # expect another '!' before the downstream element
+            if i < len(tokens) and tokens[i] == "!":
+                i += 1
+            continue
+        if _is_pad_ref(tok):
+            name, _, pad = tok.partition(".")
+            if name not in named:
+                raise ParseError(f"pad reference to unknown element {name!r}")
+            target = named[name]
+            if pending_link:
+                # chain tail: upstream ! name.pad
+                if current is None and pending_src_ref is None:
+                    raise ParseError(f"pad ref {tok!r} with no upstream")
+                finish_link(target, sink_pad=pad or None)
+                current = None
+            else:
+                # chain head: name. ! downstream
+                pending_src_ref = (name, pad or None)
+                current = None
+            continue
+        if "=" in tok and not pending_link and current is not None:
+            key, _, val = tok.partition("=")
+            if key == "name":
+                old = current.name
+                current.name = val
+                named.pop(old, None)
+                named[val] = current
+                pipe._by_name.pop(old, None)
+                pipe._by_name[val] = current
+            elif "::" in key:
+                pad_name, _, prop = key.partition("::")
+                if not hasattr(current, "get_pad"):
+                    raise ParseError(
+                        f"{current.name} does not have request pads"
+                    )
+                current.get_pad(pad_name).set_from_string(prop, val)
+            else:
+                current.props.set_from_string(key, val)
+            continue
+        # otherwise: element factory name
+        factory = tok
+        elem = new_element(factory)
+        if pending_link or pending_src_ref is not None:
+            finish_link(elem)
+        current = elem
+
+    # resolve deferred src-pad references (aggregator src -> downstream)
+    for downstream, caps, name, pad, direction in deferred:
+        if name not in named:
+            raise ParseError(f"unknown element {name!r} in pad reference")
+        upstream = named[name]
+        pipe.link(upstream, downstream, caps=caps)
+    return pipe
+
+
+def launch(desc: str, num_frames: Optional[int] = None, quiet: bool = False) -> int:
+    pipe = parse_pipeline(desc)
+    pipe.negotiate()
+    pipe.build()
+    n = pipe.run(num_frames=num_frames)
+    if not quiet:
+        print(f"tpuvf-launch: processed {n} frames, reached end of stream")
+    return n
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    num_frames = None
+    while argv and argv[0].startswith("-"):
+        flag = argv.pop(0)
+        if flag in ("-n", "--num-frames"):
+            num_frames = int(argv.pop(0))
+        elif flag in ("-q", "--quiet"):
+            pass
+        else:
+            print(f"unknown flag {flag}", file=sys.stderr)
+            return 2
+    if not argv:
+        print("usage: tpuvf-launch [-n N] PIPELINE", file=sys.stderr)
+        return 2
+    desc = " ".join(argv)
+    try:
+        launch(desc, num_frames=num_frames)
+        return 0
+    except Exception as exc:  # mirror gst-launch: error message + nonzero exit
+        print(f"ERROR: {exc}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,191 @@
+"""Frame — a pytree of HBM-resident uint8 planes plus a static FrameSpec.
+
+The device-side analog of a mapped GstVideoFrame.  Host byte layouts
+(interleaved BGRA, NV12's interleaved UV, UYVY/YUY2 macro-pixels) are
+converted to/from canonical planes at the host<->device boundary only;
+inside a pipeline frames stay planar uint8 in HBM.
+
+uint8 (not float) is the inter-element dtype on purpose: the reference's
+render targets are RGBA8Unorm textures, so every element boundary quantizes
+to 8 bits (metalconvertscalerenderer.m:263-289).  Reproducing that gives both
+per-pixel parity and 4x less HBM traffic than float32 chains.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict
+
+import jax
+import numpy as np
+
+from tpuvf.core.formats import (
+    PACKED_YUV_FORMATS,
+    PLANAR_YUV_FORMATS,
+    RGB_FORMATS,
+    VideoFormat,
+    chroma_dims_420,
+    chroma_dims_422,
+)
+from tpuvf.core.spec import FrameSpec
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class Frame:
+    """planes: canonical plane dict (see formats.canonical_planes).
+
+    Arrays may be jax or numpy; dtype uint8.  An optional leading batch axis
+    is allowed on every plane simultaneously.
+    """
+
+    planes: Dict[str, jax.Array]
+    spec: FrameSpec
+
+    def tree_flatten(self):
+        keys = tuple(sorted(self.planes))
+        return tuple(self.planes[k] for k in keys), (keys, self.spec)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        keys, spec = aux
+        return cls(dict(zip(keys, children)), spec)
+
+    @property
+    def batched(self) -> bool:
+        first = next(iter(self.planes.values()))
+        base = 3 if "rgba" in self.planes else 2
+        return first.ndim == base + 1
+
+    def validate(self) -> None:
+        expect = {p.name: p for p in self.spec.planes}
+        if set(self.planes) != set(expect):
+            raise ValueError(
+                f"plane set {sorted(self.planes)} != expected {sorted(expect)}"
+            )
+        for name, arr in self.planes.items():
+            p = expect[name]
+            shape = (p.channels, p.height, p.width) if p.channels > 1 else (p.height, p.width)
+            if tuple(arr.shape[-len(shape):]) != shape:
+                raise ValueError(f"plane {name}: shape {arr.shape} != {shape}")
+            if arr.dtype != np.uint8:
+                raise ValueError(f"plane {name}: dtype {arr.dtype} != uint8")
+
+
+# ---------------------------------------------------------------------------
+# Host byte-layout <-> canonical planes
+# ---------------------------------------------------------------------------
+#
+# Host frames are numpy arrays in the native memory layout of each format
+# (what a mapped GstVideoFrame would contain):
+#   BGRA / RGBA : (H, W, 4) uint8 in memory byte order
+#   NV12        : dict {"y": (H, W), "uv": (ch, 2*cw)}      (UV interleaved)
+#   I420        : dict {"y": (H, W), "u": (ch, cw), "v": (ch, cw)}
+#   UYVY        : (H, 2*W) uint8 bytes  [U0 Y0 V0 Y1] per macro-pixel
+#   YUY2        : (H, 2*W) uint8 bytes  [Y0 U0 Y1 V0]
+
+_native = None
+_native_checked = False
+
+
+def _get_native():
+    """Lazily load the optional C++ repacking extension (tpuvf.native)."""
+    global _native, _native_checked
+    if not _native_checked:
+        _native_checked = True
+        try:
+            from tpuvf.native import lib as native_lib  # noqa: PLC0415
+
+            _native = native_lib
+        except Exception:
+            _native = None
+    return _native
+
+
+def host_to_planes(data, spec: FrameSpec) -> Dict[str, np.ndarray]:
+    """Convert a host-layout frame to canonical planes (numpy)."""
+    fmt, w, h = spec.format, spec.width, spec.height
+    nat = _get_native()
+    if fmt in RGB_FORMATS:
+        arr = np.ascontiguousarray(data, dtype=np.uint8)
+        if arr.shape != (h, w, 4):
+            raise ValueError(f"{fmt} host frame must be (H, W, 4), got {arr.shape}")
+        if fmt == VideoFormat.BGRA:
+            arr = arr[..., [2, 1, 0, 3]]  # B,G,R,A -> R,G,B,A
+        if nat is not None:
+            return {"rgba": nat.interleaved_to_planar(np.ascontiguousarray(arr))}
+        return {"rgba": np.ascontiguousarray(arr.transpose(2, 0, 1))}
+    if fmt == VideoFormat.NV12:
+        cw, ch = chroma_dims_420(w, h)
+        y = np.ascontiguousarray(data["y"], dtype=np.uint8)
+        uv = np.ascontiguousarray(data["uv"], dtype=np.uint8).reshape(ch, cw, 2)
+        return {
+            "y": y,
+            "u": np.ascontiguousarray(uv[..., 0]),
+            "v": np.ascontiguousarray(uv[..., 1]),
+        }
+    if fmt == VideoFormat.I420:
+        return {
+            "y": np.ascontiguousarray(data["y"], dtype=np.uint8),
+            "u": np.ascontiguousarray(data["u"], dtype=np.uint8),
+            "v": np.ascontiguousarray(data["v"], dtype=np.uint8),
+        }
+    if fmt in PACKED_YUV_FORMATS:
+        raw = np.ascontiguousarray(data, dtype=np.uint8)
+        if raw.shape != (h, 2 * w):
+            raise ValueError(f"{fmt} host frame must be (H, 2W) bytes, got {raw.shape}")
+        cw, _ = chroma_dims_422(w, h)
+        quads = raw.reshape(h, cw, 4)
+        if fmt == VideoFormat.UYVY:  # U Y0 V Y1
+            u, y0, v, y1 = quads[..., 0], quads[..., 1], quads[..., 2], quads[..., 3]
+        else:  # YUY2: Y0 U Y1 V
+            y0, u, y1, v = quads[..., 0], quads[..., 1], quads[..., 2], quads[..., 3]
+        y = np.empty((h, w), np.uint8)
+        y[:, 0::2] = y0
+        y[:, 1::2] = y1
+        return {"y": y, "u": np.ascontiguousarray(u), "v": np.ascontiguousarray(v)}
+    raise ValueError(f"unknown format {fmt}")
+
+
+def planes_to_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
+    """Convert canonical planes (numpy) back to the host byte layout."""
+    fmt, w, h = spec.format, spec.width, spec.height
+    planes = {k: np.asarray(v) for k, v in planes.items()}
+    if fmt in RGB_FORMATS:
+        rgba = planes["rgba"].transpose(1, 2, 0)
+        if fmt == VideoFormat.BGRA:
+            rgba = rgba[..., [2, 1, 0, 3]]
+        return np.ascontiguousarray(rgba)
+    if fmt == VideoFormat.NV12:
+        cw, ch = chroma_dims_420(w, h)
+        uv = np.empty((ch, 2 * cw), np.uint8)
+        uv[:, 0::2] = planes["u"]
+        uv[:, 1::2] = planes["v"]
+        return {"y": planes["y"], "uv": uv}
+    if fmt == VideoFormat.I420:
+        return {"y": planes["y"], "u": planes["u"], "v": planes["v"]}
+    if fmt in PACKED_YUV_FORMATS:
+        cw, _ = chroma_dims_422(w, h)
+        raw = np.empty((h, cw, 4), np.uint8)
+        y0 = planes["y"][:, 0::2]
+        y1 = planes["y"][:, 1::2]
+        if fmt == VideoFormat.UYVY:
+            raw[..., 0], raw[..., 1], raw[..., 2], raw[..., 3] = (
+                planes["u"], y0, planes["v"], y1,
+            )
+        else:
+            raw[..., 0], raw[..., 1], raw[..., 2], raw[..., 3] = (
+                y0, planes["u"], y1, planes["v"],
+            )
+        return raw.reshape(h, 4 * cw)
+    raise ValueError(f"unknown format {fmt}")
+
+
+def frame_from_host(data, spec: FrameSpec, device=None) -> Frame:
+    planes = host_to_planes(data, spec)
+    put = (lambda a: jax.device_put(a, device)) if device else jax.device_put
+    return Frame({k: put(v) for k, v in planes.items()}, spec)
+
+
+def frame_to_host(frame: Frame):
+    return planes_to_host({k: np.asarray(v) for k, v in frame.planes.items()}, frame.spec)

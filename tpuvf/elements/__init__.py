@@ -1,0 +1,7 @@
+"""Element implementations (import side effect: registry population)."""
+
+from tpuvf.elements import (  # noqa: F401
+    convertscale,
+    sinks,
+    testsrc,
+)

@@ -1,0 +1,115 @@
+"""vfconvertscale — format conversion + scaling in one fused pass.
+
+Rebuild of vfmetalconvertscale (/root/reference/src/convertscale/):
+- formats BGRA, RGBA, NV12, I420, UYVY, YUY2 (gstvfmetalconvertscale.m:48)
+- props: method {bilinear=0, nearest=1}, add-borders (letterbox, default
+  FALSE), border-color ARGB default 0xFF000000 (m:70-72)
+- fixate: preserve input format; fix output dims preserving display aspect
+  ratio given the output PAR (m:160-248)
+- passthrough iff same format and dims (m:272-280)
+
+TPU shape: one jitted function = sample input planes at the output grid
+(separable MXU matmuls with letterbox baked into the weight matrices) ->
+quantize to the RGBA8 intermediate -> pack to the output format.  Packed
+4:2:2 inputs always use nearest decode (metalconvertscalerenderer.m:180-185).
+"""
+
+from __future__ import annotations
+
+from tpuvf.core.element import Element
+from tpuvf.core.formats import ALL_FORMATS, VideoFormat
+from tpuvf.core.properties import PropertyDescriptor, argb_to_rgba_floats
+from tpuvf.core.registry import register
+from tpuvf.core.spec import CapsFilter, Fraction, FrameSpec
+from tpuvf.kernels import convert
+from tpuvf.kernels.color import quant
+from tpuvf.kernels.sample import LINEAR, NEAREST, letterbox_scales
+
+METHOD_BILINEAR = 0
+METHOD_NEAREST = 1
+
+
+@register
+class ConvertScale(Element):
+    ELEMENT_NAME = "vfconvertscale"
+    ALIASES = ("vfmetalconvertscale", "convertscale")
+    KLASS = "Filter/Converter/Video/Scaler"
+    DESCRIPTION = "Converts video format and scales using the MXU"
+    IN_FORMATS = ALL_FORMATS
+    OUT_FORMATS = ALL_FORMATS
+    PROPERTIES = (
+        PropertyDescriptor(
+            "method", "enum", METHOD_BILINEAR,
+            "Scaling interpolation method",
+            enum_values=(("bilinear", 0), ("nearest", 1)),
+        ),
+        PropertyDescriptor(
+            "add-borders", "bool", False,
+            "Add letterbox/pillarbox borders to preserve aspect ratio",
+        ),
+        PropertyDescriptor(
+            "border-color", "color", 0xFF000000,
+            "Border color in ARGB format",
+        ),
+    )
+
+    def transform_spec(self, in_spec: FrameSpec, out_filter=None) -> FrameSpec:
+        """transform_caps offers any format/size (m:105-158); fixate preserves
+        format and DAR (m:160-248)."""
+        if not self.accepts_format(in_spec.format):
+            raise ValueError(f"unsupported input format {in_spec.format}")
+        filt = out_filter or CapsFilter()
+        fmt = filt.format or in_spec.format
+        par = filt.par or Fraction(1, 1)
+        w, h = filt.width, filt.height
+        # input DAR = from_w*par_n / from_h*par_d
+        dar = Fraction(in_spec.width, in_spec.height) * in_spec.par
+        if w is None and h is None:
+            w = in_spec.width
+            h = max(1, (w * dar.den * par.num) // (dar.num * par.den))
+        elif w is not None and h is None:
+            h = max(1, (w * dar.den * par.num) // (dar.num * par.den))
+        elif w is None and h is not None:
+            w = max(1, (h * dar.num * par.den) // (dar.den * par.num))
+        return FrameSpec(
+            format=fmt, width=w, height=h,
+            fps=filt.fps or in_spec.fps, par=par,
+            matrix=in_spec.matrix,
+            interlaced=in_spec.interlaced, tff=in_spec.tff,
+        )
+
+    def is_passthrough(self, in_spec, out_spec):
+        # m:272-280 — same format and dimensions => passthrough
+        return (
+            in_spec.format == out_spec.format
+            and in_spec.width == out_spec.width
+            and in_spec.height == out_spec.height
+        )
+
+    def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
+        cfg = dict(static)
+        method = cfg["method"]
+        add_borders = cfg["add-borders"]
+        border_argb = cfg["border-color"]
+        filt = NEAREST if method == METHOD_NEAREST else LINEAR
+        scale_x = scale_y = 1.0
+        border = None
+        if add_borders:
+            scale_x, scale_y = letterbox_scales(
+                in_spec.width, in_spec.height, out_spec.width, out_spec.height
+            )
+            if scale_x != 1.0 or scale_y != 1.0:
+                border = argb_to_rgba_floats(border_argb)
+        matrix_in = in_spec.matrix_index
+        matrix_out = out_spec.matrix_index
+
+        def process(planes, state, params):
+            rgba = convert.sample_rgba(
+                planes, in_spec, out_spec.width, out_spec.height,
+                filter=filt, scale_x=scale_x, scale_y=scale_y,
+                border=border, matrix_index=matrix_in,
+            )
+            rgba_q = quant(rgba)  # the RGBA8 render-target write
+            return convert.pack_rgba(rgba_q, out_spec.format, matrix_out), state
+
+        return process

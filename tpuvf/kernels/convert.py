@@ -1,0 +1,177 @@
+"""Shared input-sampling and output-packing paths (the L0 common layer).
+
+`sample_rgba` is the analog of every element's fragment stage: sample the
+input planes at the output grid's texcoords (Metal sampler semantics) and
+convert to RGBA float.  `pack_rgba` is the analog of VfMetalYUVOutput
+(/root/reference/src/common/vfmetalyuvoutput.m) plus the packed-YUV output
+kernels (metalconvertscale_shaders.h:202-269): quantized RGBA -> output
+format planes, with 4:2:0 chroma produced by a 2x2 box average and 4:2:2
+chroma by a 2-pixel average.
+
+Fast paths replace the dense sampling matmuls where they would be wasteful:
+identity (same size) sampling is a no-op and 2x linear chroma upsampling is a
+fixed 2-tap stencil — both exact under the sampler math.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpuvf.core.formats import (
+    PACKED_YUV_FORMATS,
+    RGB_FORMATS,
+    VideoFormat,
+    chroma_dims_420,
+)
+from tpuvf.core.spec import FrameSpec
+from tpuvf.kernels import color, sample
+from tpuvf.kernels.color import dequant, quant
+from tpuvf.kernels.sample import LINEAR, NEAREST
+
+
+def _upsample2x_linear(img: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Exact 2x linear upsample along `axis` (half-texel phase).
+
+    Output 2k   = 0.25*c[k-1] + 0.75*c[k]   (clamped at the edge)
+    Output 2k+1 = 0.75*c[k]   + 0.25*c[k+1]
+    which is sample_matrix(texcoords(2n), n, linear) in closed form.
+    """
+    axis = axis % img.ndim
+    prev = _shift_edge(img, axis, -1)
+    nxt = _shift_edge(img, axis, +1)
+    even = 0.25 * prev + 0.75 * img
+    odd = 0.75 * img + 0.25 * nxt
+    stacked = jnp.stack([even, odd], axis=axis + 1)
+    new_shape = list(img.shape)
+    new_shape[axis] = img.shape[axis] * 2
+    return stacked.reshape(new_shape)
+
+
+def _shift_edge(img: jnp.ndarray, axis: int, offset: int) -> jnp.ndarray:
+    """img shifted by `offset` along axis with edge replication."""
+    n = img.shape[axis]
+    idx = np.clip(np.arange(n) + offset, 0, n - 1)
+    return jnp.take(img, jnp.asarray(idx), axis=axis)
+
+
+def sample_axis(
+    img: jnp.ndarray,
+    axis: int,
+    out_size: int,
+    filter: str = LINEAR,
+    scale: float = 1.0,
+) -> jnp.ndarray:
+    """Sample one axis of a float plane at output-grid texcoords."""
+    in_size = img.shape[axis]
+    if scale == 1.0:
+        if out_size == in_size:
+            return img  # identity under both filters
+        if filter == LINEAR and out_size == 2 * in_size:
+            return _upsample2x_linear(img, axis)
+        if filter == NEAREST and out_size == 2 * in_size:
+            return jnp.repeat(img, 2, axis=axis)
+    t = sample.texcoords(out_size, scale)
+    mask = sample.coverage_mask(out_size, scale)
+    w = sample.sample_matrix(t, in_size, filter, mask)
+    w = jnp.asarray(w)
+    axis = axis % img.ndim
+    if axis == img.ndim - 2:
+        return jnp.einsum(
+            "oh,...hw->...ow", w, img,
+            preferred_element_type=jnp.float32, precision=sample.MATMUL_PRECISION,
+        )
+    if axis == img.ndim - 1:
+        return jnp.einsum(
+            "...hw,ow->...ho", img, w,
+            preferred_element_type=jnp.float32, precision=sample.MATMUL_PRECISION,
+        )
+    raise ValueError("sample_axis supports the last two axes only")
+
+
+def sample_plane(
+    plane: jnp.ndarray,
+    out_w: int,
+    out_h: int,
+    filter: str = LINEAR,
+    scale_x: float = 1.0,
+    scale_y: float = 1.0,
+) -> jnp.ndarray:
+    p = sample_axis(plane, -2, out_h, filter, scale_y)
+    return sample_axis(p, -1, out_w, filter, scale_x)
+
+
+def sample_rgba(
+    planes: dict,
+    in_spec: FrameSpec,
+    out_w: int,
+    out_h: int,
+    filter: str = LINEAR,
+    scale_x: float = 1.0,
+    scale_y: float = 1.0,
+    border: tuple | None = None,
+    matrix_index: int | None = None,
+) -> jnp.ndarray:
+    """Input planes -> (..., 4, out_h, out_w) float RGBA in [0,1].
+
+    Reproduces the convertscale fragment stage (metalconvertscale_shaders.h:
+    71-198): RGB inputs are sampled directly; planar YUV samples each plane
+    at the shared texcoord then converts; packed 4:2:2 always uses nearest
+    (metalconvertscalerenderer.m:180-185).  `border` (r,g,b,a floats) fills
+    pixels outside the letterbox quad (the render pass clear color).
+    """
+    if matrix_index is None:
+        matrix_index = in_spec.matrix_index
+    fmt = in_spec.format
+    if fmt in RGB_FORMATS:
+        rgba = sample_plane(dequant(planes["rgba"]), out_w, out_h, filter, scale_x, scale_y)
+    else:
+        if fmt in PACKED_YUV_FORMATS:
+            filter = NEAREST  # packed inputs always decode with nearest
+        y = sample_plane(dequant(planes["y"]), out_w, out_h, filter, scale_x, scale_y)
+        u = sample_plane(dequant(planes["u"]), out_w, out_h, filter, scale_x, scale_y)
+        v = sample_plane(dequant(planes["v"]), out_w, out_h, filter, scale_x, scale_y)
+        r, g, b = color.yuv_to_rgb(y, u, v, matrix_index)
+        a = jnp.ones_like(r)
+        rgba = jnp.stack([r, g, b, a], axis=-3)
+    if border is not None:
+        mx = sample.coverage_mask(out_w, scale_x)
+        my = sample.coverage_mask(out_h, scale_y)
+        if not (mx.all() and my.all()):
+            mask = jnp.asarray(np.logical_and.outer(my, mx))
+            bcol = jnp.asarray(np.asarray(border, np.float32)).reshape(
+                (4,) + (1,) * 2
+            )
+            rgba = jnp.where(mask, rgba, bcol)
+    return rgba
+
+
+def pack_rgba(rgba_q: jnp.ndarray, out_format: VideoFormat, matrix_index: int) -> dict:
+    """Quantized RGBA (..., 4, H, W) uint8 -> output planes dict (uint8).
+
+    The reference's output stage reads the RGBA8 render target, so the input
+    here must already be quantized; chroma averaging happens on dequantized
+    texel values exactly like rgbaToNV12/rgbaToI420 (vfmetalshaders.m:90-168)
+    and rgbaToUYVY/rgbaToYUY2 (metalconvertscale_shaders.h:202-269).
+    """
+    if out_format in RGB_FORMATS:
+        return {"rgba": rgba_q}
+    rgbaf = dequant(rgba_q)
+    r, g, b = rgbaf[..., 0, :, :], rgbaf[..., 1, :, :], rgbaf[..., 2, :, :]
+    h, w = r.shape[-2], r.shape[-1]
+    yf, uf, vf = color.rgb_to_yuv(r, g, b, matrix_index)
+    if out_format in (VideoFormat.NV12, VideoFormat.I420):
+        cw, ch = chroma_dims_420(w, h)
+        u, v = color.rgb_to_chroma_downsampled(r, g, b, matrix_index, cw, ch)
+        return {"y": quant(yf), "u": quant(u), "v": quant(v)}
+    if out_format in PACKED_YUV_FORMATS:
+        # one output macro-pixel per 2 source pixels; chroma = mean of both
+        # pixels' U/V after the RGB->YUV matrix (shaders h:202-269)
+        u0, u1 = uf[..., 0::2], uf[..., 1::2]
+        v0, v1 = vf[..., 0::2], vf[..., 1::2]
+        return {
+            "y": quant(yf),
+            "u": quant((u0 + u1) * 0.5),
+            "v": quant((v0 + v1) * 0.5),
+        }
+    raise ValueError(f"unknown output format {out_format}")

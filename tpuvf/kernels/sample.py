@@ -1,0 +1,154 @@
+"""Texture sampling as separable weight-matrix matmuls (the MXU sampler).
+
+The reference scales/converts by rasterizing a full-screen quad and sampling
+input planes with a normalized-coordinate Metal sampler
+(metalconvertscale_shaders.h:48-148).  The TPU-native equivalent: for each
+output axis build a dense (out, in) weight matrix encoding exactly the
+sampler's coordinate math — half-texel centers (s = t*size - 0.5),
+clamp-to-edge addressing, bilinear or nearest filtering — and contract the
+input plane with the row matrix and column matrix.  Two matmuls on the MXU
+replace per-pixel gathers, which TPUs are bad at; XLA fuses surrounding
+elementwise work into the same program.
+
+Letterboxing (add-borders) becomes zero rows in the weight matrices plus a
+coverage mask (_computeViewportWithAddBorders, metalconvertscalerenderer.m:
+137-166: the viewport is always centered, so only the scale factors matter).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+LINEAR = "linear"
+NEAREST = "nearest"
+
+# Sampling contractions must not round weights/texels to bf16 (JAX's default
+# matmul precision) — bilinear weight error of ~2^-8 shows up as >1 LSB in
+# 8-bit output.  HIGHEST keeps full f32 accumulation on both CPU and MXU.
+MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def texcoords(out_size: int, scale: float = 1.0) -> np.ndarray:
+    """Normalized texcoords of output pixel centers along one axis.
+
+    Output pixel p center in NDC maps through a centered quad of half-extent
+    `scale` (metalconvertscalerenderer.m:149-166).  For scale=1 this is the
+    plain (p + 0.5)/out mapping of a full-screen quad; pixels outside the
+    quad get out-of-[0,1] coords (masked separately).
+    """
+    t = (np.arange(out_size, dtype=np.float64) + 0.5) / out_size  # in [0,1]
+    if scale != 1.0:
+        # quad occupies [0.5 - scale/2, 0.5 + scale/2] of the output axis
+        t = (t - 0.5) / scale + 0.5
+    return t
+
+
+def coverage_mask(out_size: int, scale: float) -> np.ndarray:
+    """Bool mask of output pixels whose centers fall inside the quad."""
+    t = texcoords(out_size, scale)
+    return (t >= 0.0) & (t <= 1.0)
+
+
+def sample_matrix(
+    t: np.ndarray,
+    in_size: int,
+    filter: str = LINEAR,
+    mask: np.ndarray | None = None,
+) -> np.ndarray:
+    """Dense (len(t), in_size) sampling matrix for normalized texcoords `t`.
+
+    linear : Metal linear sampler — s = t*in - 0.5; weights (1-f, f) on
+             floor(s), floor(s)+1 with clamp-to-edge index clamping.
+    nearest: Metal nearest sampler — texel floor(t*in), clamped.
+
+    Rows where mask is False (outside the letterbox quad) are all-zero.
+    """
+    out_size = len(t)
+    w = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    if mask is None:
+        mask = np.ones(out_size, bool)
+    if filter == NEAREST:
+        idx = np.clip(np.floor(t * in_size).astype(np.int64), 0, in_size - 1)
+        w[rows[mask], idx[mask]] = 1.0
+        return w
+    if filter != LINEAR:
+        raise ValueError(f"unknown filter {filter!r}")
+    s = t * in_size - 0.5
+    x0 = np.floor(s)
+    f = (s - x0).astype(np.float32)
+    i0 = np.clip(x0.astype(np.int64), 0, in_size - 1)
+    i1 = np.clip(x0.astype(np.int64) + 1, 0, in_size - 1)
+    np.add.at(w, (rows[mask], i0[mask]), (1.0 - f)[mask])
+    np.add.at(w, (rows[mask], i1[mask]), f[mask])
+    return w
+
+
+def resize_matrices(
+    in_w: int,
+    in_h: int,
+    out_w: int,
+    out_h: int,
+    filter: str = LINEAR,
+    scale_x: float = 1.0,
+    scale_y: float = 1.0,
+):
+    """(Wy (out_h, in_h), Wx (out_w, in_w), mask (out_h, out_w) or None)."""
+    tx = texcoords(out_w, scale_x)
+    ty = texcoords(out_h, scale_y)
+    mx = coverage_mask(out_w, scale_x)
+    my = coverage_mask(out_h, scale_y)
+    wy = sample_matrix(ty, in_h, filter, my)
+    wx = sample_matrix(tx, in_w, filter, mx)
+    if mx.all() and my.all():
+        mask = None
+    else:
+        mask = np.logical_and.outer(my, mx)
+    return wy, wx, mask
+
+
+def apply_separable(img: jnp.ndarray, wy: np.ndarray, wx: np.ndarray) -> jnp.ndarray:
+    """Contract (..., H, W) float32 with row/col sampling matrices on the MXU."""
+    wy = jnp.asarray(wy, jnp.float32)
+    wx = jnp.asarray(wx, jnp.float32)
+    # (..., H, W) -> (..., oH, W) -> (..., oH, oW)
+    tmp = jnp.einsum(
+        "oh,...hw->...ow", wy, img,
+        preferred_element_type=jnp.float32, precision=MATMUL_PRECISION,
+    )
+    return jnp.einsum(
+        "...ow,pw->...op", tmp, wx,
+        preferred_element_type=jnp.float32, precision=MATMUL_PRECISION,
+    )
+
+
+def letterbox_scales(in_w: int, in_h: int, out_w: int, out_h: int):
+    """Centered aspect-fit quad scales (metalconvertscalerenderer.m:148-160)."""
+    src_aspect = in_w / in_h
+    dst_aspect = out_w / out_h
+    if src_aspect > dst_aspect:
+        return 1.0, dst_aspect / src_aspect  # pillarbox top/bottom bars
+    return src_aspect / dst_aspect, 1.0  # letterbox left/right bars
+
+
+def upsample_chroma_to(
+    c: jnp.ndarray,
+    out_w: int,
+    out_h: int,
+    filter: str = LINEAR,
+    scale_x: float = 1.0,
+    scale_y: float = 1.0,
+) -> jnp.ndarray:
+    """Sample a (sub-resolution) chroma plane at the output grid's texcoords.
+
+    The reference samples half-res chroma planes with the *same* normalized
+    texcoord as luma (convertScaleFragmentNV12, metalconvertscale_shaders.h:
+    91-105) — so the weight matrices are simply built against the chroma
+    plane's own dimensions.
+    """
+    ch, cw = c.shape[-2], c.shape[-1]
+    wy = sample_matrix(texcoords(out_h, scale_y), ch, filter)
+    wx = sample_matrix(texcoords(out_w, scale_x), cw, filter)
+    return apply_separable(c, wy, wx)

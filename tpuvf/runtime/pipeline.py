@@ -1,0 +1,297 @@
+"""Pipeline graph: negotiation, whole-chain compilation, frame loop.
+
+Replaces GStreamer's runtime with a TPU-native design:
+
+- **Negotiation** happens once at graph build: FrameSpecs propagate from
+  sources through each element's `transform_spec` rule (the analog of
+  transform_caps/fixate_caps), constrained by per-link caps filters.
+- **Compilation**: every non-passthrough element contributes a pure
+  function; the whole chain is composed and jitted as ONE XLA program, so
+  intermediate frames live in HBM only and XLA fuses across element
+  boundaries (the reference instead round-trips CPU<->GPU per element,
+  metalconvertscalerenderer.m:488-507).
+- **Passthrough elision**: elements reporting is_passthrough are dropped
+  from the compiled chain entirely — the buffer-donation analog of the
+  reference's zero-copy passthrough.
+- **State** (deinterlace prev-frame, filter frame counter) is an explicit
+  pytree threaded through the jitted step and donated between frames.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from tpuvf.core.element import Element, SinkElement, SourceElement
+from tpuvf.core.frame import host_to_planes, planes_to_host
+from tpuvf.core.spec import CapsFilter, FrameSpec
+
+
+@dataclass
+class Link:
+    upstream: Element
+    downstream: Element
+    caps: Optional[CapsFilter] = None
+    sink_pad: Optional[str] = None  # for aggregator request pads
+    spec: Optional[FrameSpec] = None  # filled by negotiate()
+
+
+@dataclass
+class CompiledStage:
+    element: Element
+    in_spec: FrameSpec
+    out_spec: FrameSpec
+    passthrough: bool
+    process: Optional[callable] = None
+
+
+class Pipeline:
+    def __init__(self):
+        self.elements: List[Element] = []
+        self.links: List[Link] = []
+        self._by_name: Dict[str, Element] = {}
+        self._stages: List[CompiledStage] = []
+        self._step = None
+        self._state = None
+        self._negotiated = False
+
+    # -- construction ------------------------------------------------------
+
+    def add(self, element: Element) -> Element:
+        if element.name in self._by_name:
+            raise ValueError(f"duplicate element name {element.name!r}")
+        self.elements.append(element)
+        self._by_name[element.name] = element
+        return element
+
+    def link(self, upstream, downstream, caps=None, sink_pad=None) -> Link:
+        ln = Link(upstream, downstream, caps, sink_pad)
+        self.links.append(ln)
+        return ln
+
+    def __getitem__(self, name: str) -> Element:
+        return self._by_name[name]
+
+    # -- graph helpers -----------------------------------------------------
+
+    def _incoming(self, element) -> List[Link]:
+        return [l for l in self.links if l.downstream is element]
+
+    def _outgoing(self, element) -> List[Link]:
+        return [l for l in self.links if l.upstream is element]
+
+    @property
+    def sources(self) -> List[SourceElement]:
+        return [e for e in self.elements if isinstance(e, SourceElement)]
+
+    @property
+    def sinks(self) -> List[SinkElement]:
+        return [e for e in self.elements if isinstance(e, SinkElement)]
+
+    def _topo_order(self) -> List[Element]:
+        indeg = {id(e): len(self._incoming(e)) for e in self.elements}
+        ready = [e for e in self.elements if indeg[id(e)] == 0]
+        order = []
+        while ready:
+            e = ready.pop(0)
+            order.append(e)
+            for ln in self._outgoing(e):
+                indeg[id(ln.downstream)] -= 1
+                if indeg[id(ln.downstream)] == 0:
+                    ready.append(ln.downstream)
+        if len(order) != len(self.elements):
+            raise ValueError("pipeline graph has a cycle or dangling link")
+        return order
+
+    # -- negotiation -------------------------------------------------------
+
+    def negotiate(self) -> None:
+        from tpuvf.elements.compositor import Compositor  # circular-safe
+
+        for e in self.elements:
+            ins, outs = self._incoming(e), self._outgoing(e)
+            if isinstance(e, SourceElement):
+                if ins:
+                    raise ValueError(f"source {e.name} has inputs")
+            elif isinstance(e, SinkElement):
+                if len(ins) != 1:
+                    raise ValueError(f"sink {e.name} needs exactly 1 input")
+                if outs:
+                    raise ValueError(f"sink {e.name} has outputs")
+            elif isinstance(e, Compositor):
+                if not ins:
+                    raise ValueError(f"{e.name} has no inputs")
+            else:
+                if len(ins) != 1 or len(outs) != 1:
+                    raise ValueError(
+                        f"element {e.name} must have exactly one input and "
+                        f"one output"
+                    )
+
+        for e in self._topo_order():
+            outs = self._outgoing(e)
+            if isinstance(e, SourceElement):
+                caps = outs[0].caps if outs else None
+                spec = e.output_spec(caps)
+                for ln in outs:
+                    ln.spec = spec
+            elif isinstance(e, SinkElement):
+                e.prepare(self._incoming(e)[0].spec)
+            elif isinstance(e, Compositor):
+                pad_specs = {}
+                for ln in self._incoming(e):
+                    pad_specs[ln.sink_pad or f"sink_{len(pad_specs)}"] = ln.spec
+                out_caps = outs[0].caps if outs else None
+                spec = e.aggregate_spec(pad_specs, out_caps)
+                for ln in outs:
+                    ln.spec = spec
+            else:
+                in_spec = self._incoming(e)[0].spec
+                out_caps = outs[0].caps if outs else None
+                spec = e.transform_spec(in_spec, out_caps)
+                for ln in outs:
+                    ln.spec = spec
+        self._negotiated = True
+
+    # -- compilation -------------------------------------------------------
+
+    def build(self) -> None:
+        from tpuvf.elements.compositor import Compositor
+
+        if not self._negotiated:
+            self.negotiate()
+        order = self._topo_order()
+        stages: List[CompiledStage] = []
+        state: Dict[str, object] = {}
+        for e in order:
+            if isinstance(e, (SourceElement, SinkElement)):
+                continue
+            if isinstance(e, Compositor):
+                pad_links = sorted(
+                    self._incoming(e), key=lambda l: l.sink_pad or ""
+                )
+                out_spec = self._outgoing(e)[0].spec
+                process = e.make_aggregate(
+                    {l.sink_pad: l.spec for l in pad_links}, out_spec
+                )
+                st = CompiledStage(e, None, out_spec, False, process)
+                stages.append(st)
+                state[e.name] = e.init_state(None, out_spec)
+                continue
+            in_spec = self._incoming(e)[0].spec
+            out_spec = self._outgoing(e)[0].spec
+            if e.is_passthrough(in_spec, out_spec):
+                stages.append(CompiledStage(e, in_spec, out_spec, True))
+                continue
+            static = e.static_config(in_spec, out_spec)
+            process = e.make_process(in_spec, out_spec, static)
+            stages.append(CompiledStage(e, in_spec, out_spec, False, process))
+            state[e.name] = e.init_state(in_spec, out_spec)
+
+        self._stages = stages
+        self._state = state
+
+        elem_inputs = {}  # element id -> list of (key-fn producing planes)
+        src_names = [s.name for s in self.sources]
+
+        # Build a closure evaluating the DAG on device values.
+        incoming = {id(e): self._incoming(e) for e in self.elements}
+        stage_by_elem = {id(s.element): s for s in stages}
+        sink = self.sinks[0] if self.sinks else None
+
+        def step(inputs: Dict[str, Dict], state: Dict, params: Dict):
+            produced: Dict[int, Dict] = {}
+
+            def value_of(elem) -> Dict:
+                if isinstance(elem, SourceElement):
+                    return inputs[elem.name]
+                return produced[id(elem)]
+
+            new_state = dict(state)
+            for st in stages:
+                e = st.element
+                if st.passthrough:
+                    produced[id(e)] = value_of(incoming[id(e)][0].upstream)
+                    continue
+                if isinstance(e, Compositor):
+                    pad_inputs = {
+                        (l.sink_pad or ""): value_of(l.upstream)
+                        for l in incoming[id(e)]
+                    }
+                    out, new_state[e.name] = st.process(
+                        pad_inputs, state.get(e.name, ()), params.get(e.name, {})
+                    )
+                else:
+                    src = value_of(incoming[id(e)][0].upstream)
+                    out, new_state[e.name] = st.process(
+                        src, state.get(e.name, ()), params.get(e.name, {})
+                    )
+                produced[id(e)] = out
+            if sink is not None:
+                out = value_of(incoming[id(sink)][0].upstream)
+            else:
+                last = stages[-1].element if stages else self.sources[0]
+                out = value_of(last)
+            return out, new_state
+
+        self._step = jax.jit(step, donate_argnums=(1,))
+
+    # -- execution ---------------------------------------------------------
+
+    def params(self) -> Dict[str, Dict]:
+        """Snapshot of traced per-frame params for every active element."""
+        return {
+            st.element.name: st.element.traced_params()
+            for st in self._stages
+            if not st.passthrough
+        }
+
+    def run(self, num_frames: Optional[int] = None, progress=False) -> int:
+        """Frame loop: generate -> device -> step -> host -> sink."""
+        if self._step is None:
+            self.build()
+        sources = self.sources
+        sink = self.sinks[0] if self.sinks else None
+        sink_spec = self._incoming(sink)[0].spec if sink else None
+
+        limits = [s.num_frames() for s in sources]
+        limits = [l for l in limits if l is not None]
+        if num_frames is None:
+            if not limits:
+                raise ValueError("unbounded pipeline: pass num_frames or "
+                                 "set num-buffers on the source")
+            num_frames = min(limits)
+        elif limits:
+            num_frames = min([num_frames] + limits)
+
+        state = self._state
+        src_specs = {}
+        for s in sources:
+            outs = self._outgoing(s)
+            src_specs[s.name] = outs[0].spec
+
+        count = 0
+        for i in range(num_frames):
+            inputs = {}
+            for s in sources:
+                spec = src_specs[s.name]
+                host = s.generate(i, spec)
+                planes = host_to_planes(host, spec)
+                inputs[s.name] = {
+                    k: jax.device_put(v) for k, v in planes.items()
+                }
+            out, state = self._step(inputs, state, self.params())
+            if sink is not None:
+                host_planes = {k: np.asarray(v) for k, v in out.items()}
+                sink.consume(
+                    planes_to_host(host_planes, sink_spec), sink_spec, i
+                )
+            count += 1
+        self._state = state
+        if sink is not None:
+            sink.finalize()
+        return count
