@@ -16,6 +16,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The container's sitecustomize force-sets jax_platforms="axon,cpu" (remote
+# TPU tunnel first) at interpreter start — env vars cannot override it, so
+# pin the config explicitly.
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: the golden tests compile many small unique
 # shapes; caching amortizes XLA compile time across runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/tpuvf-jax-cache")

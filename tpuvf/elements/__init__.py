@@ -4,4 +4,5 @@ from tpuvf.elements import (  # noqa: F401
     convertscale,
     sinks,
     testsrc,
+    videofilter,
 )

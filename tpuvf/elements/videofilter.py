@@ -1,0 +1,196 @@
+"""vfvideofilter — 15-property single-dispatch effect chain.
+
+Rebuild of vfmetalvideofilter (/root/reference/src/videofilter/):
+- formats BGRA, RGBA, NV12, I420 (gstvfmetalvideofilter.m:53)
+- 15 properties with the reference ranges/defaults (m:67-101, 435-533);
+  the 10 color/effect props are controllable => traced scalars here (no
+  recompile on change)
+- passthrough iff every property is at its default, FLOAT_EQ eps 1e-6
+  (m:114-138)
+- per-frame monotonically increasing frameIndex drives the grain hash
+  (m:183-205); carried as explicit scan state
+- GPU phases (metalvideofilterrenderer.m:523-695) reproduced with their
+  RGBA8 quantization boundaries: (1) fused adjustment render pass (+LUT),
+  (2) separable blur + unsharp iff |sharpness| > 0.001, (3) YUV output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpuvf.core.element import Element
+from tpuvf.core.formats import CORE_FORMATS
+from tpuvf.core.properties import PropertyDescriptor
+from tpuvf.core.registry import register
+from tpuvf.core.spec import FrameSpec
+from tpuvf.io import lut as lutio
+from tpuvf.kernels import convert, filter as kfilter
+from tpuvf.kernels.color import dequant, quant
+
+import logging
+
+_log = logging.getLogger("tpuvf.videofilter")
+
+
+@register
+class VideoFilter(Element):
+    ELEMENT_NAME = "vfvideofilter"
+    ALIASES = ("vfmetalvideofilter", "videofilter")
+    KLASS = "Filter/Effect/Video"
+    DESCRIPTION = "Color adjustment, effects, chroma key and 3D LUT in one pass"
+    IN_FORMATS = CORE_FORMATS
+    OUT_FORMATS = CORE_FORMATS
+    PROPERTIES = (
+        PropertyDescriptor("brightness", "float", 0.0, "Brightness adjustment",
+                           -1.0, 1.0, controllable=True, traced=True),
+        PropertyDescriptor("contrast", "float", 1.0, "Contrast adjustment",
+                           0.0, 2.0, controllable=True, traced=True),
+        PropertyDescriptor("saturation", "float", 1.0, "Saturation adjustment",
+                           0.0, 2.0, controllable=True, traced=True),
+        PropertyDescriptor("hue", "float", 0.0, "Hue rotation",
+                           -1.0, 1.0, controllable=True, traced=True),
+        PropertyDescriptor("gamma", "float", 1.0, "Gamma correction",
+                           0.01, 10.0, controllable=True, traced=True),
+        PropertyDescriptor("sharpness", "float", 0.0,
+                           "Sharpness (<0 blur, >0 sharpen)",
+                           -1.0, 1.0, controllable=True, traced=True),
+        PropertyDescriptor("sepia", "float", 0.0, "Sepia tone amount",
+                           0.0, 1.0, controllable=True, traced=True),
+        PropertyDescriptor("invert", "bool", False, "Invert colors",
+                           controllable=True, traced=True),
+        PropertyDescriptor("noise", "float", 0.0, "Film grain amount",
+                           0.0, 1.0, controllable=True, traced=True),
+        PropertyDescriptor("vignette", "float", 0.0, "Vignette amount",
+                           0.0, 1.0, controllable=True, traced=True),
+        PropertyDescriptor("chroma-key-enabled", "bool", False,
+                           "Enable chroma keying", traced=True),
+        PropertyDescriptor("chroma-key-color", "color", 0xFF00FF00,
+                           "Chroma key color (ARGB)", traced=True),
+        PropertyDescriptor("chroma-key-tolerance", "float", 0.2,
+                           "Chroma key tolerance", 0.0, 1.0, traced=True),
+        PropertyDescriptor("chroma-key-smoothness", "float", 0.1,
+                           "Chroma key edge smoothness", 0.0, 1.0, traced=True),
+        PropertyDescriptor("lut-file", "string", None,
+                           "Path to 3D LUT (.cube or .png)"),
+    )
+
+    def __init__(self, *a, **k):
+        self._lut = None
+        self._lut_path_loaded = None
+        super().__init__(*a, **k)
+
+    # -- LUT lifecycle (load on property write, soft-fail keeps passthrough,
+    #    gstvfmetalvideofilter.m:281-294) --------------------------------
+
+    def set_property(self, name, value):
+        super().set_property(name, value)
+        if name == "lut-file":
+            self._reload_lut()
+
+    def _reload_lut(self):
+        path = self.props.get("lut-file")
+        if not path:
+            self._lut = None
+            self._lut_path_loaded = None
+            return
+        try:
+            table = lutio.load(path)
+        except Exception as exc:
+            _log.warning("failed to load LUT %s: %s", path, exc)
+            self._lut = None
+            self._lut_path_loaded = None
+            return
+        self._lut = table.reshape(-1, 3)  # (S^3, 3) r-fastest
+        self._lut_size = table.shape[0]
+        self._lut_path_loaded = path
+
+    def _sync_lut(self):
+        if self.props.get("lut-file") != self._lut_path_loaded:
+            self._reload_lut()
+
+    # -- passthrough (m:114-138): every prop at default AND no LUT loaded --
+
+    def is_passthrough(self, in_spec, out_spec):
+        self._sync_lut()
+        if in_spec.format != out_spec.format:
+            return False
+        return self.props.at_defaults() and self._lut is None
+
+    def static_config(self, in_spec, out_spec):
+        self._sync_lut()
+        sharp = self.props.get("sharpness")
+        return (
+            ("use_sharpness", abs(sharp) > 0.001),
+            ("lut_size", self._lut_size if self._lut is not None else 0),
+        )
+
+    def traced_params(self):
+        self._sync_lut()
+        ck = self.props.get("chroma-key-color")
+        p = {
+            "brightness": np.float32(self.props.get("brightness")),
+            "contrast": np.float32(self.props.get("contrast")),
+            "saturation": np.float32(self.props.get("saturation")),
+            # hue [-1,1] -> radians [-pi,pi] (m:189)
+            "hue": np.float32(self.props.get("hue") * np.pi),
+            "gamma": np.float32(self.props.get("gamma")),
+            "sharpness": np.float32(self.props.get("sharpness")),
+            "sepia": np.float32(self.props.get("sepia")),
+            "invert": np.float32(1.0 if self.props.get("invert") else 0.0),
+            "noise": np.float32(self.props.get("noise")),
+            "vignette": np.float32(self.props.get("vignette")),
+            "chroma_key_enabled": np.float32(
+                1.0 if self.props.get("chroma-key-enabled") else 0.0),
+            # ARGB -> RGB floats (m:199-201)
+            "key_r": np.float32(((ck >> 16) & 0xFF) / 255.0),
+            "key_g": np.float32(((ck >> 8) & 0xFF) / 255.0),
+            "key_b": np.float32((ck & 0xFF) / 255.0),
+            "key_tolerance": np.float32(self.props.get("chroma-key-tolerance")),
+            "key_smoothness": np.float32(self.props.get("chroma-key-smoothness")),
+        }
+        if self._lut is not None:
+            p["lut"] = self._lut
+        return p
+
+    def init_state(self, in_spec, out_spec):
+        # frame counter for grain animation; reset on stop (m:372-381)
+        return {"frame_index": np.uint32(0)}
+
+    def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
+        cfg = dict(static)
+        use_sharpness = cfg["use_sharpness"]
+        lut_size = cfg["lut_size"]
+        w, h = in_spec.width, in_spec.height
+        matrix_in = in_spec.matrix_index
+        matrix_out = out_spec.matrix_index
+
+        def process(planes, state, params):
+            rgba = convert.sample_rgba(
+                planes, in_spec, w, h, matrix_index=matrix_in
+            )
+            frame_index = state["frame_index"]
+            rgba = kfilter.apply_color_adjustments(
+                rgba, params, frame_index, w, h
+            )
+            if lut_size:
+                rgba = kfilter.apply_lut(rgba, params["lut"], lut_size)
+            q1 = quant(rgba)  # pass 1 RGBA8 render-target write
+            final_q = q1
+            if use_sharpness:
+                # phase 2: blurH -> temp (RGBA8), blurV -> result (RGBA8),
+                # unsharp(original, blurred) -> temp (RGBA8)
+                bh = quant(kfilter.blur9(dequant(q1), axis=-1))
+                bv = quant(kfilter.blur9(dequant(bh), axis=-2))
+                final_q = quant(
+                    kfilter.unsharp_mask(
+                        dequant(q1), dequant(bv), params["sharpness"]
+                    )
+                )
+            out = convert.pack_rgba(final_q, out_spec.format, matrix_out)
+            new_state = {
+                "frame_index": (frame_index + np.uint32(1)).astype(jnp.uint32)
+            }
+            return out, new_state
+
+        return process

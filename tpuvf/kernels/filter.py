@@ -1,0 +1,270 @@
+"""Videofilter math: fused color-adjustment chain, 3D LUT, blur/unsharp.
+
+Faithful translation of the MSL in
+/root/reference/src/videofilter/metalvideofilter_shaders.h:
+
+- applyColorAdjustments (h:88-155): brightness -> contrast -> saturation ->
+  hue (HSV rotate, gated |hue|>0.001) -> gamma -> sepia -> invert ->
+  chroma key -> vignette -> film grain -> clamp.  The whole chain is one
+  elementwise VPU program; XLA fuses it with the surrounding sample/pack
+  stages into a single kernel.
+- hash12 grain (h:63-67) bit-for-bit in float32.
+- 3D LUT (h:188-194): coord = rgb*(s-1)/s + 0.5/s, trilinear — becomes an
+  8-corner gather on a flattened (S^3, 3) table.
+- separable 9-tap Gaussian + unsharp mask (h:253-328) with edge clamping.
+
+Traced parameters arrive as float32 scalars so per-frame property changes
+(GST_PARAM_CONTROLLABLE analogs) never recompile.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+F32 = jnp.float32
+
+BLUR_WEIGHTS = np.array(
+    [0.028532, 0.067234, 0.124009, 0.179044, 0.20236,
+     0.179044, 0.124009, 0.067234, 0.028532],
+    np.float32,
+)
+
+REC709_LUMA = np.array([0.2126, 0.7152, 0.0722], np.float32)
+SEPIA = np.array(
+    [[0.393, 0.769, 0.189],
+     [0.349, 0.686, 0.168],
+     [0.272, 0.534, 0.131]],
+    np.float32,
+)
+
+
+def _fract(x):
+    return x - jnp.floor(x)
+
+
+def _smoothstep(e0, e1, x):
+    t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def hash12(px, py, frame_index):
+    """MSL hash12 (h:63-67): screen-space white noise varying per frame.
+
+    px/py are pixel-center coordinates (x+0.5, y+0.5) — the shader computes
+    texcoord * (width, height).
+    """
+    fi = frame_index.astype(F32) * F32(0.00137)
+    p3x = _fract(px * F32(0.1031) + fi)
+    p3y = _fract(py * F32(0.1031) + fi)
+    p3z = p3x  # p.xyx
+    d = p3x * (p3y + F32(33.33)) + p3y * (p3z + F32(33.33)) + p3z * (p3x + F32(33.33))
+    p3x = p3x + d
+    p3y = p3y + d
+    p3z = p3z + d
+    return _fract((p3x + p3y) * p3z)
+
+
+def rgb_to_hsv(r, g, b):
+    """MSL rgbToHsv (h:71-78) translated branch-for-branch."""
+    e = F32(1.0e-10)
+    # p = mix((b, g, -1, 2/3), (g, b, 0, -1/3), step(b, g))
+    gb = g >= b
+    px = jnp.where(gb, g, b)
+    py = jnp.where(gb, b, g)
+    pz = jnp.where(gb, F32(0.0), F32(-1.0))
+    pw = jnp.where(gb, F32(-1.0 / 3.0), F32(2.0 / 3.0))
+    # q = mix((p.x, p.y, p.w, r), (r, p.y, p.z, p.x), step(p.x, r))
+    rp = r >= px
+    qx = jnp.where(rp, r, px)
+    qy = py
+    qz = jnp.where(rp, pz, pw)
+    qw = jnp.where(rp, px, r)
+    d = qx - jnp.minimum(qw, qy)
+    h = jnp.abs(qz + (qw - qy) / (6.0 * d + e))
+    s = d / (qx + e)
+    v = qx
+    return h, s, v
+
+
+def hsv_to_rgb(h, s, v):
+    """MSL hsvToRgb (h:80-84)."""
+    def channel(offset):
+        p = jnp.abs(_fract(h + F32(offset)) * 6.0 - 3.0)
+        return v * ((1.0 - s) + s * jnp.clip(p - 1.0, 0.0, 1.0))
+
+    return channel(1.0), channel(2.0 / 3.0), channel(1.0 / 3.0)
+
+
+def apply_color_adjustments(rgba, p, frame_index, width, height):
+    """rgba (..., 4, H, W) f32 -> same, the canonical op order (h:88-155).
+
+    p: dict of traced f32 scalars {brightness, contrast, saturation, hue
+    (radians), gamma, sepia, invert, chroma_key_enabled, key_r, key_g,
+    key_b, key_tolerance, key_smoothness, vignette, noise}.
+    """
+    r = rgba[..., 0, :, :]
+    g = rgba[..., 1, :, :]
+    b = rgba[..., 2, :, :]
+    alpha = rgba[..., 3, :, :]
+
+    # Brightness
+    r, g, b = r + p["brightness"], g + p["brightness"], b + p["brightness"]
+
+    # Contrast
+    c = p["contrast"]
+    r = (r - 0.5) * c + 0.5
+    g = (g - 0.5) * c + 0.5
+    b = (b - 0.5) * c + 0.5
+
+    # Saturation (Rec.709 luma of the current rgb)
+    lum = REC709_LUMA[0] * r + REC709_LUMA[1] * g + REC709_LUMA[2] * b
+    s = p["saturation"]
+    r = lum + (r - lum) * s
+    g = lum + (g - lum) * s
+    b = lum + (b - lum) * s
+
+    # Hue rotation — gated exactly like the uniform branch (|hue| > 0.001)
+    do_hue = jnp.abs(p["hue"]) > 0.001
+    hh, hs, hv = rgb_to_hsv(
+        jnp.clip(r, 0.0, 1.0), jnp.clip(g, 0.0, 1.0), jnp.clip(b, 0.0, 1.0)
+    )
+    hh = _fract(hh + p["hue"] / F32(2.0 * np.pi))
+    hr, hg, hb = hsv_to_rgb(hh, hs, hv)
+    r = jnp.where(do_hue, hr, r)
+    g = jnp.where(do_hue, hg, g)
+    b = jnp.where(do_hue, hb, b)
+
+    # Gamma
+    inv_gamma = 1.0 / p["gamma"]
+    r = jnp.power(jnp.clip(r, 0.0001, 1.0), inv_gamma)
+    g = jnp.power(jnp.clip(g, 0.0001, 1.0), inv_gamma)
+    b = jnp.power(jnp.clip(b, 0.0001, 1.0), inv_gamma)
+
+    # Sepia
+    do_sepia = p["sepia"] > 0.001
+    sep = p["sepia"]
+    sr = SEPIA[0, 0] * r + SEPIA[0, 1] * g + SEPIA[0, 2] * b
+    sg = SEPIA[1, 0] * r + SEPIA[1, 1] * g + SEPIA[1, 2] * b
+    sb = SEPIA[2, 0] * r + SEPIA[2, 1] * g + SEPIA[2, 2] * b
+    r = jnp.where(do_sepia, r + (sr - r) * sep, r)
+    g = jnp.where(do_sepia, g + (sg - g) * sep, g)
+    b = jnp.where(do_sepia, b + (sb - b) * sep, b)
+
+    # Invert
+    inv = p["invert"] > 0.5
+    r = jnp.where(inv, 1.0 - r, r)
+    g = jnp.where(inv, 1.0 - g, g)
+    b = jnp.where(inv, 1.0 - b, b)
+
+    # Chroma key: alpha *= smoothstep(tol, tol+smooth, distance(rgb, key))
+    ck = p["chroma_key_enabled"] > 0.5
+    dist = jnp.sqrt(
+        (r - p["key_r"]) ** 2 + (g - p["key_g"]) ** 2 + (b - p["key_b"]) ** 2
+    )
+    mask = _smoothstep(
+        p["key_tolerance"], p["key_tolerance"] + p["key_smoothness"], dist
+    )
+    alpha = jnp.where(ck, alpha * mask, alpha)
+
+    # Vignette (texcoord-based radial falloff)
+    tx = (jnp.arange(width, dtype=F32) + 0.5) / F32(width)
+    ty = (jnp.arange(height, dtype=F32) + 0.5) / F32(height)
+    cx = tx[None, :] - 0.5
+    cy = ty[:, None] - 0.5
+    do_vig = p["vignette"] > 0.001
+    vdist = jnp.sqrt(cx * cx + cy * cy) * F32(1.414)
+    vig = 1.0 - _smoothstep(F32(0.5), F32(1.0), vdist) * p["vignette"]
+    r = jnp.where(do_vig, r * vig, r)
+    g = jnp.where(do_vig, g * vig, g)
+    b = jnp.where(do_vig, b * vig, b)
+
+    # Film grain
+    do_noise = p["noise"] > 0.001
+    pxc = jnp.arange(width, dtype=F32) + 0.5
+    pyc = jnp.arange(height, dtype=F32) + 0.5
+    n = hash12(pxc[None, :], pyc[:, None], frame_index)
+    n = (n - 0.5) * p["noise"] * 0.5
+    r = jnp.where(do_noise, r + n, r)
+    g = jnp.where(do_noise, g + n, g)
+    b = jnp.where(do_noise, b + n, b)
+
+    return jnp.stack(
+        [jnp.clip(r, 0.0, 1.0), jnp.clip(g, 0.0, 1.0), jnp.clip(b, 0.0, 1.0),
+         alpha],
+        axis=-3,
+    )
+
+
+def apply_lut(rgba, lut_flat, size: int):
+    """3D LUT lookup with trilinear filtering (h:188-194).
+
+    lut_flat: (S^3, 3) float32 table in [b][g][r] flat order (r fastest).
+    coord = rgb*(s-1)/s + 0.5/s in normalized texture space; since the
+    texture has S texels per axis, the texel-space coordinate is exactly
+    rgb*(S-1).
+    """
+    r = rgba[..., 0, :, :]
+    g = rgba[..., 1, :, :]
+    b = rgba[..., 2, :, :]
+    s1 = F32(size - 1)
+    pr, pg, pb = r * s1, g * s1, b * s1
+    r0 = jnp.clip(jnp.floor(pr), 0, size - 1).astype(jnp.int32)
+    g0 = jnp.clip(jnp.floor(pg), 0, size - 1).astype(jnp.int32)
+    b0 = jnp.clip(jnp.floor(pb), 0, size - 1).astype(jnp.int32)
+    r1 = jnp.minimum(r0 + 1, size - 1)
+    g1 = jnp.minimum(g0 + 1, size - 1)
+    b1 = jnp.minimum(b0 + 1, size - 1)
+    fr = pr - jnp.floor(pr)
+    fg = pg - jnp.floor(pg)
+    fb = pb - jnp.floor(pb)
+
+    def fetch(bi, gi, ri):
+        idx = (bi * size + gi) * size + ri
+        return jnp.take(lut_flat, idx, axis=0)  # (..., H, W, 3)
+
+    c000 = fetch(b0, g0, r0)
+    c001 = fetch(b0, g0, r1)
+    c010 = fetch(b0, g1, r0)
+    c011 = fetch(b0, g1, r1)
+    c100 = fetch(b1, g0, r0)
+    c101 = fetch(b1, g0, r1)
+    c110 = fetch(b1, g1, r0)
+    c111 = fetch(b1, g1, r1)
+    frx = fr[..., None]
+    fgx = fg[..., None]
+    fbx = fb[..., None]
+    c00 = c000 * (1 - frx) + c001 * frx
+    c01 = c010 * (1 - frx) + c011 * frx
+    c10 = c100 * (1 - frx) + c101 * frx
+    c11 = c110 * (1 - frx) + c111 * frx
+    c0 = c00 * (1 - fgx) + c01 * fgx
+    c1 = c10 * (1 - fgx) + c11 * fgx
+    out = c0 * (1 - fbx) + c1 * fbx  # (..., H, W, 3)
+    out = jnp.moveaxis(out, -1, -3)
+    return jnp.concatenate([out, rgba[..., 3:4, :, :]], axis=-3)
+
+
+def blur9(img, axis: int):
+    """9-tap Gaussian along one axis with edge clamping (blurHorizontal /
+    blurVertical, h:265-299).  img: (..., 4, H, W) float32."""
+    n = img.shape[axis]
+    out = None
+    for i, w in enumerate(BLUR_WEIGHTS):
+        off = i - 4
+        idx = np.clip(np.arange(n) + off, 0, n - 1)
+        tap = jnp.take(img, jnp.asarray(idx), axis=axis) * F32(w)
+        out = tap if out is None else out + tap
+    return out
+
+
+def unsharp_mask(original, blurred, amount):
+    """unsharpMask kernel (h:302-328): amount>0 sharpens, <0 mixes toward
+    the blur; alpha always preserved from the original."""
+    sharpened = jnp.clip(original + (original - blurred) * amount, 0.0, 1.0)
+    mixed = original + (blurred - original) * jnp.abs(amount)
+    out = jnp.where(amount > 0, sharpened, mixed)
+    # alpha preserved
+    alpha = original[..., 3:4, :, :]
+    return jnp.concatenate([out[..., :3, :, :], alpha], axis=-3)
