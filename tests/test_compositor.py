@@ -1,0 +1,241 @@
+"""vfcompositor tests: negotiation, geometry, blending parity, smoke cases.
+
+Ports the shape of tests/test-compositor.sh plus golden-frame checks.
+"""
+
+import numpy as np
+import pytest
+
+from tests.oracle import element_ref, metal_ref
+from tests.util import assert_planes_close, random_host_frame
+
+from tpuvf.cli.launch import launch, parse_pipeline
+from tpuvf.core.frame import host_to_planes
+from tpuvf.core.formats import VideoFormat
+from tpuvf.core.registry import make
+from tpuvf.core.spec import CapsFilter, FrameSpec
+
+RNG = np.random.default_rng(31)
+
+
+def run_compositor(pad_defs, out_caps=None, comp_props=None):
+    """pad_defs: list of (fmt, w, h, pad_props, host or None).
+    Returns (out_planes, out_spec, inputs_planes)."""
+    import jax.numpy as jnp
+
+    comp = make("vfcompositor")
+    for k, v in (comp_props or {}).items():
+        comp.set_property(k, v)
+    pad_specs = {}
+    inputs = {}
+    hosts = {}
+    for i, (fmt, w, h, props, host) in enumerate(pad_defs):
+        name = f"sink_{i}"
+        bag = comp.get_pad(name)
+        for k, v in (props or {}).items():
+            bag.set(k, v)
+        spec = FrameSpec(VideoFormat(fmt), w, h)
+        pad_specs[name] = spec
+        host = random_host_frame(RNG, spec) if host is None else host
+        hosts[name] = host
+        planes = host_to_planes(host, spec)
+        inputs[name] = {k: jnp.asarray(v) for k, v in planes.items()}
+    filt = CapsFilter.parse(out_caps) if out_caps else None
+    out_spec = comp.aggregate_spec(pad_specs, filt)
+    proc = comp.make_aggregate(pad_specs, out_spec)
+    out, _ = proc(inputs, (), {})
+    return ({k: np.asarray(v) for k, v in out.items()}, out_spec,
+            {n: host_to_planes(hosts[n], pad_specs[n]) for n in pad_specs},
+            pad_specs)
+
+
+# -- negotiation ------------------------------------------------------------
+
+def test_output_bounding_box():
+    _, out_spec, _, _ = run_compositor([
+        ("BGRA", 64, 48, {}, None),
+        ("BGRA", 32, 24, {"xpos": 100, "ypos": 50}, None),
+    ])
+    assert (out_spec.width, out_spec.height) == (132, 74)
+    assert out_spec.format == VideoFormat.BGRA  # BGRA preferred
+
+
+def test_negative_positions_clamp_to_input_size():
+    _, out_spec, _, _ = run_compositor([
+        ("RGBA", 64, 48, {"xpos": -20, "ypos": -10}, None),
+    ])
+    assert (out_spec.width, out_spec.height) == (64, 48)
+
+
+def test_max_fps_and_default():
+    comp = make("vfcompositor")
+    comp.get_pad("sink_0")
+    from tpuvf.core.spec import Fraction
+
+    s1 = FrameSpec(VideoFormat.BGRA, 32, 32, fps=Fraction(15, 1))
+    s2 = FrameSpec(VideoFormat.BGRA, 32, 32, fps=Fraction(30, 1))
+    out = comp.aggregate_spec({"sink_0": s1, "sink_1": s2}, None)
+    assert out.fps == Fraction(30, 1)
+
+
+def test_pad_scaling_geometry():
+    """pad width/height scale the input into the pad rect."""
+    host = np.full((24, 32, 4), 200, np.uint8)
+    host[..., 3] = 255  # opaque: premultiply must not dim the content
+    out, out_spec, _, _ = run_compositor([
+        ("RGBA", 32, 24, {"width": 64, "height": 48}, host),
+    ], comp_props={"background": 1})
+    assert (out_spec.width, out_spec.height) == (64, 48)
+    rgba = out["rgba"]
+    assert rgba[0, 10, 10] == 200  # scaled content fills the rect
+
+
+def test_keep_aspect_ratio_centering():
+    """4:3 input into a 2:1 pad rect => pillarboxed with x offset."""
+    host = np.full((24, 32, 4), 255, np.uint8)
+    out, out_spec, _, _ = run_compositor([
+        ("RGBA", 32, 24, {"width": 96, "height": 36, "sizing-policy": 1}, host),
+    ], comp_props={"background": 1})
+    rgba = out["rgba"]
+    # fitted rect: 48x36 centered at x=24..72 (within the 96x36 pad)
+    assert rgba[0, 18, 50] == 255   # inside fitted content
+    assert rgba[0, 18, 10] == 0     # left bar = black background
+    assert rgba[0, 18, 90] == 0     # right bar
+
+
+# -- blending golden --------------------------------------------------------
+
+def _oracle_composite(pad_draws, out_w, out_h, background=0):
+    if background == 0:
+        dst = element_ref.checker_bg(out_w, out_h)
+    elif background == 1:
+        dst = np.zeros((out_h, out_w, 4), np.float32)
+        dst[..., 3] = 1.0
+    elif background == 2:
+        dst = np.ones((out_h, out_w, 4), np.float32)
+    else:
+        dst = np.zeros((out_h, out_w, 4), np.float32)
+    dst = metal_ref.dequant(metal_ref.quant(dst))
+    for planes, fmt, matrix, rect, alpha, op in pad_draws:
+        x, y, w, h = rect
+        dst = element_ref.composite_draw(
+            dst, planes, fmt, matrix, x, y, w, h, alpha, op)
+    return metal_ref.pack_rgba(
+        metal_ref.quant(dst).transpose(2, 0, 1), "BGRA", 0)
+
+
+def test_golden_two_inputs_over():
+    out, out_spec, in_planes, pad_specs = run_compositor([
+        ("BGRA", 32, 24, {}, None),
+        ("NV12", 24, 16, {"xpos": 16, "ypos": 8, "alpha": 0.6}, None),
+    ], comp_props={"background": 0})
+    draws = [
+        (in_planes["sink_0"], "BGRA", pad_specs["sink_0"].matrix_index,
+         (0, 0, 32, 24), 1.0, 1),
+        (in_planes["sink_1"], "NV12", pad_specs["sink_1"].matrix_index,
+         (16, 8, 24, 16), 0.6, 1),
+    ]
+    want = _oracle_composite(draws, out_spec.width, out_spec.height, 0)
+    assert_planes_close(out, want, tol=2, context="2-input over")
+
+
+@pytest.mark.parametrize("op,opname", [(0, "source"), (1, "over"), (2, "add")])
+def test_golden_operators(op, opname):
+    out, out_spec, in_planes, pad_specs = run_compositor([
+        ("RGBA", 32, 24, {}, None),
+        ("RGBA", 32, 24, {"xpos": 8, "ypos": 4, "alpha": 0.5, "operator": op},
+         None),
+    ], comp_props={"background": 1})
+    draws = [
+        (in_planes["sink_0"], "RGBA", 0, (0, 0, 32, 24), 1.0, 1),
+        (in_planes["sink_1"], "RGBA", 0, (8, 4, 32, 24), 0.5, op),
+    ]
+    want = _oracle_composite(draws, out_spec.width, out_spec.height, 1)
+    assert_planes_close(out, want, tol=2, context=f"operator {opname}")
+
+
+@pytest.mark.parametrize("bg", [0, 1, 2, 3])
+def test_backgrounds(bg):
+    out, out_spec, in_planes, _ = run_compositor([
+        ("RGBA", 16, 16, {"xpos": 32}, None),
+    ], comp_props={"background": bg})
+    want = _oracle_composite(
+        [(in_planes["sink_0"], "RGBA", 0, (32, 0, 16, 16), 1.0, 1)],
+        out_spec.width, out_spec.height, bg)
+    assert_planes_close(out, want, tol=2, context=f"background {bg}")
+
+
+def test_zorder_ordering():
+    """Lower zorder draws first; swapping zorder swaps layering."""
+    red = np.zeros((16, 16, 4), np.uint8)
+    red[..., 0] = 255
+    red[..., 3] = 255
+    blue = np.zeros((16, 16, 4), np.uint8)
+    blue[..., 2] = 255
+    blue[..., 3] = 255
+    out1, _, _, _ = run_compositor([
+        ("RGBA", 16, 16, {"zorder": 1}, red),
+        ("RGBA", 16, 16, {"zorder": 2}, blue),
+    ], comp_props={"background": 1})
+    assert out1["rgba"][2, 8, 8] == 255  # blue on top
+    out2, _, _, _ = run_compositor([
+        ("RGBA", 16, 16, {"zorder": 2}, red),
+        ("RGBA", 16, 16, {"zorder": 1}, blue),
+    ], comp_props={"background": 1})
+    assert out2["rgba"][0, 8, 8] == 255  # red on top
+
+
+def test_alpha_zero_pad_skipped():
+    red = np.zeros((16, 16, 4), np.uint8)
+    red[..., 0] = 255
+    red[..., 3] = 255
+    out, _, _, _ = run_compositor([
+        ("RGBA", 16, 16, {"alpha": 0.0}, red),
+    ], comp_props={"background": 1})
+    assert out["rgba"][0].max() == 0  # black background only
+
+
+def test_obscured_background_becomes_transparent():
+    """Opaque full-coverage NV12 pad => checker background not drawn."""
+    out, out_spec, in_planes, pad_specs = run_compositor([
+        ("NV12", 32, 24, {}, None),
+    ], comp_props={"background": 0})
+    # background must be transparent-cleared; output = the pad content alone
+    draws = [(in_planes["sink_0"], "NV12", pad_specs["sink_0"].matrix_index,
+              (0, 0, 32, 24), 1.0, 1)]
+    want = _oracle_composite(draws, out_spec.width, out_spec.height, 3)
+    assert_planes_close(out, want, tol=2, context="obscured bg")
+
+
+# -- pipeline parsing + smoke (ported test-compositor.sh cases) -------------
+
+def test_pipeline_string_two_inputs():
+    n = launch(
+        "vfmetalcompositor name=comp sink_1::xpos=32 sink_1::ypos=16 "
+        "sink_1::alpha=0.5 ! video/x-raw,format=BGRA ! fakesink "
+        "videotestsrc num-buffers=2 ! video/x-raw,format=BGRA,width=64,height=48 "
+        "! comp.sink_0 "
+        "videotestsrc num-buffers=2 pattern=snow "
+        "! video/x-raw,format=NV12,width=32,height=24 ! comp.sink_1",
+        quiet=True)
+    assert n == 2
+
+
+def test_pipeline_mixed_formats_and_yuv_output():
+    n = launch(
+        "vfmetalcompositor name=c background=white "
+        "! video/x-raw,format=I420 ! fakesink "
+        "videotestsrc num-buffers=1 ! video/x-raw,format=BGRA,width=64,height=48 ! c.sink_0 "
+        "videotestsrc num-buffers=1 ! video/x-raw,format=I420,width=32,height=24 ! c.sink_1",
+        quiet=True)
+    assert n == 1
+
+
+def test_pipeline_compositor_then_chain():
+    n = launch(
+        "vfmetalcompositor name=c ! video/x-raw,format=NV12 "
+        "! vfmetalvideofilter brightness=0.1 ! vfmetalconvertscale "
+        "! video/x-raw,format=RGBA,width=32,height=24 ! fakesink "
+        "videotestsrc num-buffers=2 ! video/x-raw,format=RGBA,width=64,height=48 ! c.sink_0",
+        quiet=True)
+    assert n == 2

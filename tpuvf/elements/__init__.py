@@ -1,8 +1,12 @@
 """Element implementations (import side effect: registry population)."""
 
 from tpuvf.elements import (  # noqa: F401
+    compositor,
     convertscale,
+    deinterlace,
+    overlay,
     sinks,
     testsrc,
+    transform,
     videofilter,
 )

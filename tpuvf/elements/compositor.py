@@ -1,26 +1,373 @@
-"""vfcompositor — N-input mixed-format compositor (full implementation in a
-later milestone; this module defines the class so the graph runtime can
-special-case aggregators)."""
+"""vfcompositor — N-input mixed-format alpha/z-order compositor.
+
+Rebuild of vfmetalcompositor (/root/reference/src/compositor/):
+
+- request pads ``sink_%u`` with props xpos/ypos (int, full range),
+  width/height (-1 = input size; 0 unscaled too when zero-size-is-unscaled),
+  alpha [0,1]=1, operator {source, over, add}=over, sizing-policy {none,
+  keep-aspect-ratio}, zorder (pads composited in zorder order)
+- element props background {checker, black, white, transparent},
+  zero-size-is-unscaled, ignore-inactive-pads
+- geometry: pad_get_output_size (gstvfmetalcompositor.m:202-325) — DAR
+  correction per sizing-policy, keep-aspect-ratio centering offsets
+- caps: output = bounding box of (pad rect + max(pos,0)) over pads,
+  max input fps (default 25/1), PAR 1/1, BGRA preferred
+  (update_caps m:394-458, fixate m:460-540)
+- per-pad skip rules: alpha==0, zero clamped rect, obscured by a
+  higher-zorder opaque pad (compositorpad.m:179-246); fully obscured
+  background becomes transparent (m:360-385)
+- blending (metalcomprenderer.m): fragments multiply uniform alpha then
+  premultiply rgb; fixed-function blend SOURCE=(one,zero),
+  OVER=(one,one-minus-src-alpha), ADD=(one,one); checker background is
+  8x8-px 0.75/0.5 gray
+
+TPU shape: each pad's scale-into-rect is a pair of masked sampling matrices
+over the output grid (MXU matmuls); blending is an elementwise fold over
+pads in zorder order with a quantize after every draw (the RGBA8 render
+target).  Pad topology/geometry are static per compiled variant; the
+executable cache absorbs position changes.
+"""
 
 from __future__ import annotations
 
 from typing import Dict, Optional
 
+import numpy as np
+import jax.numpy as jnp
+
 from tpuvf.core.element import Element
-from tpuvf.core.formats import CORE_FORMATS
-from tpuvf.core.spec import CapsFilter, FrameSpec
+from tpuvf.core.formats import CORE_FORMATS, RGB_FORMATS, VideoFormat
+from tpuvf.core.properties import PropertyBag, PropertyDescriptor
+from tpuvf.core.registry import register
+from tpuvf.core.spec import CapsFilter, Fraction, FrameSpec
+from tpuvf.kernels import color as kcolor, convert, sample
+from tpuvf.kernels.color import dequant, quant
+
+BG_CHECKER, BG_BLACK, BG_WHITE, BG_TRANSPARENT = 0, 1, 2, 3
+OP_SOURCE, OP_OVER, OP_ADD = 0, 1, 2
+SIZING_NONE, SIZING_KEEP_ASPECT = 0, 1
+
+PAD_PROPERTIES = (
+    PropertyDescriptor("xpos", "int", 0, "X position",
+                       -(2**31), 2**31 - 1, controllable=True),
+    PropertyDescriptor("ypos", "int", 0, "Y position",
+                       -(2**31), 2**31 - 1, controllable=True),
+    PropertyDescriptor("width", "int", -1, "Width (-1 = input width)",
+                       -1, 2**31 - 1, controllable=True),
+    PropertyDescriptor("height", "int", -1, "Height (-1 = input height)",
+                       -1, 2**31 - 1, controllable=True),
+    PropertyDescriptor("alpha", "float", 1.0, "Alpha", 0.0, 1.0,
+                       controllable=True),
+    PropertyDescriptor("operator", "enum", OP_OVER, "Blending operator",
+                       enum_values=(("source", 0), ("over", 1), ("add", 2)),
+                       controllable=True),
+    PropertyDescriptor("sizing-policy", "enum", SIZING_NONE, "Sizing policy",
+                       enum_values=(("none", 0), ("keep-aspect-ratio", 1))),
+    PropertyDescriptor("zorder", "uint", 0, "Z order", 0, 2**32 - 1,
+                       controllable=True),
+)
 
 
+def _center_rect(src_w, src_h, dst_w, dst_h):
+    """gst_video_center_rect with scaling=TRUE: aspect-fit src into dst,
+    centered; returns (x, y, w, h)."""
+    src_ratio = src_w / src_h
+    dst_ratio = dst_w / dst_h
+    if src_ratio > dst_ratio:
+        w = dst_w
+        h = int(round(dst_w / src_ratio))
+    elif src_ratio < dst_ratio:
+        h = dst_h
+        w = int(round(dst_h * src_ratio))
+    else:
+        w, h = dst_w, dst_h
+    return (dst_w - w) // 2, (dst_h - h) // 2, w, h
+
+
+class CompositorPadConfig:
+    """Resolved geometry of one pad for a given output spec."""
+
+    def __init__(self, name, spec, bag):
+        self.name = name
+        self.spec = spec
+        self.bag = bag
+
+    def output_size(self, comp, out_par: Fraction):
+        """pad_get_output_size (m:202-325): (width, height, x_off, y_off)."""
+        bag, spec = self.bag, self.spec
+        zero_unscaled = comp.props.get("zero-size-is-unscaled")
+        pw, ph = bag.get("width"), bag.get("height")
+        if zero_unscaled:
+            pad_w = spec.width if pw <= 0 else pw
+            pad_h = spec.height if ph <= 0 else ph
+        else:
+            pad_w = spec.width if pw < 0 else pw
+            pad_h = spec.height if ph < 0 else ph
+        if pad_w == 0 or pad_h == 0:
+            return 0, 0, 0, 0
+        # display ratio: dar = (w * par_in) / (h * par_out)
+        dar = Fraction(pad_w, pad_h) * spec.par / out_par
+        x_off = y_off = 0
+        if bag.get("sizing-policy") == SIZING_NONE:
+            if pad_h % dar.num == 0:
+                pad_w = pad_h * dar.num // dar.den
+            elif pad_w % dar.den == 0:
+                pad_h = pad_w * dar.den // dar.num
+            else:
+                pad_w = pad_h * dar.num // dar.den
+        else:  # keep-aspect-ratio
+            from_dar = Fraction(spec.width, spec.height) * spec.par
+            to_dar = Fraction(pad_w, pad_h) * out_par
+            if from_dar != to_dar:
+                num_den = from_dar / out_par  # from_dar * par_d/par_n
+                src_h = pad_w * num_den.den // num_den.num
+                if src_h == 0:
+                    return 0, 0, 0, 0
+                x_off, y_off, pad_w, pad_h = _center_rect(
+                    pad_w, src_h, pad_w, pad_h
+                )
+        return pad_w, pad_h, x_off, y_off
+
+
+@register
 class Compositor(Element):
-    """Base marker class for multi-input aggregator elements."""
-
+    ELEMENT_NAME = "vfcompositor"
+    ALIASES = ("vfmetalcompositor", "compositor", "comp")
+    KLASS = "Filter/Editor/Video/Compositor"
+    DESCRIPTION = "Composites multiple video streams on the MXU"
     IN_FORMATS = CORE_FORMATS
     OUT_FORMATS = CORE_FORMATS
+    PROPERTIES = (
+        PropertyDescriptor("background", "enum", BG_CHECKER, "Background type",
+                           enum_values=(("checker", 0), ("black", 1),
+                                        ("white", 2), ("transparent", 3))),
+        PropertyDescriptor("zero-size-is-unscaled", "bool", True,
+                           "0 pad width/height means unscaled"),
+        PropertyDescriptor("ignore-inactive-pads", "bool", False,
+                           "Ignore pads without buffers"),
+    )
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.pads: Dict[str, PropertyBag] = {}
+        self._pad_insert_order: Dict[str, int] = {}
+
+    # -- GstChildProxy analog: request pads ------------------------------
+
+    def get_pad(self, name: str) -> PropertyBag:
+        if name not in self.pads:
+            self.pads[name] = PropertyBag(PAD_PROPERTIES)
+            self._pad_insert_order[name] = len(self._pad_insert_order)
+        return self.pads[name]
+
+    def _sorted_pads(self, pad_specs):
+        """Pads in composite order: zorder, then pad index (the element keeps
+        sinkpads zorder-sorted, m:850-879; sink_%u index breaks ties)."""
+
+        def pad_index(name):
+            digits = "".join(ch for ch in name if ch.isdigit())
+            return int(digits) if digits else self._pad_insert_order.get(name, 0)
+
+        items = []
+        for name, spec in pad_specs.items():
+            bag = self.get_pad(name)
+            items.append((bag.get("zorder"), pad_index(name), name, spec, bag))
+        items.sort(key=lambda t: (t[0], t[1]))
+        return [CompositorPadConfig(n, s, b) for _, _, n, s, b in items]
+
+    # -- negotiation (update_caps m:394-458 + fixate m:460-540) ----------
 
     def aggregate_spec(
         self, pad_specs: Dict[str, FrameSpec], out_filter: Optional[CapsFilter]
     ) -> FrameSpec:
-        raise NotImplementedError
+        if not pad_specs:
+            raise ValueError("compositor has no sink pads")
+        for spec in pad_specs.values():
+            if spec.format not in self.IN_FORMATS:
+                raise ValueError(f"unsupported input format {spec.format}")
+        out_par = (out_filter.par if out_filter and out_filter.par
+                   else Fraction(1, 1))
+        best_w = best_h = -1
+        best_fps = None
+        for pad in self._sorted_pads(pad_specs):
+            w, h, x_off, y_off = pad.output_size(self, out_par)
+            if w == 0 or h == 0:
+                continue
+            this_w = w + max(pad.bag.get("xpos") + 2 * x_off, 0)
+            this_h = h + max(pad.bag.get("ypos") + 2 * y_off, 0)
+            best_w = max(best_w, this_w)
+            best_h = max(best_h, this_h)
+            fps = pad.spec.fps
+            if best_fps is None or float(fps) > float(best_fps):
+                best_fps = fps
+        if best_w <= 0 or best_h <= 0:
+            raise ValueError("compositor could not determine output size")
+        if best_fps is None or float(best_fps) == 0.0:
+            best_fps = Fraction(25, 1)
+        fmt = (out_filter.format if out_filter and out_filter.format
+               else VideoFormat.BGRA)  # BGRA preferred (m:533)
+        w = out_filter.width if out_filter and out_filter.width else best_w
+        h = out_filter.height if out_filter and out_filter.height else best_h
+        fps = out_filter.fps if out_filter and out_filter.fps else best_fps
+        return FrameSpec(format=fmt, width=w, height=h, fps=fps, par=out_par)
+
+    # -- static config covers pad props too ------------------------------
+
+    def static_config(self, in_spec, out_spec):
+        base = super().static_config(in_spec, out_spec)
+        pads = tuple(
+            (name, tuple(sorted(bag.snapshot().items())))
+            for name, bag in sorted(self.pads.items())
+        )
+        return base + (("pads", pads),)
+
+    def init_state(self, in_spec, out_spec):
+        return ()
+
+    # -- compilation ------------------------------------------------------
 
     def make_aggregate(self, pad_specs: Dict[str, FrameSpec], out_spec: FrameSpec):
-        raise NotImplementedError
+        out_w, out_h = out_spec.width, out_spec.height
+        out_par = out_spec.par
+        pads = self._sorted_pads(pad_specs)
+
+        # resolve geometry + skip rules (prepare_frame_start, compositorpad.m)
+        draws = []
+        rects = []
+        for pad in pads:
+            alpha = pad.bag.get("alpha")
+            if alpha == 0.0:
+                rects.append(None)
+                continue
+            w, h, x_off, y_off = pad.output_size(self, out_par)
+            if w == 0 or h == 0:
+                rects.append(None)
+                continue
+            x = pad.bag.get("xpos") + x_off
+            y = pad.bag.get("ypos") + y_off
+            cx0, cy0 = min(max(x, 0), out_w), min(max(y, 0), out_h)
+            cx1 = min(max(x + w, 0), out_w)
+            cy1 = min(max(y + h, 0), out_h)
+            if cx1 - cx0 == 0 or cy1 - cy0 == 0:
+                rects.append(None)
+                continue
+            rects.append((x, y, w, h))
+            draws.append((pad, (x, y, w, h)))
+
+        def obscures(idx_later, rect):
+            """pad_obscures_rectangle: later pad opaque and covering rect."""
+            pad = pads[idx_later]
+            if rects[idx_later] is None:
+                return False
+            if pad.bag.get("alpha") != 1.0:
+                return False
+            if pad.spec.format in RGB_FORMATS:  # has alpha channel
+                return False
+            rx, ry, rw, rh = rects[idx_later]
+            x, y, w, h = rect
+            return rx <= x and ry <= y and rx + rw >= x + w and ry + rh >= y + h
+
+        # cull pads obscured by later (higher-zorder) pads
+        culled = []
+        for i, (pad, rect) in enumerate(zip(pads, rects)):
+            if rect is None:
+                continue
+            later = [j for j in range(len(pads)) if j > i]
+            if any(obscures(j, rect) for j in later):
+                continue
+            culled.append((pad, rect))
+
+        # background (should_draw_background m:360-385)
+        bg_mode = self.props.get("background")
+        full = (0, 0, out_w, out_h)
+        if any(obscures(j, full) for j in range(len(pads))):
+            bg_mode = BG_TRANSPARENT
+        if not culled:
+            pass  # n_pads==0 => draw background anyway (m:605-608)
+
+        # precompute background canvas (quantized, the cleared target)
+        if bg_mode == BG_CHECKER:
+            ys, xs = np.mgrid[0:out_h, 0:out_w]
+            checker = ((xs // 8) + (ys // 8)) % 2
+            gray = np.where(checker == 1, np.float32(0.75), np.float32(0.5))
+            bg = np.stack([gray, gray, gray, np.ones_like(gray)], axis=0)
+        elif bg_mode == BG_BLACK:
+            bg = np.zeros((4, out_h, out_w), np.float32)
+            bg[3] = 1.0
+        elif bg_mode == BG_WHITE:
+            bg = np.ones((4, out_h, out_w), np.float32)
+        else:
+            bg = np.zeros((4, out_h, out_w), np.float32)
+        bg_q = np.round(np.clip(bg, 0, 1) * 255).astype(np.uint8)
+
+        # per-draw samplers: texcoord u=(c+0.5-x)/w over output columns
+        compiled_draws = []
+        for pad, (x, y, w, h) in culled:
+            cols = np.arange(out_w, dtype=np.float64) + 0.5
+            rows = np.arange(out_h, dtype=np.float64) + 0.5
+            tx = (cols - x) / w
+            ty = (rows - y) / h
+            in_x = (cols >= x) & (cols < x + w)
+            in_y = (rows >= y) & (rows < y + h)
+            mask = np.logical_and.outer(in_y, in_x)
+            spec = pad.spec
+            txc = np.clip(tx, 0.0, 1.0)
+            tyc = np.clip(ty, 0.0, 1.0)
+            if spec.format in RGB_FORMATS:
+                wx = sample.sample_matrix(txc, spec.width, sample.LINEAR)
+                wy = sample.sample_matrix(tyc, spec.height, sample.LINEAR)
+                samplers = {"rgba": (wy, wx)}
+            else:
+                cw, ch2 = (spec.width + 1) // 2, (spec.height + 1) // 2
+                samplers = {
+                    "y": (sample.sample_matrix(tyc, spec.height, sample.LINEAR),
+                          sample.sample_matrix(txc, spec.width, sample.LINEAR)),
+                    "u": (sample.sample_matrix(tyc, ch2, sample.LINEAR),
+                          sample.sample_matrix(txc, cw, sample.LINEAR)),
+                }
+            compiled_draws.append(
+                dict(
+                    pad=pad,
+                    mask=jnp.asarray(mask),
+                    samplers=samplers,
+                    alpha=np.float32(pad.bag.get("alpha")),
+                    op=pad.bag.get("operator"),
+                    matrix=spec.matrix_index,
+                    fmt=spec.format,
+                )
+            )
+
+        matrix_out = out_spec.matrix_index
+
+        def process(pad_inputs, state, params):
+            dst = dequant(jnp.asarray(bg_q))
+            for d in compiled_draws:
+                planes = pad_inputs[d["pad"].name]
+                if d["fmt"] in RGB_FORMATS:
+                    wy, wx = d["samplers"]["rgba"]
+                    src = sample.apply_separable(dequant(planes["rgba"]), wy, wx)
+                    s_r, s_g, s_b, s_a = src[0], src[1], src[2], src[3]
+                else:
+                    wy, wx = d["samplers"]["y"]
+                    yv = sample.apply_separable(dequant(planes["y"]), wy, wx)
+                    cwy, cwx = d["samplers"]["u"]
+                    uv = sample.apply_separable(dequant(planes["u"]), cwy, cwx)
+                    vv = sample.apply_separable(dequant(planes["v"]), cwy, cwx)
+                    s_r, s_g, s_b = kcolor.yuv_to_rgb(yv, uv, vv, d["matrix"])
+                    s_a = jnp.ones_like(s_r)
+                # fragment: alpha *= pad alpha; premultiply
+                s_a = s_a * d["alpha"]
+                s_r, s_g, s_b = s_r * s_a, s_g * s_a, s_b * s_a
+                src_p = jnp.stack([s_r, s_g, s_b, s_a], axis=0)
+                if d["op"] == OP_SOURCE:
+                    blended = src_p
+                elif d["op"] == OP_ADD:
+                    blended = src_p + dst
+                else:  # OVER (premultiplied)
+                    blended = src_p + dst * (1.0 - s_a)
+                dst = jnp.where(d["mask"], blended, dst)
+                dst = dequant(quant(dst))  # RGBA8 render target after each draw
+            out_q = quant(dst)
+            return convert.pack_rgba(out_q, out_spec.format, matrix_out), state
+
+        return process

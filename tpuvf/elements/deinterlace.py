@@ -1,0 +1,117 @@
+"""vfdeinterlace — bob / weave / linear / greedy-H deinterlacing.
+
+Rebuild of vfmetaldeinterlace (/root/reference/src/deinterlace/):
+- formats BGRA, RGBA, NV12, I420
+- props: method {bob=0, weave=1, linear=2, greedyh=3}, field-layout {auto,
+  top-field-first, bottom-field-first}, motion-threshold [0,1]=0.1
+  (gstvfmetaldeinterlace.m:73-112)
+- field order: explicit, or auto from the per-buffer TFF flag (m:169-185) —
+  here from FrameSpec.tff
+- the input is converted to an RGBA8 texture first (nearest chroma upsample,
+  metaldeinterlacerenderer.m:204-293), kernels run on that, and the *input*
+  RGBA is blitted to the prev-frame texture after processing (m:394-405)
+- weave/greedyh fall back to bob on the first frame (m:326-338) — the
+  has-prev flag is traced state so the fallback needs no recompile
+- no passthrough mode
+
+State = {prev: (4,H,W) uint8 RGBA of the previous input, has_prev: bool} —
+explicitly carried, scan-friendly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpuvf.core.element import Element
+from tpuvf.core.formats import CORE_FORMATS
+from tpuvf.core.properties import PropertyDescriptor
+from tpuvf.core.registry import register
+from tpuvf.core.spec import FrameSpec
+from tpuvf.kernels import convert, deinterlace as kdeint
+from tpuvf.kernels.color import dequant, quant
+from tpuvf.kernels.sample import NEAREST
+
+METHOD_BOB = 0
+METHOD_WEAVE = 1
+METHOD_LINEAR = 2
+METHOD_GREEDYH = 3
+
+FIELD_AUTO = 0
+FIELD_TFF = 1
+FIELD_BFF = 2
+
+
+@register
+class Deinterlace(Element):
+    ELEMENT_NAME = "vfdeinterlace"
+    ALIASES = ("vfmetaldeinterlace", "deinterlace")
+    KLASS = "Filter/Effect/Video/Deinterlace"
+    DESCRIPTION = "Motion-adaptive GPU deinterlacing"
+    IN_FORMATS = CORE_FORMATS
+    OUT_FORMATS = CORE_FORMATS
+    PROPERTIES = (
+        PropertyDescriptor("method", "enum", 0, "Deinterlace method",
+                           enum_values=(("bob", 0), ("weave", 1),
+                                        ("linear", 2), ("greedyh", 3))),
+        PropertyDescriptor("field-layout", "enum", 0, "Field order",
+                           enum_values=(("auto", 0), ("top-field-first", 1),
+                                        ("bottom-field-first", 2))),
+        PropertyDescriptor("motion-threshold", "float", 0.1,
+                           "Motion threshold for greedyh", 0.0, 1.0,
+                           controllable=True, traced=True),
+    )
+
+    def transform_spec(self, in_spec, out_filter=None):
+        out = super().transform_spec(in_spec, out_filter)
+        # deinterlaced output is progressive
+        return out.with_(interlaced=False)
+
+    def init_state(self, in_spec, out_spec):
+        return {
+            "prev": np.zeros((4, in_spec.height, in_spec.width), np.uint8),
+            "has_prev": np.bool_(False),
+        }
+
+    def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
+        cfg = dict(static)
+        method = cfg["method"]
+        layout = cfg["field-layout"]
+        w, h = in_spec.width, in_spec.height
+        if layout == FIELD_AUTO:
+            tff = in_spec.tff  # per-stream TFF flag (auto mode)
+        else:
+            tff = layout == FIELD_TFF
+        matrix_in = in_spec.matrix_index
+        matrix_out = out_spec.matrix_index
+
+        def process(planes, state, params):
+            # input -> RGBA8 (nearest sampling for YUV inputs, m:204-293)
+            rgba = convert.sample_rgba(
+                planes, in_spec, w, h, filter=NEAREST, matrix_index=matrix_in
+            )
+            cur_q = quant(rgba)
+            cur = dequant(cur_q)
+            prev = dequant(state["prev"])
+            has_prev = state["has_prev"]
+
+            if method == METHOD_BOB:
+                out_f = kdeint.bob(cur, tff)
+            elif method == METHOD_LINEAR:
+                out_f = kdeint.linear(cur, tff)
+            elif method == METHOD_WEAVE:
+                woven = kdeint.weave(cur, prev, tff)
+                out_f = jnp.where(has_prev, woven, kdeint.bob(cur, tff))
+            else:  # greedyh
+                gh = kdeint.greedyh(cur, prev, tff, params["motion-threshold"])
+                out_f = jnp.where(has_prev, gh, kdeint.bob(cur, tff))
+
+            out_q = quant(out_f)
+            out = convert.pack_rgba(out_q, out_spec.format, matrix_out)
+            new_state = {
+                "prev": cur_q,  # blit input -> prevFrame (m:394-405)
+                "has_prev": jnp.asarray(True),
+            }
+            return out, new_state
+
+        return process

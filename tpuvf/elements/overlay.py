@@ -1,0 +1,172 @@
+"""vfoverlay — PNG/JPEG image overlay.
+
+Rebuild of vfmetaloverlay (/root/reference/src/overlay/):
+- formats BGRA, RGBA, NV12, I420
+- props: location (PNG/JPEG), x/y >= 0 px, width/height (0 = native image
+  size), alpha [0,1]=1, relative-x/-y in [-1,1] default -1 — relative >= 0
+  overrides absolute, resolved per frame as rel*frameW/rel*frameH
+  (gstvfmetaloverlay.m:189-200, 374-420)
+- passthrough iff no image loaded; a missing/bad file warns and stays
+  passthrough (m:94-99, 114-127)
+- blending: video.rgb = mix(video.rgb, overlay.rgb, overlay.a * alpha)
+  inside the overlay rect (metaloverlay_shaders.h:79-86); the overlay
+  texture is decoded premultiplied (CGBitmapContext, renderer m:218-231)
+  and resampled with a linear sampler when stretched.
+
+The rect test uses pixel centers (px = texcoord.x * frameW), so on the TPU
+side the inside-mask and the overlay-UV sampling matrices are precomputed
+per (frame size, rect) — position changes recompile, which the executable
+cache absorbs.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpuvf.core.element import Element
+from tpuvf.core.formats import CORE_FORMATS
+from tpuvf.core.properties import PropertyDescriptor
+from tpuvf.core.registry import register
+from tpuvf.core.spec import FrameSpec
+from tpuvf.io import png
+from tpuvf.kernels import convert, sample
+from tpuvf.kernels.color import dequant, quant
+
+_log = logging.getLogger("tpuvf.overlay")
+
+
+def load_overlay_image(path: str) -> np.ndarray:
+    """-> (H, W, 4) uint8 premultiplied RGBA.  PNG via the built-in codec;
+    JPEG via the native decoder when available."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return png.decode_premultiplied(data)
+    if data[:2] == b"\xff\xd8":
+        from tpuvf.native import jpeg as njpeg  # may raise if not built
+
+        rgba = njpeg.decode(data)
+        return rgba
+    raise ValueError(f"unsupported image format in {path}")
+
+
+@register
+class Overlay(Element):
+    ELEMENT_NAME = "vfoverlay"
+    ALIASES = ("vfmetaloverlay", "overlay")
+    KLASS = "Filter/Effect/Video"
+    DESCRIPTION = "Blends a PNG/JPEG image over video"
+    IN_FORMATS = CORE_FORMATS
+    OUT_FORMATS = CORE_FORMATS
+    PROPERTIES = (
+        PropertyDescriptor("location", "string", None,
+                           "Path to overlay image file (PNG or JPEG)"),
+        PropertyDescriptor("x", "int", 0, "Overlay X position in pixels",
+                           0, 2**31 - 1),
+        PropertyDescriptor("y", "int", 0, "Overlay Y position in pixels",
+                           0, 2**31 - 1),
+        PropertyDescriptor("width", "int", 0,
+                           "Overlay width in pixels (0 = original image width)",
+                           0, 2**31 - 1),
+        PropertyDescriptor("height", "int", 0,
+                           "Overlay height in pixels (0 = original image height)",
+                           0, 2**31 - 1),
+        PropertyDescriptor("alpha", "float", 1.0, "Overlay opacity",
+                           0.0, 1.0, controllable=True, traced=True),
+        PropertyDescriptor("relative-x", "float", -1.0,
+                           "X as fraction of video width (-1 = use pixel x)",
+                           -1.0, 1.0),
+        PropertyDescriptor("relative-y", "float", -1.0,
+                           "Y as fraction of video height (-1 = use pixel y)",
+                           -1.0, 1.0),
+    )
+
+    def __init__(self, *a, **k):
+        self._image = None
+        self._image_path_loaded = None
+        super().__init__(*a, **k)
+
+    def set_property(self, name, value):
+        super().set_property(name, value)
+        if name == "location":
+            self._reload_image()
+
+    def _reload_image(self):
+        path = self.props.get("location")
+        if not path:
+            self._image = None
+            self._image_path_loaded = None
+            return
+        try:
+            self._image = load_overlay_image(path)
+            self._image_path_loaded = path
+        except Exception as exc:
+            # missing file => warning + stay passthrough (m:114-127)
+            _log.warning("failed to load overlay image %s: %s", path, exc)
+            self._image = None
+            self._image_path_loaded = None
+
+    def _sync_image(self):
+        if self.props.get("location") != self._image_path_loaded:
+            self._reload_image()
+
+    def is_passthrough(self, in_spec, out_spec):
+        self._sync_image()
+        return self._image is None or in_spec.format != out_spec.format
+
+    def static_config(self, in_spec, out_spec):
+        self._sync_image()
+        base = super().static_config(in_spec, out_spec)
+        shape = None if self._image is None else self._image.shape[:2]
+        return base + (("image_shape", shape),)
+
+    def traced_params(self):
+        return {"alpha": np.float32(self.props.get("alpha"))}
+
+    def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
+        w, h = in_spec.width, in_spec.height
+        img = self._image
+        img_h, img_w = img.shape[:2]
+
+        # per-frame position resolution (m:374-420)
+        rel_x = self.props.get("relative-x")
+        rel_y = self.props.get("relative-y")
+        ox = float(rel_x * w) if rel_x >= 0.0 else float(self.props.get("x"))
+        oy = float(rel_y * h) if rel_y >= 0.0 else float(self.props.get("y"))
+        ow = float(self.props.get("width") or img_w)
+        oh = float(self.props.get("height") or img_h)
+
+        # pixel-center rect test: px in [ox, ox+ow), py in [oy, oy+oh)
+        pxs = np.arange(w, dtype=np.float64) + 0.5
+        pys = np.arange(h, dtype=np.float64) + 0.5
+        in_x = (pxs >= ox) & (pxs < ox + ow)
+        in_y = (pys >= oy) & (pys < oy + oh)
+        mask = jnp.asarray(np.logical_and.outer(in_y, in_x))
+
+        # overlay UV per output pixel: (px-ox)/ow, (py-oy)/oh; sample the
+        # overlay texture with a linear sampler at those coords.
+        tx = (pxs - ox) / ow
+        ty = (pys - oy) / oh
+        wx = sample.sample_matrix(np.clip(tx, 0.0, 1.0), img_w, sample.LINEAR)
+        wy = sample.sample_matrix(np.clip(ty, 0.0, 1.0), img_h, sample.LINEAR)
+        img_f = img.astype(np.float32) / np.float32(255.0)
+        ov = sample.apply_separable(
+            jnp.asarray(img_f.transpose(2, 0, 1)), wy, wx
+        )  # (4, h, w) float, premultiplied rgb
+        matrix_in = in_spec.matrix_index
+        matrix_out = out_spec.matrix_index
+
+        def process(planes, state, params):
+            video = convert.sample_rgba(planes, in_spec, w, h,
+                                        matrix_index=matrix_in)
+            a = ov[3] * params["alpha"]
+            blend = jnp.where(mask, a, 0.0)
+            rgb = video[..., :3, :, :] * (1.0 - blend) + ov[:3] * blend
+            rgba = jnp.concatenate([rgb, video[..., 3:4, :, :]], axis=-3)
+            q = quant(rgba)
+            return convert.pack_rgba(q, out_spec.format, matrix_out), state
+
+        return process

@@ -1,0 +1,179 @@
+"""vftransform — flip / rotate (8 methods) / crop.
+
+Rebuild of vfmetaltransform (/root/reference/src/transform/):
+- formats BGRA, RGBA, NV12, I420
+- method enum {none, clockwise, rotate-180, counterclockwise,
+  horizontal-flip, vertical-flip, upper-left-diagonal, upper-right-diagonal}
+  (gstvfmetaltransform.m:79-100) and crop-top/bottom/left/right pixels
+- no transform_caps override: output caps == input caps, rotation resamples
+  into a same-sized target (SURVEY §2.5)
+- passthrough iff method==none and all crops 0 (m:113-127)
+
+The UV transform is tc' = M*(tc-0.5)+0.5+offset where M folds the crop scale
+*before* the rotation (metaltransformrenderer.m:265-293).  Every method's M
+is diagonal or anti-diagonal, so sampling stays separable: diagonal methods
+reuse the row/column weight-matrix sampler directly; anti-diagonal methods
+(90° rotations, transposes) transpose the input plane first.  Out-of-[0,1]
+texcoords produce opaque black (metaltransform_shaders.h:67-111).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpuvf.core.element import Element
+from tpuvf.core.formats import CORE_FORMATS, RGB_FORMATS
+from tpuvf.core.properties import PropertyDescriptor
+from tpuvf.core.registry import register
+from tpuvf.core.spec import FrameSpec
+from tpuvf.kernels import color as kcolor, convert, sample
+from tpuvf.kernels.color import dequant, quant
+from tpuvf.kernels.sample import LINEAR
+
+METHODS = (
+    ("none", 0),
+    ("clockwise", 1),
+    ("rotate-180", 2),
+    ("counterclockwise", 3),
+    ("horizontal-flip", 4),
+    ("vertical-flip", 5),
+    ("upper-left-diagonal", 6),
+    ("upper-right-diagonal", 7),
+)
+
+# Column-major [m00, m10, m01, m11] from build_uv_transform
+# (metaltransformrenderer.m:44-104); here stored row-major 2x2.
+_UV_MATS = {
+    0: np.array([[1, 0], [0, 1]], np.float64),
+    1: np.array([[0, 1], [-1, 0]], np.float64),   # 90R: srcU=f(v), srcV=f(u)
+    2: np.array([[-1, 0], [0, -1]], np.float64),  # 180
+    3: np.array([[0, -1], [1, 0]], np.float64),   # 90L
+    4: np.array([[-1, 0], [0, 1]], np.float64),   # horizontal flip
+    5: np.array([[1, 0], [0, -1]], np.float64),   # vertical flip
+    6: np.array([[0, 1], [1, 0]], np.float64),    # transpose
+    7: np.array([[0, -1], [-1, 0]], np.float64),  # anti-transpose
+}
+
+
+def uv_transform_params(method, crop_l, crop_r, crop_t, crop_b, w, h):
+    """Combined 2x2 matrix (row-major) + offset, crop folded before rotation
+    (metaltransformrenderer.m:265-293)."""
+    cl, cr = crop_l / w, crop_r / w
+    ct, cb = crop_t / h, crop_b / h
+    scale = np.array([1.0 - cl - cr, 1.0 - ct - cb])
+    coff = np.array([(cl - cr) * 0.5, (ct - cb) * 0.5])
+    m = _UV_MATS[method]
+    combined = m * scale[None, :]  # columns scaled: M @ diag(scale)
+    offset = m @ coff
+    return combined, offset
+
+
+@register
+class Transform(Element):
+    ELEMENT_NAME = "vftransform"
+    ALIASES = ("vfmetaltransform", "transform")
+    KLASS = "Filter/Effect/Video"
+    DESCRIPTION = "Rotates, flips and crops video frames"
+    IN_FORMATS = CORE_FORMATS
+    OUT_FORMATS = CORE_FORMATS
+    PROPERTIES = (
+        PropertyDescriptor("method", "enum", 0, "Transform method",
+                           enum_values=METHODS),
+        PropertyDescriptor("crop-top", "int", 0, "Pixels to crop from top",
+                           0, 2**31 - 1),
+        PropertyDescriptor("crop-bottom", "int", 0, "Pixels to crop from bottom",
+                           0, 2**31 - 1),
+        PropertyDescriptor("crop-left", "int", 0, "Pixels to crop from left",
+                           0, 2**31 - 1),
+        PropertyDescriptor("crop-right", "int", 0, "Pixels to crop from right",
+                           0, 2**31 - 1),
+    )
+
+    def is_passthrough(self, in_spec, out_spec):
+        return (
+            self.props.get("method") == 0
+            and self.props.get("crop-top") == 0
+            and self.props.get("crop-bottom") == 0
+            and self.props.get("crop-left") == 0
+            and self.props.get("crop-right") == 0
+        )
+
+    def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
+        cfg = dict(static)
+        method = cfg["method"]
+        w, h = in_spec.width, in_spec.height
+        mat, off = uv_transform_params(
+            method, cfg["crop-left"], cfg["crop-right"],
+            cfg["crop-top"], cfg["crop-bottom"], w, h,
+        )
+        anti = mat[0, 0] == 0 and (mat[0, 1] != 0 or mat[1, 0] != 0)
+        # output-grid texcoords
+        u = (np.arange(w, dtype=np.float64) + 0.5) / w
+        v = (np.arange(h, dtype=np.float64) + 0.5) / h
+
+        if not anti:
+            src_u = mat[0, 0] * (u - 0.5) + 0.5 + off[0]  # per output column
+            src_v = mat[1, 1] * (v - 0.5) + 0.5 + off[1]  # per output row
+        else:
+            src_u = mat[0, 1] * (v - 0.5) + 0.5 + off[0]  # per output row
+            src_v = mat[1, 0] * (u - 0.5) + 0.5 + off[1]  # per output column
+
+        # fragment black-out condition: transformed texcoord outside [0,1]
+        in_u = (src_u >= 0.0) & (src_u <= 1.0)
+        in_v = (src_v >= 0.0) & (src_v <= 1.0)
+        if not anti:
+            mask = np.logical_and.outer(in_v, in_u)  # (h, w)
+        else:
+            mask = np.logical_and.outer(in_u, in_v)  # rows=src_u(v-index)
+        mask_j = jnp.asarray(mask)
+        matrix_in = in_spec.matrix_index
+        matrix_out = out_spec.matrix_index
+        fmt = in_spec.format
+
+        def build_plane_sampler(pw, ph):
+            """Weight matrices to sample one input plane of size (ph, pw)."""
+            if not anti:
+                wx = sample.sample_matrix(src_u, pw, LINEAR)   # (w, pw)
+                wy = sample.sample_matrix(src_v, ph, LINEAR)   # (h, ph)
+
+                def run(p):
+                    return sample.apply_separable(p, wy, wx)
+            else:
+                # out(r,c) = in(y=src_v(c)*ph, x=src_u(r)*pw)
+                wr = sample.sample_matrix(src_u, pw, LINEAR)   # (h, pw)
+                wc = sample.sample_matrix(src_v, ph, LINEAR)   # (w, ph)
+
+                def run(p):
+                    pt = jnp.swapaxes(p, -1, -2)  # (pw, ph)
+                    return sample.apply_separable(pt, wr, wc)
+            return run
+
+        if fmt in RGB_FORMATS:
+            sample_rgba_plane = build_plane_sampler(w, h)
+
+            def to_rgba(planes):
+                return sample_rgba_plane(dequant(planes["rgba"]))
+        else:
+            ph = (h + 1) // 2
+            pw = (w + 1) // 2
+            sample_y = build_plane_sampler(w, h)
+            sample_c = build_plane_sampler(pw, ph)
+
+            def to_rgba(planes):
+                y = sample_y(dequant(planes["y"]))
+                uu = sample_c(dequant(planes["u"]))
+                vv = sample_c(dequant(planes["v"]))
+                r, g, b = kcolor.yuv_to_rgb(y, uu, vv, matrix_in)
+                a = jnp.ones_like(r)
+                return jnp.stack([r, g, b, a], axis=-3)
+
+        black = jnp.asarray(np.array([0, 0, 0, 1], np.float32).reshape(4, 1, 1))
+
+        def process(planes, state, params):
+            rgba = to_rgba(planes)
+            rgba = jnp.where(mask_j, rgba, black)
+            q = quant(rgba)
+            return convert.pack_rgba(q, out_spec.format, matrix_out), state
+
+        return process

@@ -1,0 +1,62 @@
+"""Deinterlacing kernels: bob / linear / weave / greedy-H.
+
+Faithful to /root/reference/src/deinterlace/metaldeinterlace_shaders.h:
+- kept field = even rows when top-field-first else odd rows (all kernels)
+- bob (h:88-114): kept rows copied; discarded rows = average of the rows
+  directly above/below (edge-clamped)
+- linear (h:118-152): same structure; the shader computes 4 taps but uses
+  the simple (above+below)*0.5 — reproduced as-is
+- weave (h:156-177): discarded rows taken from the previous frame
+- greedyH (h:181-218): per-pixel motion = |cur.rgb - prev.rgb|; below the
+  threshold weave from prev, else bob interpolation
+
+All operate on (..., 4, H, W) float RGBA planes; row selections are masks
+over a broadcasted row-index iota — pure VPU work that XLA fuses.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _row_mask(height: int, tff: bool):
+    """True where the row belongs to the kept field."""
+    rows = np.arange(height)
+    keep = (rows % 2 == 0) if tff else (rows % 2 == 1)
+    return jnp.asarray(keep[:, None])
+
+
+def _shift_rows(img, offset: int):
+    h = img.shape[-2]
+    idx = np.clip(np.arange(h) + offset, 0, h - 1)
+    return jnp.take(img, jnp.asarray(idx), axis=-2)
+
+
+def _bob_interp(cur):
+    return (_shift_rows(cur, -1) + _shift_rows(cur, +1)) * 0.5
+
+
+def bob(cur, tff: bool):
+    keep = _row_mask(cur.shape[-2], tff)
+    return jnp.where(keep, cur, _bob_interp(cur))
+
+
+def linear(cur, tff: bool):
+    # the reference's "linear" collapses to the same 2-tap average (h:147)
+    keep = _row_mask(cur.shape[-2], tff)
+    return jnp.where(keep, cur, _bob_interp(cur))
+
+
+def weave(cur, prev, tff: bool):
+    keep = _row_mask(cur.shape[-2], tff)
+    return jnp.where(keep, cur, prev)
+
+
+def greedyh(cur, prev, tff: bool, motion_threshold):
+    keep = _row_mask(cur.shape[-2], tff)
+    d = cur[..., :3, :, :] - prev[..., :3, :, :]
+    motion = jnp.sqrt((d * d).sum(axis=-3, keepdims=True))
+    low_motion = motion < motion_threshold
+    repl = jnp.where(low_motion, prev, _bob_interp(cur))
+    return jnp.where(keep, cur, repl)

@@ -142,9 +142,17 @@ class Pipeline:
             elif isinstance(e, SinkElement):
                 e.prepare(self._incoming(e)[0].spec)
             elif isinstance(e, Compositor):
-                pad_specs = {}
+                # assign request-pad names to unnamed links in request order
+                used = {ln.sink_pad for ln in self._incoming(e) if ln.sink_pad}
+                next_idx = 0
                 for ln in self._incoming(e):
-                    pad_specs[ln.sink_pad or f"sink_{len(pad_specs)}"] = ln.spec
+                    if ln.sink_pad is None:
+                        while f"sink_{next_idx}" in used:
+                            next_idx += 1
+                        ln.sink_pad = f"sink_{next_idx}"
+                        used.add(ln.sink_pad)
+                    e.get_pad(ln.sink_pad)  # ensure the pad bag exists
+                pad_specs = {ln.sink_pad: ln.spec for ln in self._incoming(e)}
                 out_caps = outs[0].caps if outs else None
                 spec = e.aggregate_spec(pad_specs, out_caps)
                 for ln in outs:
