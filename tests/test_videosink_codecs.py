@@ -1,0 +1,143 @@
+"""videosink, pngenc and vf-inspect tests."""
+
+import numpy as np
+import pytest
+
+from tests.util import random_host_frame
+
+from tpuvf.cli.launch import launch, parse_pipeline
+from tpuvf.cli.inspect import format_element, main as inspect_main
+from tpuvf.core.formats import VideoFormat
+from tpuvf.core.registry import lookup, make
+from tpuvf.core.spec import FrameSpec
+from tpuvf.io import png
+
+RNG = np.random.default_rng(41)
+
+
+# -- videosink --------------------------------------------------------------
+
+@pytest.mark.parametrize("fmt", ["BGRA", "RGBA", "NV12", "I420"])
+def test_videosink_renders(fmt):
+    pipe = parse_pipeline(
+        f"videotestsrc num-buffers=2 ! video/x-raw,format={fmt},width=64,height=48 "
+        "! vfmetalvideosink"
+    )
+    pipe.negotiate()
+    pipe.build()
+    pipe.run()
+    sink = pipe.sinks[0]
+    assert sink.frame_count == 2
+    assert sink.window.shape == (48, 64, 4)
+
+
+def test_videosink_aspect_fit_letterbox():
+    sink = make("vfvideosink")
+    sink.set_window_size(128, 48)  # wider than 64x48 video -> pillarbox
+    spec = FrameSpec(VideoFormat.RGBA, 64, 48)
+    host = np.full((48, 64, 4), 255, np.uint8)
+    sink.prepare(spec)
+    sink.consume(host, spec, 0)
+    win = sink.window
+    assert win.shape == (48, 128, 4)
+    # display rect: 64-wide video scaled to 64x48 centered -> x in [32, 96)
+    assert (win[:, :30, :3] == 0).all()     # left black bar
+    assert (win[:, 98:, :3] == 0).all()     # right black bar
+    assert (win[10, 64, :3] == 255).all()   # content
+    assert sink._display_rect == (32, 0, 64, 48)
+
+
+def test_videosink_stretch_without_aspect():
+    sink = make("vfvideosink")
+    sink.set_property("force-aspect-ratio", False)
+    sink.set_window_size(128, 48)
+    spec = FrameSpec(VideoFormat.RGBA, 64, 48)
+    host = np.full((48, 64, 4), 200, np.uint8)
+    host[..., 3] = 255
+    sink.prepare(spec)
+    sink.consume(host, spec, 0)
+    assert (sink.window[:, :, 0] == 200).all()  # fills the whole window
+
+
+def test_videosink_navigation_transform():
+    sink = make("vfvideosink")
+    sink.set_window_size(128, 48)
+    spec = FrameSpec(VideoFormat.RGBA, 64, 48)
+    sink.prepare(spec)
+    sink.consume(random_host_frame(RNG, spec), spec, 0)
+    events = []
+    sink.navigation_callback = events.append
+    ev = sink.send_navigation_event("mouse-move", 64.0, 24.0)  # window center
+    assert ev["pointer_x"] == pytest.approx(32.0)  # video center x
+    assert ev["pointer_y"] == pytest.approx(24.0)
+    assert events
+    # outside the display rect clamps into the video
+    ev = sink.send_navigation_event("mouse-move", 0.0, 0.0)
+    assert ev["pointer_x"] == 0.0
+    # disabled navigation produces nothing
+    sink.set_property("enable-navigation-events", False)
+    assert sink.send_navigation_event("mouse-move", 10, 10) is None
+
+
+def test_videosink_snapshot(tmp_path):
+    pat = str(tmp_path / "f-%02d.png")
+    launch(
+        "videotestsrc num-buffers=2 ! video/x-raw,format=RGBA,width=32,height=24 "
+        f"! vfmetalvideosink snapshot-location={pat}", quiet=True)
+    img = png.read(str(tmp_path / "f-01.png"))
+    assert img.shape == (24, 32, 4)
+
+
+# -- pngenc -----------------------------------------------------------------
+
+def test_pngenc_filesink(tmp_path):
+    out = str(tmp_path / "frame.png")
+    launch(
+        "videotestsrc num-buffers=1 pattern=smpte "
+        "! video/x-raw,format=RGBA,width=64,height=48 "
+        f"! pngenc ! filesink location={out}", quiet=True)
+    img = png.read(out)
+    assert img.shape == (48, 64, 4)
+    # smpte top-left bar is 75% white
+    assert tuple(img[0, 0][:3]) == (191, 191, 191)
+
+
+def test_pngenc_fixture_roundtrip_into_overlay(tmp_path):
+    """The exact reference fixture flow: generate a PNG with a pipeline,
+    then overlay it (test-overlay.sh:27-31 + :84-96)."""
+    fixture = str(tmp_path / "overlay.png")
+    launch(
+        "videotestsrc num-buffers=1 pattern=red "
+        "! video/x-raw,format=RGBA,width=16,height=16 "
+        f"! pngenc ! filesink location={fixture}", quiet=True)
+    n = launch(
+        "videotestsrc num-buffers=2 ! video/x-raw,format=BGRA,width=64,height=48 "
+        f"! vfmetaloverlay location={fixture} x=10 y=10 ! fakesink", quiet=True)
+    assert n == 2
+
+
+# -- vf-inspect -------------------------------------------------------------
+
+def test_inspect_videofilter_properties():
+    text = format_element(lookup("vfmetalvideofilter"))
+    for prop in ("brightness", "contrast", "saturation", "hue", "gamma",
+                 "sharpness", "sepia", "invert", "noise", "vignette",
+                 "chroma-key-enabled", "chroma-key-color", "lut-file"):
+        assert prop in text, prop
+    assert "controllable" in text
+    assert "Range: -1.0 - 1.0" in text
+
+
+def test_inspect_compositor_pad_props():
+    text = format_element(lookup("vfmetalcompositor"))
+    for prop in ("xpos", "ypos", "alpha", "operator", "sizing-policy", "zorder"):
+        assert prop in text, prop
+    assert "keep-aspect-ratio" in text
+
+
+def test_inspect_main(capsys):
+    assert inspect_main([]) == 0
+    out = capsys.readouterr().out
+    assert "vfconvertscale" in out
+    assert inspect_main(["vfmetaltransform"]) == 0
+    assert inspect_main(["nope"]) == 1

@@ -1,6 +1,7 @@
 """Element implementations (import side effect: registry population)."""
 
 from tpuvf.elements import (  # noqa: F401
+    codecs,
     compositor,
     convertscale,
     deinterlace,
@@ -9,4 +10,5 @@ from tpuvf.elements import (  # noqa: F401
     testsrc,
     transform,
     videofilter,
+    videosink,
 )

@@ -84,6 +84,9 @@ class FileSink(SinkElement):
 
     def consume(self, host_frame, spec, frame_index):
         fmt = spec.format
+        if isinstance(host_frame, (bytes, bytearray)):
+            self._fh.write(host_frame)  # upstream encoder output
+            return
         if isinstance(host_frame, dict):
             if fmt == VideoFormat.NV12:
                 order = ("y", "uv")

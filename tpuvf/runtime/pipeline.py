@@ -178,6 +178,13 @@ class Pipeline:
         for e in order:
             if isinstance(e, (SourceElement, SinkElement)):
                 continue
+            if getattr(e, "HOST_CODEC", False):
+                # encoders run host-side at the sink edge; device graph
+                # treats them as identity
+                in_spec = self._incoming(e)[0].spec
+                out_spec = self._outgoing(e)[0].spec
+                stages.append(CompiledStage(e, in_spec, out_spec, True))
+                continue
             if isinstance(e, Compositor):
                 pad_links = sorted(
                     self._incoming(e), key=lambda l: l.sink_pad or ""
@@ -282,6 +289,15 @@ class Pipeline:
             outs = self._outgoing(s)
             src_specs[s.name] = outs[0].spec
 
+        # host-side encoder chain directly upstream of the sink
+        codecs = []
+        if sink is not None:
+            node = self._incoming(sink)[0].upstream
+            while getattr(node, "HOST_CODEC", False):
+                codecs.append(node)
+                node = self._incoming(node)[0].upstream
+            codecs.reverse()
+
         count = 0
         for i in range(num_frames):
             inputs = {}
@@ -295,9 +311,10 @@ class Pipeline:
             out, state = self._step(inputs, state, self.params())
             if sink is not None:
                 host_planes = {k: np.asarray(v) for k, v in out.items()}
-                sink.consume(
-                    planes_to_host(host_planes, sink_spec), sink_spec, i
-                )
+                payload = planes_to_host(host_planes, sink_spec)
+                for codec in codecs:
+                    payload = codec.encode(payload, sink_spec)
+                sink.consume(payload, sink_spec, i)
             count += 1
         self._state = state
         if sink is not None:
