@@ -1,0 +1,143 @@
+"""The five BASELINE.json benchmark configurations.
+
+1. vfconvertscale: NV12 1920x1080 -> BGRA 640x480 (README pipeline)
+2. vftransform:    rotate clockwise + crop on BGRA 640x480
+3. vfvideofilter:  brightness/contrast/saturation + chroma-key + 3D LUT,
+                   NV12 1080p single pass
+4. vfdeinterlace:  greedy-H motion-adaptive, I420 1080i, threshold 0.3
+5. vfcompositor:   4-input mixed BGRA+NV12 composite + PNG overlay at 4K
+
+Each returns (step_fn, state0, make_planes) for
+tpuvf.runtime.benchmark.measure_fps; all run HBM-resident.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpuvf.core.formats import VideoFormat
+from tpuvf.core.registry import make
+from tpuvf.core.spec import FrameSpec
+from tpuvf.runtime.benchmark import random_planes_for_spec
+
+
+def _element_step(elem, in_spec, out_spec=None):
+    out_spec = out_spec or elem.transform_spec(in_spec)
+    static = elem.static_config(in_spec, out_spec)
+    proc = elem.make_process(in_spec, out_spec, static)
+    params = elem.traced_params()
+    state0 = elem.init_state(in_spec, out_spec)
+
+    def step(planes, state):
+        return proc(planes, state, params)
+
+    return step, state0
+
+
+def config_convertscale():
+    in_spec = FrameSpec(VideoFormat.NV12, 1920, 1080)
+    out_spec = FrameSpec(VideoFormat.BGRA, 640, 480, matrix=in_spec.matrix)
+    elem = make("vfconvertscale")
+    step, state0 = _element_step(elem, in_spec, out_spec)
+    return "convertscale NV12 1080p -> BGRA 640x480", step, state0, in_spec
+
+
+def config_transform():
+    in_spec = FrameSpec(VideoFormat.BGRA, 640, 480)
+    elem = make("vftransform")
+    elem.set_property("method", 1)  # clockwise
+    elem.set_property("crop-left", 32)
+    elem.set_property("crop-top", 16)
+    step, state0 = _element_step(elem, in_spec)
+    return "transform rotate-cw + crop BGRA 640x480", step, state0, in_spec
+
+
+def config_videofilter(tmp_lut_path="/tmp/tpuvf-bench-lut.cube"):
+    # generate a 33^3 identity-ish LUT on the fly
+    size = 33
+    with open(tmp_lut_path, "w") as fh:
+        fh.write(f"LUT_3D_SIZE {size}\n")
+        for b in range(size):
+            for g in range(size):
+                for r in range(size):
+                    fh.write(
+                        f"{r/(size-1):.4f} {g/(size-1):.4f} {b/(size-1):.4f}\n")
+    in_spec = FrameSpec(VideoFormat.NV12, 1920, 1080)
+    elem = make("vfvideofilter")
+    elem.set_property("brightness", 0.1)
+    elem.set_property("contrast", 1.2)
+    elem.set_property("saturation", 1.3)
+    elem.set_property("chroma-key-enabled", True)
+    elem.set_property("lut-file", tmp_lut_path)
+    step, state0 = _element_step(elem, in_spec)
+    return ("videofilter bright/contrast/sat + chroma-key + 33^3 LUT NV12 1080p",
+            step, state0, in_spec)
+
+
+def config_deinterlace():
+    in_spec = FrameSpec(VideoFormat.I420, 1920, 1080, interlaced=True)
+    elem = make("vfdeinterlace")
+    elem.set_property("method", 3)  # greedyh
+    elem.set_property("motion-threshold", 0.3)
+    step, state0 = _element_step(elem, in_spec)
+    return "deinterlace greedy-H I420 1080i", step, state0, in_spec
+
+
+def config_compositor():
+    from tpuvf.core.spec import CapsFilter
+
+    comp = make("vfcompositor")
+    comp.set_property("background", 1)
+    pad_specs = {
+        "sink_0": FrameSpec(VideoFormat.BGRA, 3840, 2160),
+        "sink_1": FrameSpec(VideoFormat.NV12, 1920, 1080),
+        "sink_2": FrameSpec(VideoFormat.BGRA, 1280, 720),
+        "sink_3": FrameSpec(VideoFormat.NV12, 1280, 720),
+    }
+    comp.get_pad("sink_0")
+    b1 = comp.get_pad("sink_1"); b1.set("xpos", 1920); b1.set("ypos", 0)
+    b2 = comp.get_pad("sink_2"); b2.set("xpos", 0); b2.set("ypos", 1080)
+    b2.set("alpha", 0.7)
+    b3 = comp.get_pad("sink_3"); b3.set("xpos", 1920); b3.set("ypos", 1080)
+    b3.set("operator", 2)
+    out_spec = comp.aggregate_spec(pad_specs, CapsFilter(format=VideoFormat.BGRA))
+    agg = comp.make_aggregate(pad_specs, out_spec)
+
+    # plus PNG overlay on the composite (BASELINE config 5)
+    ov = make("vfoverlay")
+    img = np.zeros((256, 256, 4), np.uint8)
+    img[..., 0] = 255
+    img[..., 3] = 128
+    from tpuvf.io import png as pngio
+
+    pngio.write("/tmp/tpuvf-bench-ov.png", img)
+    ov.set_property("location", "/tmp/tpuvf-bench-ov.png")
+    ov.set_property("x", 128)
+    ov.set_property("y", 128)
+    ov_proc = ov.make_process(out_spec, out_spec,
+                              ov.static_config(out_spec, out_spec))
+    ov_params = ov.traced_params()
+
+    def step(pad_planes, state):
+        mid, _ = agg(pad_planes, (), {})
+        out, _ = ov_proc(mid, (), ov_params)
+        return out, state
+
+    def make_planes(batch):
+        rng = np.random.default_rng(0)
+        return {
+            name: random_planes_for_spec(spec, batch, rng)
+            for name, spec in pad_specs.items()
+        }
+
+    return ("compositor 4-input mixed 4K + PNG overlay", step, (),
+            make_planes)
+
+
+ALL = {
+    "convertscale": config_convertscale,
+    "transform": config_transform,
+    "videofilter": config_videofilter,
+    "deinterlace": config_deinterlace,
+    "compositor": config_compositor,
+}

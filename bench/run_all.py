@@ -1,0 +1,50 @@
+"""Run all five BASELINE benchmark configs; one JSON line per config.
+
+Usage: python -m bench.run_all [config ...]
+Realtime baselines: configs 1-4 are 1080p60 streams, config 5 is 4K60 —
+vs_realtime reports fps/60.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from tpuvf.runtime.benchmark import measure_fps, random_planes_for_spec
+
+
+def run(name: str) -> dict:
+    from bench import configs as C
+
+    cfg = C.ALL[name]()
+    label, step, state0, spec_or_maker = cfg
+    if callable(spec_or_maker):
+        make_planes = spec_or_maker
+    else:
+        spec = spec_or_maker
+
+        def make_planes(batch):
+            return random_planes_for_spec(spec, batch)
+
+    small, large = (2, 8) if name == "compositor" else (4, 16)
+    res = measure_fps(step, make_planes, state0,
+                      batch_small=small, batch_large=large)
+    return {
+        "metric": label,
+        "value": round(res["fps"], 2),
+        "unit": "fps",
+        "vs_baseline": round(res["fps"] / 60.0, 3),
+    }
+
+
+def main(argv=None):
+    from bench import configs as C
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    names = argv or list(C.ALL)
+    for name in names:
+        print(json.dumps(run(name)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

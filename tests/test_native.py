@@ -1,0 +1,83 @@
+"""Native extension tests: C++ repack paths vs numpy fallbacks."""
+
+import numpy as np
+import pytest
+
+from tpuvf import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable"
+)
+
+RNG = np.random.default_rng(53)
+
+
+def test_interleaved_roundtrip():
+    from tpuvf.native import lib
+
+    src = RNG.integers(0, 256, (33, 47, 4), dtype=np.uint8)
+    planar = lib.interleaved_to_planar(src, (2, 1, 0, 3))
+    np.testing.assert_array_equal(planar[0], src[..., 2])
+    np.testing.assert_array_equal(planar[3], src[..., 3])
+    back = lib.planar_to_interleaved(planar, (2, 1, 0, 3))
+    np.testing.assert_array_equal(back, src)
+
+
+def test_deinterleave2_roundtrip():
+    from tpuvf.native import lib
+
+    uv = RNG.integers(0, 256, (12, 40), dtype=np.uint8)
+    u, v = lib.deinterleave2(uv)
+    np.testing.assert_array_equal(u, uv[:, 0::2])
+    np.testing.assert_array_equal(v, uv[:, 1::2])
+    np.testing.assert_array_equal(lib.interleave2(u, v), uv)
+
+
+@pytest.mark.parametrize("fmt", ["UYVY", "YUY2"])
+def test_pack_422_roundtrip(fmt):
+    from tpuvf.native import lib
+
+    y = RNG.integers(0, 256, (10, 32), dtype=np.uint8)
+    u = RNG.integers(0, 256, (10, 16), dtype=np.uint8)
+    v = RNG.integers(0, 256, (10, 16), dtype=np.uint8)
+    raw = lib.pack_422(y, u, v, fmt)
+    y2, u2, v2 = lib.unpack_422(raw, fmt)
+    np.testing.assert_array_equal(y2, y)
+    np.testing.assert_array_equal(u2, u)
+    np.testing.assert_array_equal(v2, v)
+    # byte order spot check
+    if fmt == "UYVY":
+        assert raw[0, 0] == u[0, 0] and raw[0, 1] == y[0, 0]
+    else:
+        assert raw[0, 0] == y[0, 0] and raw[0, 1] == u[0, 0]
+
+
+def test_host_roundtrip_uses_native():
+    """host_to_planes/planes_to_host stay lossless through the C++ path."""
+    from tpuvf.core import frame as frame_mod
+    from tpuvf.core.frame import host_to_planes, planes_to_host
+    from tpuvf.core.formats import VideoFormat
+    from tpuvf.core.spec import FrameSpec
+
+    assert frame_mod._get_native() is not None
+    for fmt in ("BGRA", "NV12", "UYVY"):
+        spec = FrameSpec(VideoFormat(fmt), 64, 48)
+        from tests.util import random_host_frame
+
+        host = random_host_frame(RNG, spec)
+        back = planes_to_host(host_to_planes(host, spec), spec)
+        if isinstance(host, dict):
+            for k in host:
+                np.testing.assert_array_equal(back[k], host[k])
+        else:
+            np.testing.assert_array_equal(back, host)
+
+
+def test_png_unfilter_native_matches_python():
+    """Encode/decode with all-filter-type synthetic data."""
+    from tpuvf.io import png
+
+    img = RNG.integers(0, 256, (20, 20, 4), dtype=np.uint8)
+    data = png.encode(img)
+    out = png.decode(data)
+    np.testing.assert_array_equal(out, img)

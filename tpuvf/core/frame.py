@@ -96,10 +96,15 @@ def _get_native():
         try:
             from tpuvf.native import lib as native_lib  # noqa: PLC0415
 
+            native_lib._load()  # compile/load now; fall back on any failure
             _native = native_lib
         except Exception:
             _native = None
     return _native
+
+
+# channel permutation mapping host byte order -> canonical R,G,B,A
+_RGB_PERMS = {VideoFormat.RGBA: (0, 1, 2, 3), VideoFormat.BGRA: (2, 1, 0, 3)}
 
 
 def host_to_planes(data, spec: FrameSpec) -> Dict[str, np.ndarray]:
@@ -110,20 +115,21 @@ def host_to_planes(data, spec: FrameSpec) -> Dict[str, np.ndarray]:
         arr = np.ascontiguousarray(data, dtype=np.uint8)
         if arr.shape != (h, w, 4):
             raise ValueError(f"{fmt} host frame must be (H, W, 4), got {arr.shape}")
-        if fmt == VideoFormat.BGRA:
-            arr = arr[..., [2, 1, 0, 3]]  # B,G,R,A -> R,G,B,A
+        perm = _RGB_PERMS[fmt]
         if nat is not None:
-            return {"rgba": nat.interleaved_to_planar(np.ascontiguousarray(arr))}
-        return {"rgba": np.ascontiguousarray(arr.transpose(2, 0, 1))}
+            return {"rgba": nat.interleaved_to_planar(arr, perm)}
+        return {"rgba": np.ascontiguousarray(arr[..., list(perm)].transpose(2, 0, 1))}
     if fmt == VideoFormat.NV12:
         cw, ch = chroma_dims_420(w, h)
         y = np.ascontiguousarray(data["y"], dtype=np.uint8)
-        uv = np.ascontiguousarray(data["uv"], dtype=np.uint8).reshape(ch, cw, 2)
-        return {
-            "y": y,
-            "u": np.ascontiguousarray(uv[..., 0]),
-            "v": np.ascontiguousarray(uv[..., 1]),
-        }
+        uv = np.ascontiguousarray(data["uv"], dtype=np.uint8)
+        if nat is not None:
+            u, v = nat.deinterleave2(uv)
+        else:
+            uvr = uv.reshape(ch, cw, 2)
+            u = np.ascontiguousarray(uvr[..., 0])
+            v = np.ascontiguousarray(uvr[..., 1])
+        return {"y": y, "u": u, "v": v}
     if fmt == VideoFormat.I420:
         return {
             "y": np.ascontiguousarray(data["y"], dtype=np.uint8),
@@ -134,6 +140,9 @@ def host_to_planes(data, spec: FrameSpec) -> Dict[str, np.ndarray]:
         raw = np.ascontiguousarray(data, dtype=np.uint8)
         if raw.shape != (h, 2 * w):
             raise ValueError(f"{fmt} host frame must be (H, 2W) bytes, got {raw.shape}")
+        if nat is not None:
+            y, u, v = nat.unpack_422(raw, fmt.value)
+            return {"y": y, "u": u, "v": v}
         cw, _ = chroma_dims_422(w, h)
         quads = raw.reshape(h, cw, 4)
         if fmt == VideoFormat.UYVY:  # U Y0 V Y1
@@ -151,20 +160,28 @@ def planes_to_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
     """Convert canonical planes (numpy) back to the host byte layout."""
     fmt, w, h = spec.format, spec.width, spec.height
     planes = {k: np.asarray(v) for k, v in planes.items()}
+    nat = _get_native()
     if fmt in RGB_FORMATS:
+        if nat is not None:
+            return nat.planar_to_interleaved(planes["rgba"], _RGB_PERMS[fmt])
         rgba = planes["rgba"].transpose(1, 2, 0)
         if fmt == VideoFormat.BGRA:
             rgba = rgba[..., [2, 1, 0, 3]]
         return np.ascontiguousarray(rgba)
     if fmt == VideoFormat.NV12:
-        cw, ch = chroma_dims_420(w, h)
-        uv = np.empty((ch, 2 * cw), np.uint8)
-        uv[:, 0::2] = planes["u"]
-        uv[:, 1::2] = planes["v"]
+        if nat is not None:
+            uv = nat.interleave2(planes["u"], planes["v"])
+        else:
+            cw, ch = chroma_dims_420(w, h)
+            uv = np.empty((ch, 2 * cw), np.uint8)
+            uv[:, 0::2] = planes["u"]
+            uv[:, 1::2] = planes["v"]
         return {"y": planes["y"], "uv": uv}
     if fmt == VideoFormat.I420:
         return {"y": planes["y"], "u": planes["u"], "v": planes["v"]}
     if fmt in PACKED_YUV_FORMATS:
+        if nat is not None:
+            return nat.pack_422(planes["y"], planes["u"], planes["v"], fmt.value)
         cw, _ = chroma_dims_422(w, h)
         raw = np.empty((h, cw, 4), np.uint8)
         y0 = planes["y"][:, 0::2]

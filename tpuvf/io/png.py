@@ -35,7 +35,18 @@ def _paeth(a, b, c):
 
 
 def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
-    """Undo per-row filtering. raw is (height, 1+stride) bytes."""
+    """Undo per-row filtering. raw is (height, 1+stride) bytes.
+
+    Uses the native C++ unfilter when available (the Paeth/Sub filters have
+    per-pixel serial dependencies that are slow in numpy)."""
+    try:
+        from tpuvf.native import lib as native_lib
+
+        return native_lib.png_unfilter(raw, height, stride, bpp)
+    except ValueError:
+        raise PngError("invalid PNG filter type")
+    except Exception:
+        pass  # no toolchain — fall through to the numpy path
     out = np.zeros((height, stride), np.uint8)
     prev = np.zeros(stride, np.uint8)
     for y in range(height):

@@ -1,0 +1,36 @@
+"""Native C++ runtime helpers (host-side repacking, PNG unfiltering).
+
+The shared library is built from repack.cc with the Makefile here; if it is
+missing, `build()` compiles it with g++ on first use.  Every entry point has
+a pure-numpy fallback in the callers, so the framework works without a
+toolchain — just slower at the host<->device edges.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libtpuvf_native.so")
+
+
+def build(quiet: bool = True) -> str:
+    """Compile the shared library if missing; returns its path."""
+    if not os.path.exists(_SO):
+        subprocess.run(
+            ["make", "-C", _DIR],
+            check=True,
+            capture_output=quiet,
+        )
+    return _SO
+
+
+def available() -> bool:
+    if os.path.exists(_SO):
+        return True
+    try:
+        build()
+        return True
+    except Exception:
+        return False

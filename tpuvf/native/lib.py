@@ -1,0 +1,128 @@
+"""ctypes bindings for libtpuvf_native.so."""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from tpuvf import native as _native_pkg
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is None:
+        path = _native_pkg.build()
+        _lib = ctypes.CDLL(path)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64 = ctypes.c_int64
+        _lib.vf_interleaved_to_planar.argtypes = [u8p, u8p, i64, i64, i32p]
+        _lib.vf_planar_to_interleaved.argtypes = [u8p, u8p, i64, i64, i32p]
+        _lib.vf_deinterleave2.argtypes = [u8p, u8p, u8p, i64]
+        _lib.vf_interleave2.argtypes = [u8p, u8p, u8p, i64]
+        _lib.vf_unpack_422.argtypes = [u8p, u8p, u8p, u8p, i64, i64,
+                                       ctypes.c_int, ctypes.c_int,
+                                       ctypes.c_int, ctypes.c_int]
+        _lib.vf_pack_422.argtypes = [u8p, u8p, u8p, u8p, i64, i64,
+                                     ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int, ctypes.c_int]
+        _lib.vf_png_unfilter.argtypes = [u8p, u8p, i64, i64, ctypes.c_int]
+        _lib.vf_png_unfilter.restype = ctypes.c_int
+    return _lib
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def interleaved_to_planar(src: np.ndarray, perm=(0, 1, 2, 3)) -> np.ndarray:
+    """(h, w, 4) uint8 -> (4, h, w); dst[c] = src[..., perm[c]]."""
+    lib = _load()
+    src = np.ascontiguousarray(src, np.uint8)
+    h, w = src.shape[:2]
+    dst = np.empty((4, h, w), np.uint8)
+    p = np.asarray(perm, np.int32)
+    lib.vf_interleaved_to_planar(
+        _u8ptr(src), _u8ptr(dst), h, w,
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return dst
+
+
+def planar_to_interleaved(src: np.ndarray, perm=(0, 1, 2, 3)) -> np.ndarray:
+    """(4, h, w) uint8 -> (h, w, 4); dst[..., perm[c]] = src[c]."""
+    lib = _load()
+    src = np.ascontiguousarray(src, np.uint8)
+    _, h, w = src.shape
+    dst = np.empty((h, w, 4), np.uint8)
+    p = np.asarray(perm, np.int32)
+    lib.vf_planar_to_interleaved(
+        _u8ptr(src), _u8ptr(dst), h, w,
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return dst
+
+
+def deinterleave2(src: np.ndarray):
+    """(h, 2n) uint8 -> ((h, n), (h, n))."""
+    lib = _load()
+    src = np.ascontiguousarray(src, np.uint8)
+    h, w2 = src.shape
+    n = h * (w2 // 2)
+    a = np.empty((h, w2 // 2), np.uint8)
+    b = np.empty((h, w2 // 2), np.uint8)
+    lib.vf_deinterleave2(_u8ptr(src), _u8ptr(a), _u8ptr(b), n)
+    return a, b
+
+
+def interleave2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    lib = _load()
+    a = np.ascontiguousarray(a, np.uint8)
+    b = np.ascontiguousarray(b, np.uint8)
+    h, n = a.shape
+    dst = np.empty((h, 2 * n), np.uint8)
+    lib.vf_interleave2(_u8ptr(a), _u8ptr(b), _u8ptr(dst), h * n)
+    return dst
+
+
+_422_ORDER = {"UYVY": (0, 1, 2, 3), "YUY2": (1, 0, 3, 2)}  # (u, y0, v, y1)
+
+
+def unpack_422(raw: np.ndarray, fmt: str):
+    """(h, 2w) byte rows -> (y (h,w), u (h,w/2), v (h,w/2))."""
+    lib = _load()
+    raw = np.ascontiguousarray(raw, np.uint8)
+    h, bw = raw.shape
+    w = bw // 2
+    y = np.empty((h, w), np.uint8)
+    u = np.empty((h, w // 2), np.uint8)
+    v = np.empty((h, w // 2), np.uint8)
+    up, y0p, vp, y1p = _422_ORDER[fmt]
+    lib.vf_unpack_422(_u8ptr(raw), _u8ptr(y), _u8ptr(u), _u8ptr(v),
+                      h, w, up, y0p, vp, y1p)
+    return y, u, v
+
+
+def pack_422(y: np.ndarray, u: np.ndarray, v: np.ndarray, fmt: str) -> np.ndarray:
+    lib = _load()
+    y = np.ascontiguousarray(y, np.uint8)
+    u = np.ascontiguousarray(u, np.uint8)
+    v = np.ascontiguousarray(v, np.uint8)
+    h, w = y.shape
+    dst = np.empty((h, 2 * w), np.uint8)
+    up, y0p, vp, y1p = _422_ORDER[fmt]
+    lib.vf_pack_422(_u8ptr(y), _u8ptr(u), _u8ptr(v), _u8ptr(dst),
+                    h, w, up, y0p, vp, y1p)
+    return dst
+
+
+def png_unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
+    """raw (height, 1+stride) -> (height, stride); raises on bad filter."""
+    lib = _load()
+    raw = np.ascontiguousarray(raw, np.uint8)
+    out = np.empty((height, stride), np.uint8)
+    rc = lib.vf_png_unfilter(_u8ptr(raw), _u8ptr(out), height, stride, bpp)
+    if rc != 0:
+        raise ValueError(f"invalid PNG filter type {rc}")
+    return out

@@ -1,0 +1,169 @@
+// tpuvf native runtime helpers: pixel-format repacking + PNG row unfiltering.
+//
+// The reference's CPU-side hot paths are the GstVideoFrame plane uploads and
+// readbacks (replaceRegion/getBytes).  Here the host<->device boundary work
+// is interleaved<->planar conversion and macro-pixel (un)packing; numpy does
+// these with strided fancy-indexing, which is 5-10x slower than these tight
+// loops.  Built as a plain shared library, bound via ctypes (no pybind11).
+//
+// All functions assume contiguous buffers; shapes validated on the Python
+// side.
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// (h, w, 4) interleaved -> (4, h, w) planar with a channel permutation:
+// dst[c][y][x] = src[y][x][perm[c]]
+void vf_interleaved_to_planar(const uint8_t* src, uint8_t* dst,
+                              int64_t h, int64_t w, const int32_t* perm) {
+  const int64_t n = h * w;
+  uint8_t* d0 = dst + (int64_t)0 * n;
+  uint8_t* d1 = dst + (int64_t)1 * n;
+  uint8_t* d2 = dst + (int64_t)2 * n;
+  uint8_t* d3 = dst + (int64_t)3 * n;
+  const int p0 = perm[0], p1 = perm[1], p2 = perm[2], p3 = perm[3];
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* px = src + i * 4;
+    d0[i] = px[p0];
+    d1[i] = px[p1];
+    d2[i] = px[p2];
+    d3[i] = px[p3];
+  }
+}
+
+// (4, h, w) planar -> (h, w, 4) interleaved with inverse permutation:
+// dst[y][x][perm[c]] = src[c][y][x]
+void vf_planar_to_interleaved(const uint8_t* src, uint8_t* dst,
+                              int64_t h, int64_t w, const int32_t* perm) {
+  const int64_t n = h * w;
+  const uint8_t* s0 = src + (int64_t)0 * n;
+  const uint8_t* s1 = src + (int64_t)1 * n;
+  const uint8_t* s2 = src + (int64_t)2 * n;
+  const uint8_t* s3 = src + (int64_t)3 * n;
+  const int p0 = perm[0], p1 = perm[1], p2 = perm[2], p3 = perm[3];
+  for (int64_t i = 0; i < n; ++i) {
+    uint8_t* px = dst + i * 4;
+    px[p0] = s0[i];
+    px[p1] = s1[i];
+    px[p2] = s2[i];
+    px[p3] = s3[i];
+  }
+}
+
+// interleaved pair stream [a0 b0 a1 b1 ...] -> two planes (NV12 UV split)
+void vf_deinterleave2(const uint8_t* src, uint8_t* a, uint8_t* b, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    a[i] = src[2 * i];
+    b[i] = src[2 * i + 1];
+  }
+}
+
+void vf_interleave2(const uint8_t* a, const uint8_t* b, uint8_t* dst,
+                    int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    dst[2 * i] = a[i];
+    dst[2 * i + 1] = b[i];
+  }
+}
+
+// packed 4:2:2 [q0 q1 q2 q3] x (h * w/2) -> y (h, w), u, v (h, w/2)
+// order: positions of (u, y0, v, y1) within the quad; UYVY = (0, 1, 2, 3),
+// YUY2 = (1, 0, 3, 2)
+void vf_unpack_422(const uint8_t* src, uint8_t* y, uint8_t* u, uint8_t* v,
+                   int64_t h, int64_t w, int u_pos, int y0_pos, int v_pos,
+                   int y1_pos) {
+  const int64_t cw = w / 2;
+  for (int64_t r = 0; r < h; ++r) {
+    const uint8_t* row = src + r * cw * 4;
+    uint8_t* yr = y + r * w;
+    uint8_t* ur = u + r * cw;
+    uint8_t* vr = v + r * cw;
+    for (int64_t m = 0; m < cw; ++m) {
+      const uint8_t* q = row + m * 4;
+      ur[m] = q[u_pos];
+      vr[m] = q[v_pos];
+      yr[2 * m] = q[y0_pos];
+      yr[2 * m + 1] = q[y1_pos];
+    }
+  }
+}
+
+void vf_pack_422(const uint8_t* y, const uint8_t* u, const uint8_t* v,
+                 uint8_t* dst, int64_t h, int64_t w, int u_pos, int y0_pos,
+                 int v_pos, int y1_pos) {
+  const int64_t cw = w / 2;
+  for (int64_t r = 0; r < h; ++r) {
+    uint8_t* row = dst + r * cw * 4;
+    const uint8_t* yr = y + r * w;
+    const uint8_t* ur = u + r * cw;
+    const uint8_t* vr = v + r * cw;
+    for (int64_t m = 0; m < cw; ++m) {
+      uint8_t* q = row + m * 4;
+      q[u_pos] = ur[m];
+      q[v_pos] = vr[m];
+      q[y0_pos] = yr[2 * m];
+      q[y1_pos] = yr[2 * m + 1];
+    }
+  }
+}
+
+// PNG row unfiltering (filters 0-4), RFC 2083.  raw: (h, 1+stride) rows with
+// leading filter byte; out: (h, stride).  bpp = bytes per pixel.
+static inline uint8_t paeth(int a, int b, int c) {
+  int p = a + b - c;
+  int pa = p > a ? p - a : a - p;
+  int pb = p > b ? p - b : b - p;
+  int pc = p > c ? p - c : c - p;
+  if (pa <= pb && pa <= pc) return (uint8_t)a;
+  if (pb <= pc) return (uint8_t)b;
+  return (uint8_t)c;
+}
+
+int vf_png_unfilter(const uint8_t* raw, uint8_t* out, int64_t h,
+                    int64_t stride, int bpp) {
+  for (int64_t yrow = 0; yrow < h; ++yrow) {
+    const uint8_t* line = raw + yrow * (stride + 1);
+    const uint8_t ft = line[0];
+    const uint8_t* srcrow = line + 1;
+    uint8_t* dst = out + yrow * stride;
+    const uint8_t* up = yrow ? out + (yrow - 1) * stride : nullptr;
+    switch (ft) {
+      case 0:
+        memcpy(dst, srcrow, (size_t)stride);
+        break;
+      case 1:
+        for (int64_t x = 0; x < stride; ++x)
+          dst[x] = (uint8_t)(srcrow[x] + (x >= bpp ? dst[x - bpp] : 0));
+        break;
+      case 2:
+        if (up)
+          for (int64_t x = 0; x < stride; ++x)
+            dst[x] = (uint8_t)(srcrow[x] + up[x]);
+        else
+          memcpy(dst, srcrow, (size_t)stride);
+        break;
+      case 3:
+        for (int64_t x = 0; x < stride; ++x) {
+          int left = x >= bpp ? dst[x - bpp] : 0;
+          int above = up ? up[x] : 0;
+          dst[x] = (uint8_t)(srcrow[x] + ((left + above) >> 1));
+        }
+        break;
+      case 4:
+        for (int64_t x = 0; x < stride; ++x) {
+          int left = x >= bpp ? dst[x - bpp] : 0;
+          int above = up ? up[x] : 0;
+          int ul = (up && x >= bpp) ? up[x - bpp] : 0;
+          dst[x] = (uint8_t)(srcrow[x] + paeth(left, above, ul));
+        }
+        break;
+      default:
+        return (int)ft;  // invalid filter type
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,96 @@
+"""Benchmark harness: batched pipeline steps + overhead-cancelling timing.
+
+Environment notes (measured): the axon remote TPU backend has a fixed
+~40 ms per-call tunnel round-trip and its block_until_ready is a no-op, so
+
+- completion is forced with a 1-element device_get (`sync`),
+- work is batched inside ONE jitted call via lax.scan (per-frame state
+  semantics preserved, dispatch amortized),
+- throughput is the *slope* between a small-batch and a large-batch timing,
+  which cancels the fixed per-call overhead.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict
+
+import numpy as np
+
+
+def sync(out):
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    idx = (0,) * (leaf.ndim - 1) + (slice(0, 1),)
+    return np.asarray(jax.device_get(leaf[idx]))
+
+
+def make_batch_fn(step: Callable):
+    """step(frame_planes, state) -> (out_planes, state), scanned over a
+    leading batch axis in one XLA program."""
+    import jax
+
+    def batch_step(planes, state):
+        def body(st, frame):
+            out, st2 = step(frame, st)
+            return st2, out
+
+        st, outs = jax.lax.scan(body, state, planes)
+        return outs, st
+
+    return jax.jit(batch_step)
+
+
+def time_best(fn, *args, reps=4) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out, _ = fn(*args)
+        sync(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def measure_fps(
+    step: Callable,
+    make_planes: Callable[[int], Dict],
+    state0,
+    batch_small: int = 4,
+    batch_large: int = 16,
+    reps: int = 4,
+) -> dict:
+    """Two-point throughput measurement of a per-frame step function."""
+    import jax
+
+    fn = make_batch_fn(step)
+    state = jax.device_put(state0)
+    planes_s = make_planes(batch_small)
+    planes_l = make_planes(batch_large)
+    sync(fn(planes_s, state)[0])  # compile
+    sync(fn(planes_l, state)[0])
+    t_small = time_best(fn, planes_s, state, reps=reps)
+    t_large = time_best(fn, planes_l, state, reps=reps)
+    per_frame = (t_large - t_small) / (batch_large - batch_small)
+    if per_frame <= 0:
+        per_frame = t_large / batch_large
+    return {
+        "fps": 1.0 / per_frame,
+        "ms_per_frame": per_frame * 1000.0,
+        "t_small": t_small,
+        "t_large": t_large,
+        "batches": (batch_small, batch_large),
+    }
+
+
+def random_planes_for_spec(spec, batch, rng=None):
+    """Random device-resident canonical planes with a leading batch axis."""
+    import jax.numpy as jnp
+
+    rng = rng or np.random.default_rng(0)
+    out = {}
+    for p in spec.planes:
+        shape = (batch,) + ((p.channels,) if p.channels > 1 else ()) + (
+            p.height, p.width)
+        out[p.name] = jnp.asarray(rng.integers(0, 256, shape, dtype=np.uint8))
+    return out
