@@ -7,8 +7,9 @@
 4. vfdeinterlace:  greedy-H motion-adaptive, I420 1080i, threshold 0.3
 5. vfcompositor:   4-input mixed BGRA+NV12 composite + PNG overlay at 4K
 
-Each returns (step_fn, state0, make_planes) for
-tpuvf.runtime.benchmark.measure_fps; all run HBM-resident.
+Each returns (label, step_fn, state0, params, spec_or_planes_maker) for
+tpuvf.runtime.benchmark.measure_fps; all run HBM-resident with sampling
+matrices fed as runtime buffers (never HLO constants).
 """
 
 from __future__ import annotations
@@ -25,21 +26,16 @@ def _element_step(elem, in_spec, out_spec=None):
     out_spec = out_spec or elem.transform_spec(in_spec)
     static = elem.static_config(in_spec, out_spec)
     proc = elem.make_process(in_spec, out_spec, static)
-    params = elem.traced_params()
     state0 = elem.init_state(in_spec, out_spec)
-
-    def step(planes, state):
-        return proc(planes, state, params)
-
-    return step, state0
+    return proc, state0, elem.traced_params()
 
 
 def config_convertscale():
     in_spec = FrameSpec(VideoFormat.NV12, 1920, 1080)
     out_spec = FrameSpec(VideoFormat.BGRA, 640, 480, matrix=in_spec.matrix)
     elem = make("vfconvertscale")
-    step, state0 = _element_step(elem, in_spec, out_spec)
-    return "convertscale NV12 1080p -> BGRA 640x480", step, state0, in_spec
+    step, state0, params = _element_step(elem, in_spec, out_spec)
+    return "convertscale NV12 1080p -> BGRA 640x480", step, state0, params, in_spec
 
 
 def config_transform():
@@ -48,8 +44,8 @@ def config_transform():
     elem.set_property("method", 1)  # clockwise
     elem.set_property("crop-left", 32)
     elem.set_property("crop-top", 16)
-    step, state0 = _element_step(elem, in_spec)
-    return "transform rotate-cw + crop BGRA 640x480", step, state0, in_spec
+    step, state0, params = _element_step(elem, in_spec)
+    return "transform rotate-cw + crop BGRA 640x480", step, state0, params, in_spec
 
 
 def config_videofilter(tmp_lut_path="/tmp/tpuvf-bench-lut.cube"):
@@ -69,9 +65,9 @@ def config_videofilter(tmp_lut_path="/tmp/tpuvf-bench-lut.cube"):
     elem.set_property("saturation", 1.3)
     elem.set_property("chroma-key-enabled", True)
     elem.set_property("lut-file", tmp_lut_path)
-    step, state0 = _element_step(elem, in_spec)
+    step, state0, params = _element_step(elem, in_spec)
     return ("videofilter bright/contrast/sat + chroma-key + 33^3 LUT NV12 1080p",
-            step, state0, in_spec)
+            step, state0, params, in_spec)
 
 
 def config_deinterlace():
@@ -79,8 +75,8 @@ def config_deinterlace():
     elem = make("vfdeinterlace")
     elem.set_property("method", 3)  # greedyh
     elem.set_property("motion-threshold", 0.3)
-    step, state0 = _element_step(elem, in_spec)
-    return "deinterlace greedy-H I420 1080i", step, state0, in_spec
+    step, state0, params = _element_step(elem, in_spec)
+    return "deinterlace greedy-H I420 1080i", step, state0, params, in_spec
 
 
 def config_compositor():
@@ -116,11 +112,11 @@ def config_compositor():
     ov.set_property("y", 128)
     ov_proc = ov.make_process(out_spec, out_spec,
                               ov.static_config(out_spec, out_spec))
-    ov_params = ov.traced_params()
+    params = {"comp": comp.traced_params(), "ov": ov.traced_params()}
 
-    def step(pad_planes, state):
-        mid, _ = agg(pad_planes, (), {})
-        out, _ = ov_proc(mid, (), ov_params)
+    def step(pad_planes, state, params):
+        mid, _ = agg(pad_planes, (), params["comp"])
+        out, _ = ov_proc(mid, (), params["ov"])
         return out, state
 
     def make_planes(batch):
@@ -130,7 +126,7 @@ def config_compositor():
             for name, spec in pad_specs.items()
         }
 
-    return ("compositor 4-input mixed 4K + PNG overlay", step, (),
+    return ("compositor 4-input mixed 4K + PNG overlay", step, (), params,
             make_planes)
 
 

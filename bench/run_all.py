@@ -17,7 +17,7 @@ def run(name: str) -> dict:
     from bench import configs as C
 
     cfg = C.ALL[name]()
-    label, step, state0, spec_or_maker = cfg
+    label, step, state0, params, spec_or_maker = cfg
     if callable(spec_or_maker):
         make_planes = spec_or_maker
     else:
@@ -27,7 +27,7 @@ def run(name: str) -> dict:
             return random_planes_for_spec(spec, batch)
 
     small, large = (2, 8) if name == "compositor" else (4, 16)
-    res = measure_fps(step, make_planes, state0,
+    res = measure_fps(step, make_planes, state0, params,
                       batch_small=small, batch_large=large)
     return {
         "metric": label,

@@ -43,7 +43,7 @@ def run_compositor(pad_defs, out_caps=None, comp_props=None):
     filt = CapsFilter.parse(out_caps) if out_caps else None
     out_spec = comp.aggregate_spec(pad_specs, filt)
     proc = comp.make_aggregate(pad_specs, out_spec)
-    out, _ = proc(inputs, (), {})
+    out, _ = proc(inputs, (), comp.traced_params())
     return ({k: np.asarray(v) for k, v in out.items()}, out_spec,
             {n: host_to_planes(hosts[n], pad_specs[n]) for n in pad_specs},
             pad_specs)

@@ -42,6 +42,10 @@ class Element:
     def __init__(self, name: Optional[str] = None, **props):
         self.name = name or f"{self.ELEMENT_NAME}0"
         self.props = PropertyBag(self.PROPERTIES)
+        # large trace-time arrays (sampling matrices, masks) registered by
+        # make_process; fed through params so they are program *arguments*
+        # rather than HLO constants (see kernels.sample.WeightBuffers)
+        self._buffers = {}
         for key, value in props.items():
             self.props.set(key.replace("_", "-"), value)
 
@@ -101,11 +105,13 @@ class Element:
         return tuple(sorted(items))
 
     def traced_params(self) -> Dict[str, np.ndarray]:
-        """Per-frame traced parameter values (controllable floats)."""
+        """Per-frame traced parameter values (controllable floats) plus any
+        weight buffers registered by make_process (call make_process first)."""
         out = {}
         for n, d in self.props.descriptors.items():
             if d.traced:
                 out[n] = np.float32(self.props.get(n))
+        out.update(self._buffers)
         return out
 
     def init_state(self, in_spec: FrameSpec, out_spec: FrameSpec):

@@ -300,6 +300,11 @@ class Compositor(Element):
             bg = np.zeros((4, out_h, out_w), np.float32)
         bg_q = np.round(np.clip(bg, 0, 1) * 255).astype(np.uint8)
 
+        from tpuvf.kernels.sample import WeightBuffers
+
+        bufs = WeightBuffers(self.name)
+        fetch_bg = bufs.add(bg_q, "bg")
+
         # per-draw samplers: texcoord u=(c+0.5-x)/w over output columns
         compiled_draws = []
         for pad, (x, y, w, h) in culled:
@@ -313,22 +318,28 @@ class Compositor(Element):
             spec = pad.spec
             txc = np.clip(tx, 0.0, 1.0)
             tyc = np.clip(ty, 0.0, 1.0)
+            pfx = pad.name + "_"
             if spec.format in RGB_FORMATS:
-                wx = sample.sample_matrix(txc, spec.width, sample.LINEAR)
-                wy = sample.sample_matrix(tyc, spec.height, sample.LINEAR)
-                samplers = {"rgba": (wy, wx)}
+                samplers = {"rgba": (
+                    bufs.add(sample.sample_matrix(tyc, spec.height, sample.LINEAR), pfx + "wy"),
+                    bufs.add(sample.sample_matrix(txc, spec.width, sample.LINEAR), pfx + "wx"),
+                )}
             else:
                 cw, ch2 = (spec.width + 1) // 2, (spec.height + 1) // 2
                 samplers = {
-                    "y": (sample.sample_matrix(tyc, spec.height, sample.LINEAR),
-                          sample.sample_matrix(txc, spec.width, sample.LINEAR)),
-                    "u": (sample.sample_matrix(tyc, ch2, sample.LINEAR),
-                          sample.sample_matrix(txc, cw, sample.LINEAR)),
+                    "y": (
+                        bufs.add(sample.sample_matrix(tyc, spec.height, sample.LINEAR), pfx + "ywy"),
+                        bufs.add(sample.sample_matrix(txc, spec.width, sample.LINEAR), pfx + "ywx"),
+                    ),
+                    "u": (
+                        bufs.add(sample.sample_matrix(tyc, ch2, sample.LINEAR), pfx + "cwy"),
+                        bufs.add(sample.sample_matrix(txc, cw, sample.LINEAR), pfx + "cwx"),
+                    ),
                 }
             compiled_draws.append(
                 dict(
                     pad=pad,
-                    mask=jnp.asarray(mask),
+                    mask=bufs.add(mask, pfx + "mask"),
                     samplers=samplers,
                     alpha=np.float32(pad.bag.get("alpha")),
                     op=pad.bag.get("operator"),
@@ -337,22 +348,27 @@ class Compositor(Element):
                 )
             )
 
+        self._buffers = bufs.buffers
         matrix_out = out_spec.matrix_index
 
         def process(pad_inputs, state, params):
-            dst = dequant(jnp.asarray(bg_q))
+            dst = dequant(fetch_bg(params))
             for d in compiled_draws:
                 planes = pad_inputs[d["pad"].name]
                 if d["fmt"] in RGB_FORMATS:
-                    wy, wx = d["samplers"]["rgba"]
-                    src = sample.apply_separable(dequant(planes["rgba"]), wy, wx)
+                    fwy, fwx = d["samplers"]["rgba"]
+                    src = sample.apply_separable(
+                        dequant(planes["rgba"]), fwy(params), fwx(params))
                     s_r, s_g, s_b, s_a = src[0], src[1], src[2], src[3]
                 else:
-                    wy, wx = d["samplers"]["y"]
-                    yv = sample.apply_separable(dequant(planes["y"]), wy, wx)
-                    cwy, cwx = d["samplers"]["u"]
-                    uv = sample.apply_separable(dequant(planes["u"]), cwy, cwx)
-                    vv = sample.apply_separable(dequant(planes["v"]), cwy, cwx)
+                    fwy, fwx = d["samplers"]["y"]
+                    yv = sample.apply_separable(
+                        dequant(planes["y"]), fwy(params), fwx(params))
+                    fcwy, fcwx = d["samplers"]["u"]
+                    uv = sample.apply_separable(
+                        dequant(planes["u"]), fcwy(params), fcwx(params))
+                    vv = sample.apply_separable(
+                        dequant(planes["v"]), fcwy(params), fcwx(params))
                     s_r, s_g, s_b = kcolor.yuv_to_rgb(yv, uv, vv, d["matrix"])
                     s_a = jnp.ones_like(s_r)
                 # fragment: alpha *= pad alpha; premultiply
@@ -365,7 +381,7 @@ class Compositor(Element):
                     blended = src_p + dst
                 else:  # OVER (premultiplied)
                     blended = src_p + dst * (1.0 - s_a)
-                dst = jnp.where(d["mask"], blended, dst)
+                dst = jnp.where(d["mask"](params), blended, dst)
                 dst = dequant(quant(dst))  # RGBA8 render target after each draw
             out_q = quant(dst)
             return convert.pack_rgba(out_q, out_spec.format, matrix_out), state

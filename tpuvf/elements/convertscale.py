@@ -102,13 +102,18 @@ class ConvertScale(Element):
                 border = argb_to_rgba_floats(border_argb)
         matrix_in = in_spec.matrix_index
         matrix_out = out_spec.matrix_index
+        from tpuvf.kernels.sample import WeightBuffers
+
+        bufs = WeightBuffers(self.name)
+        sampler = convert.plan_rgba_sampler(
+            in_spec, out_spec.width, out_spec.height, bufs,
+            filter=filt, scale_x=scale_x, scale_y=scale_y,
+            border=border, matrix_index=matrix_in,
+        )
+        self._buffers = bufs.buffers
 
         def process(planes, state, params):
-            rgba = convert.sample_rgba(
-                planes, in_spec, out_spec.width, out_spec.height,
-                filter=filt, scale_x=scale_x, scale_y=scale_y,
-                border=border, matrix_index=matrix_in,
-            )
+            rgba = sampler(planes, params)
             rgba_q = quant(rgba)  # the RGBA8 render-target write
             return convert.pack_rgba(rgba_q, out_spec.format, matrix_out), state
 

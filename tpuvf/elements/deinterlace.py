@@ -85,11 +85,16 @@ class Deinterlace(Element):
         matrix_in = in_spec.matrix_index
         matrix_out = out_spec.matrix_index
 
+        from tpuvf.kernels.sample import WeightBuffers
+
+        bufs = WeightBuffers(self.name)
+        sampler = convert.plan_rgba_sampler(
+            in_spec, w, h, bufs, filter=NEAREST, matrix_index=matrix_in)
+        self._buffers = bufs.buffers
+
         def process(planes, state, params):
             # input -> RGBA8 (nearest sampling for YUV inputs, m:204-293)
-            rgba = convert.sample_rgba(
-                planes, in_spec, w, h, filter=NEAREST, matrix_index=matrix_in
-            )
+            rgba = sampler(planes, params)
             cur_q = quant(rgba)
             cur = dequant(cur_q)
             prev = dequant(state["prev"])

@@ -124,7 +124,7 @@ class Overlay(Element):
         return base + (("image_shape", shape),)
 
     def traced_params(self):
-        return {"alpha": np.float32(self.props.get("alpha"))}
+        return {"alpha": np.float32(self.props.get("alpha")), **self._buffers}
 
     def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
         w, h = in_spec.width, in_spec.height
@@ -144,26 +144,37 @@ class Overlay(Element):
         pys = np.arange(h, dtype=np.float64) + 0.5
         in_x = (pxs >= ox) & (pxs < ox + ow)
         in_y = (pys >= oy) & (pys < oy + oh)
-        mask = jnp.asarray(np.logical_and.outer(in_y, in_x))
+        mask = np.logical_and.outer(in_y, in_x)
 
-        # overlay UV per output pixel: (px-ox)/ow, (py-oy)/oh; sample the
-        # overlay texture with a linear sampler at those coords.
+        # overlay UV per output pixel: (px-ox)/ow, (py-oy)/oh; the stretched
+        # overlay is resampled once at build time on the host (the reference
+        # keeps one persistent MTLTexture and lets the fragment sampler
+        # stretch it — same math, amortized)
         tx = (pxs - ox) / ow
         ty = (pys - oy) / oh
         wx = sample.sample_matrix(np.clip(tx, 0.0, 1.0), img_w, sample.LINEAR)
         wy = sample.sample_matrix(np.clip(ty, 0.0, 1.0), img_h, sample.LINEAR)
         img_f = img.astype(np.float32) / np.float32(255.0)
-        ov = sample.apply_separable(
-            jnp.asarray(img_f.transpose(2, 0, 1)), wy, wx
-        )  # (4, h, w) float, premultiplied rgb
-        matrix_in = in_spec.matrix_index
+        ov_np = np.einsum(
+            "oh,chw,pw->cop", wy, img_f.transpose(2, 0, 1), wx,
+            dtype=np.float32, casting="same_kind",
+        ).astype(np.float32)  # (4, h, w), premultiplied rgb
+
+        from tpuvf.kernels.sample import WeightBuffers
+
+        bufs = WeightBuffers(self.name)
+        video_sampler = convert.plan_rgba_sampler(
+            in_spec, w, h, bufs, matrix_index=in_spec.matrix_index)
+        fetch_ov = bufs.add(ov_np, "overlay")
+        fetch_mask = bufs.add(mask, "mask")
+        self._buffers = bufs.buffers
         matrix_out = out_spec.matrix_index
 
         def process(planes, state, params):
-            video = convert.sample_rgba(planes, in_spec, w, h,
-                                        matrix_index=matrix_in)
+            video = video_sampler(planes, params)
+            ov = fetch_ov(params)
             a = ov[3] * params["alpha"]
-            blend = jnp.where(mask, a, 0.0)
+            blend = jnp.where(fetch_mask(params), a, 0.0)
             rgb = video[..., :3, :, :] * (1.0 - blend) + ov[:3] * blend
             rgba = jnp.concatenate([rgb, video[..., 3:4, :, :]], axis=-3)
             q = quant(rgba)

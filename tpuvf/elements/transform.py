@@ -126,53 +126,61 @@ class Transform(Element):
             mask = np.logical_and.outer(in_v, in_u)  # (h, w)
         else:
             mask = np.logical_and.outer(in_u, in_v)  # rows=src_u(v-index)
-        mask_j = jnp.asarray(mask)
         matrix_in = in_spec.matrix_index
         matrix_out = out_spec.matrix_index
         fmt = in_spec.format
 
+        from tpuvf.kernels.sample import WeightBuffers
+
+        bufs = WeightBuffers(self.name)
+        fetch_mask = None if mask.all() else bufs.add(mask, "mask")
+
         def build_plane_sampler(pw, ph):
             """Weight matrices to sample one input plane of size (ph, pw)."""
             if not anti:
-                wx = sample.sample_matrix(src_u, pw, LINEAR)   # (w, pw)
-                wy = sample.sample_matrix(src_v, ph, LINEAR)   # (h, ph)
+                fwx = bufs.add(sample.sample_matrix(src_u, pw, LINEAR), "wx")
+                fwy = bufs.add(sample.sample_matrix(src_v, ph, LINEAR), "wy")
 
-                def run(p):
-                    return sample.apply_separable(p, wy, wx)
+                def run(p, params):
+                    return sample.apply_separable(
+                        p, fwy(params), fwx(params))
             else:
                 # out(r,c) = in(y=src_v(c)*ph, x=src_u(r)*pw)
-                wr = sample.sample_matrix(src_u, pw, LINEAR)   # (h, pw)
-                wc = sample.sample_matrix(src_v, ph, LINEAR)   # (w, ph)
+                fwr = bufs.add(sample.sample_matrix(src_u, pw, LINEAR), "wr")
+                fwc = bufs.add(sample.sample_matrix(src_v, ph, LINEAR), "wc")
 
-                def run(p):
+                def run(p, params):
                     pt = jnp.swapaxes(p, -1, -2)  # (pw, ph)
-                    return sample.apply_separable(pt, wr, wc)
+                    return sample.apply_separable(
+                        pt, fwr(params), fwc(params))
             return run
 
         if fmt in RGB_FORMATS:
             sample_rgba_plane = build_plane_sampler(w, h)
 
-            def to_rgba(planes):
-                return sample_rgba_plane(dequant(planes["rgba"]))
+            def to_rgba(planes, params):
+                return sample_rgba_plane(dequant(planes["rgba"]), params)
         else:
             ph = (h + 1) // 2
             pw = (w + 1) // 2
             sample_y = build_plane_sampler(w, h)
             sample_c = build_plane_sampler(pw, ph)
 
-            def to_rgba(planes):
-                y = sample_y(dequant(planes["y"]))
-                uu = sample_c(dequant(planes["u"]))
-                vv = sample_c(dequant(planes["v"]))
+            def to_rgba(planes, params):
+                y = sample_y(dequant(planes["y"]), params)
+                uu = sample_c(dequant(planes["u"]), params)
+                vv = sample_c(dequant(planes["v"]), params)
                 r, g, b = kcolor.yuv_to_rgb(y, uu, vv, matrix_in)
                 a = jnp.ones_like(r)
                 return jnp.stack([r, g, b, a], axis=-3)
 
-        black = jnp.asarray(np.array([0, 0, 0, 1], np.float32).reshape(4, 1, 1))
+        self._buffers = bufs.buffers
+        black = np.array([0, 0, 0, 1], np.float32).reshape(4, 1, 1)
 
         def process(planes, state, params):
-            rgba = to_rgba(planes)
-            rgba = jnp.where(mask_j, rgba, black)
+            rgba = to_rgba(planes, params)
+            if fetch_mask is not None:
+                rgba = jnp.where(fetch_mask(params), rgba, jnp.asarray(black))
             q = quant(rgba)
             return convert.pack_rgba(q, out_spec.format, matrix_out), state
 

@@ -101,7 +101,7 @@ class VideoFilter(Element):
             self._lut = None
             self._lut_path_loaded = None
             return
-        self._lut = table.reshape(-1, 3)  # (S^3, 3) r-fastest
+        self._lut = kfilter.pack_lut_corners(table)  # (S^3, 24) corner-packed
         self._lut_size = table.shape[0]
         self._lut_path_loaded = path
 
@@ -151,6 +151,7 @@ class VideoFilter(Element):
         }
         if self._lut is not None:
             p["lut"] = self._lut
+        p.update(self._buffers)
         return p
 
     def init_state(self, in_spec, out_spec):
@@ -165,10 +166,15 @@ class VideoFilter(Element):
         matrix_in = in_spec.matrix_index
         matrix_out = out_spec.matrix_index
 
+        from tpuvf.kernels.sample import WeightBuffers
+
+        bufs = WeightBuffers(self.name)
+        sampler = convert.plan_rgba_sampler(
+            in_spec, w, h, bufs, matrix_index=matrix_in)
+        self._buffers = bufs.buffers
+
         def process(planes, state, params):
-            rgba = convert.sample_rgba(
-                planes, in_spec, w, h, matrix_index=matrix_in
-            )
+            rgba = sampler(planes, params)
             frame_index = state["frame_index"]
             rgba = kfilter.apply_color_adjustments(
                 rgba, params, frame_index, w, h

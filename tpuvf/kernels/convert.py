@@ -49,10 +49,19 @@ def _upsample2x_linear(img: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 
 def _shift_edge(img: jnp.ndarray, axis: int, offset: int) -> jnp.ndarray:
-    """img shifted by `offset` along axis with edge replication."""
+    """img shifted by `offset` along axis with edge replication (pad+slice,
+    no gather)."""
+    if offset == 0:
+        return img
+    import jax
+
+    axis = axis % img.ndim
     n = img.shape[axis]
-    idx = np.clip(np.arange(n) + offset, 0, n - 1)
-    return jnp.take(img, jnp.asarray(idx), axis=axis)
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (max(-offset, 0), max(offset, 0))
+    p = jnp.pad(img, pad, mode="edge")
+    start = max(offset, 0)
+    return jax.lax.slice_in_dim(p, start, start + n, axis=axis)
 
 
 def sample_axis(
@@ -144,6 +153,112 @@ def sample_rgba(
             )
             rgba = jnp.where(mask, rgba, bcol)
     return rgba
+
+
+# ---------------------------------------------------------------------------
+# Planned samplers: weight matrices as runtime buffers, not HLO constants
+# ---------------------------------------------------------------------------
+
+
+def plan_axis_sampler(in_size, out_size, axis, filter, scale, bufs):
+    """Plan sampling of one axis; matrices are registered on `bufs` and
+    fetched from params at call time."""
+    if scale == 1.0:
+        if out_size == in_size:
+            return lambda img, params: img
+        if filter == LINEAR and out_size == 2 * in_size:
+            return lambda img, params: _upsample2x_linear(img, axis)
+        if filter == NEAREST and out_size == 2 * in_size:
+            return lambda img, params: jnp.repeat(img, 2, axis=axis)
+    t = sample.texcoords(out_size, scale)
+    mask = sample.coverage_mask(out_size, scale)
+    w = sample.sample_matrix(t, in_size, filter, mask)
+    fetch = bufs.add(w, f"ax{axis}_")
+
+    def run(img, params):
+        wm = fetch(params)
+        a = axis % img.ndim
+        if a == img.ndim - 2:
+            return jnp.einsum(
+                "oh,...hw->...ow", wm, img,
+                preferred_element_type=jnp.float32,
+                precision=sample.MATMUL_PRECISION,
+            )
+        return jnp.einsum(
+            "...hw,ow->...ho", img, wm,
+            preferred_element_type=jnp.float32,
+            precision=sample.MATMUL_PRECISION,
+        )
+
+    return run
+
+
+def plan_plane_sampler(in_w, in_h, out_w, out_h, filter, scale_x, scale_y, bufs):
+    fy = plan_axis_sampler(in_h, out_h, -2, filter, scale_y, bufs)
+    fx = plan_axis_sampler(in_w, out_w, -1, filter, scale_x, bufs)
+    return lambda img, params: fx(fy(img, params), params)
+
+
+def plan_rgba_sampler(
+    in_spec: FrameSpec,
+    out_w: int,
+    out_h: int,
+    bufs,
+    filter: str = LINEAR,
+    scale_x: float = 1.0,
+    scale_y: float = 1.0,
+    border: tuple | None = None,
+    matrix_index: int | None = None,
+):
+    """Planned version of sample_rgba (same semantics)."""
+    if matrix_index is None:
+        matrix_index = in_spec.matrix_index
+    fmt = in_spec.format
+    if fmt in PACKED_YUV_FORMATS:
+        filter = NEAREST
+    if fmt in RGB_FORMATS:
+        run_rgba = plan_plane_sampler(
+            in_spec.width, in_spec.height, out_w, out_h, filter,
+            scale_x, scale_y, bufs)
+        planes_fn = None
+    else:
+        if fmt in (VideoFormat.NV12, VideoFormat.I420):
+            cw, ch = (in_spec.width + 1) // 2, (in_spec.height + 1) // 2
+        else:  # packed 4:2:2
+            cw, ch = in_spec.width // 2, in_spec.height
+        run_y = plan_plane_sampler(
+            in_spec.width, in_spec.height, out_w, out_h, filter,
+            scale_x, scale_y, bufs)
+        run_c = plan_plane_sampler(
+            cw, ch, out_w, out_h, filter, scale_x, scale_y, bufs)
+        planes_fn = (run_y, run_c)
+
+    fetch_mask = None
+    bcol = None
+    if border is not None:
+        mx = sample.coverage_mask(out_w, scale_x)
+        my = sample.coverage_mask(out_h, scale_y)
+        if not (mx.all() and my.all()):
+            fetch_mask = bufs.add(
+                np.logical_and.outer(my, mx), "border_mask")
+            bcol = np.asarray(border, np.float32).reshape(4, 1, 1)
+
+    def run(planes, params):
+        if fmt in RGB_FORMATS:
+            rgba = run_rgba(dequant(planes["rgba"]), params)
+        else:
+            run_y, run_c = planes_fn
+            y = run_y(dequant(planes["y"]), params)
+            u = run_c(dequant(planes["u"]), params)
+            v = run_c(dequant(planes["v"]), params)
+            r, g, b = color.yuv_to_rgb(y, u, v, matrix_index)
+            a = jnp.ones_like(r)
+            rgba = jnp.stack([r, g, b, a], axis=-3)
+        if fetch_mask is not None:
+            rgba = jnp.where(fetch_mask(params), rgba, jnp.asarray(bcol))
+        return rgba
+
+    return run
 
 
 def pack_rgba(rgba_q: jnp.ndarray, out_format: VideoFormat, matrix_index: int) -> dict:

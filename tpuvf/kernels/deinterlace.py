@@ -28,9 +28,16 @@ def _row_mask(height: int, tff: bool):
 
 
 def _shift_rows(img, offset: int):
-    h = img.shape[-2]
-    idx = np.clip(np.arange(h) + offset, 0, h - 1)
-    return jnp.take(img, jnp.asarray(idx), axis=-2)
+    """Row shift with edge clamp via pad+slice (no gather)."""
+    import jax
+
+    axis = img.ndim - 2
+    h = img.shape[axis]
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (max(-offset, 0), max(offset, 0))
+    p = jnp.pad(img, pad, mode="edge")
+    start = max(offset, 0)
+    return jax.lax.slice_in_dim(p, start, start + h, axis=axis)
 
 
 def _bob_interp(cur):

@@ -133,6 +133,33 @@ def letterbox_scales(in_w: int, in_h: int, out_w: int, out_h: int):
     return src_aspect / dst_aspect, 1.0  # letterbox left/right bars
 
 
+class WeightBuffers:
+    """Collects large trace-time arrays (sampling matrices, masks, canvases)
+    that must be fed to the jitted program as *arguments* instead of being
+    baked into the HLO as constants.
+
+    Closure constants bloat the executable (a 4K compositor carries tens of
+    MB of weight matrices) and break the remote-compile path; registered
+    buffers ride inside the per-element params dict instead, device_put once
+    by the runtime and reused every frame.
+    """
+
+    def __init__(self, prefix: str = "w"):
+        self.prefix = prefix
+        self.buffers: dict = {}
+        self._n = 0
+
+    def add(self, arr, name: str = ""):
+        key = f"__buf/{self.prefix}/{name}{self._n}"
+        self._n += 1
+        self.buffers[key] = np.asarray(arr)
+
+        def fetch(params):
+            return params[key]
+
+        return fetch
+
+
 def upsample_chroma_to(
     c: jnp.ndarray,
     out_w: int,

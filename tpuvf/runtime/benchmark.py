@@ -27,13 +27,14 @@ def sync(out):
 
 
 def make_batch_fn(step: Callable):
-    """step(frame_planes, state) -> (out_planes, state), scanned over a
-    leading batch axis in one XLA program."""
+    """step(frame_planes, state, params) -> (out_planes, state), scanned over
+    a leading batch axis in one XLA program; params (incl. weight buffers)
+    are loop-invariant arguments, never HLO constants."""
     import jax
 
-    def batch_step(planes, state):
+    def batch_step(planes, state, params):
         def body(st, frame):
-            out, st2 = step(frame, st)
+            out, st2 = step(frame, st, params)
             return st2, out
 
         st, outs = jax.lax.scan(body, state, planes)
@@ -56,6 +57,7 @@ def measure_fps(
     step: Callable,
     make_planes: Callable[[int], Dict],
     state0,
+    params=None,
     batch_small: int = 4,
     batch_large: int = 16,
     reps: int = 4,
@@ -65,12 +67,13 @@ def measure_fps(
 
     fn = make_batch_fn(step)
     state = jax.device_put(state0)
+    params = jax.device_put(params if params is not None else {})
     planes_s = make_planes(batch_small)
     planes_l = make_planes(batch_large)
-    sync(fn(planes_s, state)[0])  # compile
-    sync(fn(planes_l, state)[0])
-    t_small = time_best(fn, planes_s, state, reps=reps)
-    t_large = time_best(fn, planes_l, state, reps=reps)
+    sync(fn(planes_s, state, params)[0])  # compile
+    sync(fn(planes_l, state, params)[0])
+    t_small = time_best(fn, planes_s, state, params, reps=reps)
+    t_large = time_best(fn, planes_l, state, params, reps=reps)
     per_frame = (t_large - t_small) / (batch_large - batch_small)
     if per_frame <= 0:
         per_frame = t_large / batch_large

@@ -29,6 +29,14 @@ import numpy as np
 from tpuvf.core.element import Element, SinkElement, SourceElement
 from tpuvf.core.frame import host_to_planes, planes_to_host
 from tpuvf.core.spec import CapsFilter, FrameSpec
+from tpuvf.runtime.observability import (
+    PipelineError,
+    PipelineStats,
+    get_logger,
+    trace,
+)
+
+_log = get_logger("pipeline")
 
 
 @dataclass
@@ -209,6 +217,11 @@ class Pipeline:
 
         self._stages = stages
         self._state = state
+        self.stats = PipelineStats()
+        for st in stages:
+            self.stats.per_element_active[st.element.name] = not st.passthrough
+            if st.passthrough:
+                _log.debug("element %s: passthrough (elided)", st.element.name)
 
         elem_inputs = {}  # element id -> list of (key-fn producing planes)
         src_names = [s.name for s in self.sources]
@@ -298,7 +311,11 @@ class Pipeline:
                 node = self._incoming(node)[0].upstream
             codecs.reverse()
 
+        # params (incl. weight buffers) staged to device once per run
+        dev_params = jax.device_put(self.params())
+
         count = 0
+        t_run = time.perf_counter()
         for i in range(num_frames):
             inputs = {}
             for s in sources:
@@ -308,15 +325,30 @@ class Pipeline:
                 inputs[s.name] = {
                     k: jax.device_put(v) for k, v in planes.items()
                 }
-            out, state = self._step(inputs, state, self.params())
-            if sink is not None:
-                host_planes = {k: np.asarray(v) for k, v in out.items()}
-                payload = planes_to_host(host_planes, sink_spec)
-                for codec in codecs:
-                    payload = codec.encode(payload, sink_spec)
-                sink.consume(payload, sink_spec, i)
+            try:
+                with trace(f"tpuvf.step[{i}]"):
+                    out, state = self._step(inputs, state, dev_params)
+                if sink is not None:
+                    host_planes = {k: np.asarray(v) for k, v in out.items()}
+                    payload = planes_to_host(host_planes, sink_spec)
+                    for codec in codecs:
+                        payload = codec.encode(payload, sink_spec)
+                    sink.consume(payload, sink_spec, i)
+            except PipelineError:
+                raise
+            except Exception as exc:
+                # per-frame device failure -> flow error with element context
+                # (the MTLCommandBufferStatusError -> GST_FLOW_ERROR analog)
+                raise PipelineError(self._locate_failure(), i, exc) from exc
             count += 1
         self._state = state
+        self.stats.frames += count
+        self.stats.wall_seconds += time.perf_counter() - t_run
+        _log.info("run complete: %s", self.stats.summary())
         if sink is not None:
             sink.finalize()
         return count
+
+    def _locate_failure(self) -> str:
+        active = [s.element.name for s in self._stages if not s.passthrough]
+        return active[-1] if active else "<pipeline>"
