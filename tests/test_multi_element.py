@@ -1,0 +1,119 @@
+"""Multi-element chain tests — port of tests/test-multi-element.sh.
+
+The reference exercises per-element command queues with 2/3/4-element
+chains; here the same pipelines validate whole-chain fusion into one XLA
+program (including compositor pre/post chains and YUV-format hops).
+"""
+
+import numpy as np
+import pytest
+
+from tpuvf.cli.launch import launch, parse_pipeline
+
+SRC64 = "videotestsrc num-buffers=2 ! video/x-raw,format={fmt},width=64,height=48 "
+
+
+def run_ok(desc, n=2):
+    assert launch(desc, quiet=True) == n
+
+
+def test_two_element_chain():
+    run_ok(SRC64.format(fmt="BGRA") +
+           "! vfmetalvideofilter brightness=0.1 ! vfmetaltransform "
+           "method=horizontal-flip ! fakesink")
+
+
+def test_three_element_chain():
+    run_ok(SRC64.format(fmt="NV12") +
+           "! vfmetaldeinterlace method=bob ! vfmetalvideofilter contrast=1.2 "
+           "! vfmetalconvertscale ! video/x-raw,format=RGBA,width=32,height=24 "
+           "! fakesink")
+
+
+def test_four_element_chain():
+    run_ok(SRC64.format(fmt="I420") +
+           "! vfmetaldeinterlace method=linear ! vfmetalvideofilter "
+           "saturation=1.4 ! vfmetaltransform method=rotate-180 "
+           "! vfmetalconvertscale ! video/x-raw,format=NV12,width=32,height=24 "
+           "! fakesink")
+
+
+def test_yuv_format_hops():
+    """NV12 -> filter(NV12) -> convert to I420 -> transform(I420)."""
+    run_ok(SRC64.format(fmt="NV12") +
+           "! vfmetalvideofilter brightness=0.05 ! vfmetalconvertscale "
+           "! video/x-raw,format=I420 ! vfmetaltransform method=vertical-flip "
+           "! fakesink")
+
+
+def test_compositor_with_pre_chains():
+    run_ok(
+        "vfmetalcompositor name=c background=black sink_1::xpos=16 "
+        "! video/x-raw,format=BGRA ! fakesink "
+        + SRC64.format(fmt="BGRA") + "! vfmetalvideofilter invert=true ! c.sink_0 "
+        + SRC64.format(fmt="NV12") + "! vfmetaltransform method=clockwise ! c.sink_1"
+    )
+
+
+def test_compositor_with_post_chain():
+    run_ok(
+        "vfmetalcompositor name=c ! video/x-raw,format=NV12 "
+        "! vfmetalvideofilter sepia=0.5 ! vfmetalconvertscale "
+        "! video/x-raw,format=UYVY,width=32,height=24 ! fakesink "
+        + SRC64.format(fmt="RGBA") + "! c.sink_0"
+    )
+
+
+def test_chain_is_single_program():
+    """All transform stages fuse into one jitted step (no per-element
+    dispatch)."""
+    pipe = parse_pipeline(
+        SRC64.format(fmt="BGRA") +
+        "! vfmetalvideofilter brightness=0.1 ! vfmetaltransform "
+        "method=clockwise ! vfmetalconvertscale "
+        "! video/x-raw,format=NV12,width=32,height=24 ! fakesink")
+    pipe.negotiate()
+    pipe.build()
+    assert pipe._step is not None  # one fused jit callable for the chain
+    active = [s for s in pipe._stages if not s.passthrough]
+    assert len(active) == 3
+    pipe.run()
+    assert pipe.stats.frames == 2
+    assert pipe.stats.fps > 0
+
+
+def test_passthrough_chain_elides_everything():
+    pipe = parse_pipeline(
+        SRC64.format(fmt="BGRA") +
+        "! vfmetalvideofilter ! vfmetaltransform ! vfmetaloverlay "
+        "! vfmetalconvertscale ! video/x-raw,format=BGRA,width=64,height=48 "
+        "! appsink")
+    pipe.negotiate()
+    pipe.build()
+    active = [s for s in pipe._stages if not s.passthrough]
+    assert active == []  # zero-copy passthrough end to end
+    pipe.run()
+    src = pipe.sources[0]
+    from tpuvf.core.formats import VideoFormat
+    from tpuvf.core.spec import FrameSpec
+
+    want = src.generate(0, FrameSpec(VideoFormat.BGRA, 64, 48))
+    np.testing.assert_array_equal(pipe.sinks[0].frames[0], want)
+
+
+def test_pipeline_error_reports_element(tmp_path):
+    """A bad mid-run failure surfaces as PipelineError naming an element."""
+    from tpuvf.runtime.observability import PipelineError
+
+    pipe = parse_pipeline(
+        SRC64.format(fmt="BGRA") + "! vfmetalvideofilter gamma=0.5 ! appsink")
+    pipe.negotiate()
+    pipe.build()
+    # sabotage the compiled step to simulate a device-side failure
+    def boom(*a, **k):
+        raise RuntimeError("device lost")
+
+    pipe._step = boom
+    with pytest.raises(PipelineError) as ei:
+        pipe.run()
+    assert "videofilter" in str(ei.value)
