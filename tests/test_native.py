@@ -81,3 +81,82 @@ def test_png_unfilter_native_matches_python():
     data = png.encode(img)
     out = png.decode(data)
     np.testing.assert_array_equal(out, img)
+
+
+class TestJpeg:
+    """Baseline JPEG decoder vs PIL-generated fixtures."""
+
+    @staticmethod
+    def _roundtrip(img, **save_kw):
+        import io
+        from PIL import Image
+        from tpuvf.native import jpeg as njpeg
+
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG", **save_kw)
+        data = buf.getvalue()
+        got = njpeg.decode(data)
+        want = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        return got, want
+
+    def test_gradient_420(self):
+        h, w = 64, 80
+        img = np.zeros((h, w, 3), np.uint8)
+        img[..., 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+        img[..., 1] = np.linspace(255, 0, h, dtype=np.uint8)[:, None]
+        img[..., 2] = 128
+        got, want = self._roundtrip(img, quality=95)
+        assert got.shape == (h, w, 4)
+        diff = np.abs(got[..., :3].astype(int) - want.astype(int))
+        # nearest vs fancy chroma upsampling differ at edges; gradients are
+        # smooth so the agreement must be tight
+        assert diff.mean() < 2.0 and diff.max() <= 40
+
+    def test_gray(self):
+        img = np.tile(np.linspace(0, 255, 64, dtype=np.uint8), (32, 1))
+        got, want = self._roundtrip(img, quality=90)
+        diff = np.abs(got[..., 0].astype(int) - want[..., 0].astype(int))
+        assert diff.mean() < 2.0
+
+    def test_444_subsampling(self):
+        rng2 = np.random.default_rng(3)
+        img = rng2.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        got, want = self._roundtrip(img, quality=92, subsampling=0)
+        diff = np.abs(got[..., :3].astype(int) - want.astype(int))
+        assert diff.mean() < 3.0
+
+    def test_restart_markers(self):
+        img = np.full((48, 48, 3), 90, np.uint8)
+        img[10:30, 10:30] = (200, 50, 120)
+        import io
+        from PIL import Image
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG", quality=90, restart_marker_blocks=2)
+        from tpuvf.native import jpeg as njpeg
+        got = njpeg.decode(buf.getvalue())
+        want = np.asarray(Image.open(buf).convert("RGB"))
+        diff = np.abs(got[..., :3].astype(int) - want.astype(int))
+        assert diff.mean() < 3.0
+
+    def test_progressive_rejected(self):
+        import io
+        from PIL import Image
+        from tpuvf.native import jpeg as njpeg
+
+        img = np.zeros((32, 32, 3), np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG", progressive=True)
+        with pytest.raises(Exception):
+            njpeg.decode(buf.getvalue())
+
+    def test_overlay_element_loads_jpeg(self, tmp_path):
+        import io
+        from PIL import Image
+        from tpuvf.cli.launch import launch
+
+        img = np.full((16, 16, 3), 180, np.uint8)
+        p = str(tmp_path / "ov.jpg")
+        Image.fromarray(img).save(p, format="JPEG", quality=95)
+        assert launch(
+            "videotestsrc num-buffers=1 ! video/x-raw,format=BGRA,width=64,height=48 "
+            f"! vfmetaloverlay location={p} x=4 y=4 ! fakesink", quiet=True) == 1

@@ -164,3 +164,15 @@ def test_overlay_pipeline_with_pngenc_fixture(tmp_path):
         "videotestsrc num-buffers=1 ! video/x-raw,format=NV12,width=64,height=48 "
         f"! vfmetaloverlay location={p} x=10 y=10 alpha=0.5 ! fakesink",
         quiet=True) == 1
+
+
+@pytest.mark.parametrize("method", [1, 3, 6, 7])
+def test_transform_square_fast_path_golden(method):
+    """Square frames take the pure-layout rotation path — must still match
+    the sampled-texcoord oracle exactly."""
+    n = 32
+    got, planes = run_element("vftransform", "NV12", n, n, {"method": method})
+    spec = FrameSpec(VideoFormat.NV12, n, n)
+    rgba_q = element_ref.transform(planes, "NV12", spec.matrix_index, n, n, method)
+    want = metal_ref.pack_rgba(rgba_q, "NV12", spec.matrix_index)
+    assert_planes_close(got, want, tol=2, context=f"square fast m{method}")

@@ -224,9 +224,34 @@ class Compositor(Element):
     def init_state(self, in_spec, out_spec):
         return ()
 
+    # -- navigation (src-pad events hit-tested per pad, m:705-787) --------
+
+    def navigation_event(self, x: float, y: float, pad_specs=None,
+                         out_par: Fraction = Fraction(1, 1)):
+        """Map an output-space pointer position to (pad_name, pad_x, pad_y)
+        for the topmost pad whose rect contains it, rescaled into that pad's
+        input coordinates; None when no pad is hit."""
+        pad_specs = pad_specs or self._last_pad_specs
+        if not pad_specs:
+            return None
+        for pad in reversed(self._sorted_pads(pad_specs)):  # top-down
+            w, h, x_off, y_off = pad.output_size(self, out_par)
+            if w == 0 or h == 0:
+                continue
+            px = pad.bag.get("xpos") + x_off
+            py = pad.bag.get("ypos") + y_off
+            if px <= x < px + w and py <= y < py + h:
+                ix = (x - px) * pad.spec.width / w
+                iy = (y - py) * pad.spec.height / h
+                return pad.name, ix, iy
+        return None
+
+    _last_pad_specs: Dict[str, FrameSpec] = {}
+
     # -- compilation ------------------------------------------------------
 
     def make_aggregate(self, pad_specs: Dict[str, FrameSpec], out_spec: FrameSpec):
+        self._last_pad_specs = dict(pad_specs)
         out_w, out_h = out_spec.width, out_spec.height
         out_par = out_spec.par
         pads = self._sorted_pads(pad_specs)
@@ -305,41 +330,36 @@ class Compositor(Element):
         bufs = WeightBuffers(self.name)
         fetch_bg = bufs.add(bg_q, "bg")
 
-        # per-draw samplers: texcoord u=(c+0.5-x)/w over output columns
+        # Per-draw plan.  Pad positions are integers, so an output pixel at
+        # column c inside the rect has texcoord (c - x + 0.5)/w — exactly the
+        # half-texel grid of a w-wide render target.  Each draw therefore
+        # resamples the input to the PAD size (identity/2x fast paths apply;
+        # any dense matmuls are pad-sized, not canvas-sized) and blends into
+        # the canvas rect by slicing — no canvas-sized matmuls or masks.
         compiled_draws = []
         for pad, (x, y, w, h) in culled:
-            cols = np.arange(out_w, dtype=np.float64) + 0.5
-            rows = np.arange(out_h, dtype=np.float64) + 0.5
-            tx = (cols - x) / w
-            ty = (rows - y) / h
-            in_x = (cols >= x) & (cols < x + w)
-            in_y = (rows >= y) & (rows < y + h)
-            mask = np.logical_and.outer(in_y, in_x)
             spec = pad.spec
-            txc = np.clip(tx, 0.0, 1.0)
-            tyc = np.clip(ty, 0.0, 1.0)
-            pfx = pad.name + "_"
+            # visible region of the rect on the canvas
+            vx0, vy0 = max(x, 0), max(y, 0)
+            vx1, vy1 = min(x + w, out_w), min(y + h, out_h)
             if spec.format in RGB_FORMATS:
-                samplers = {"rgba": (
-                    bufs.add(sample.sample_matrix(tyc, spec.height, sample.LINEAR), pfx + "wy"),
-                    bufs.add(sample.sample_matrix(txc, spec.width, sample.LINEAR), pfx + "wx"),
-                )}
+                samplers = {"rgba": convert.plan_plane_sampler(
+                    spec.width, spec.height, w, h, sample.LINEAR, 1.0, 1.0,
+                    bufs)}
             else:
                 cw, ch2 = (spec.width + 1) // 2, (spec.height + 1) // 2
                 samplers = {
-                    "y": (
-                        bufs.add(sample.sample_matrix(tyc, spec.height, sample.LINEAR), pfx + "ywy"),
-                        bufs.add(sample.sample_matrix(txc, spec.width, sample.LINEAR), pfx + "ywx"),
-                    ),
-                    "u": (
-                        bufs.add(sample.sample_matrix(tyc, ch2, sample.LINEAR), pfx + "cwy"),
-                        bufs.add(sample.sample_matrix(txc, cw, sample.LINEAR), pfx + "cwx"),
-                    ),
+                    "y": convert.plan_plane_sampler(
+                        spec.width, spec.height, w, h, sample.LINEAR, 1.0,
+                        1.0, bufs),
+                    "c": convert.plan_plane_sampler(
+                        cw, ch2, w, h, sample.LINEAR, 1.0, 1.0, bufs),
                 }
             compiled_draws.append(
                 dict(
                     pad=pad,
-                    mask=bufs.add(mask, pfx + "mask"),
+                    rect=(x, y, w, h),
+                    visible=(vx0, vy0, vx1, vy1),
                     samplers=samplers,
                     alpha=np.float32(pad.bag.get("alpha")),
                     op=pad.bag.get("operator"),
@@ -352,37 +372,36 @@ class Compositor(Element):
         matrix_out = out_spec.matrix_index
 
         def process(pad_inputs, state, params):
-            dst = dequant(fetch_bg(params))
+            dst = dequant(jnp.asarray(fetch_bg(params)))
             for d in compiled_draws:
                 planes = pad_inputs[d["pad"].name]
                 if d["fmt"] in RGB_FORMATS:
-                    fwy, fwx = d["samplers"]["rgba"]
-                    src = sample.apply_separable(
-                        dequant(planes["rgba"]), fwy(params), fwx(params))
+                    src = d["samplers"]["rgba"](dequant(planes["rgba"]), params)
                     s_r, s_g, s_b, s_a = src[0], src[1], src[2], src[3]
                 else:
-                    fwy, fwx = d["samplers"]["y"]
-                    yv = sample.apply_separable(
-                        dequant(planes["y"]), fwy(params), fwx(params))
-                    fcwy, fcwx = d["samplers"]["u"]
-                    uv = sample.apply_separable(
-                        dequant(planes["u"]), fcwy(params), fcwx(params))
-                    vv = sample.apply_separable(
-                        dequant(planes["v"]), fcwy(params), fcwx(params))
+                    yv = d["samplers"]["y"](dequant(planes["y"]), params)
+                    uv = d["samplers"]["c"](dequant(planes["u"]), params)
+                    vv = d["samplers"]["c"](dequant(planes["v"]), params)
                     s_r, s_g, s_b = kcolor.yuv_to_rgb(yv, uv, vv, d["matrix"])
                     s_a = jnp.ones_like(s_r)
                 # fragment: alpha *= pad alpha; premultiply
                 s_a = s_a * d["alpha"]
-                s_r, s_g, s_b = s_r * s_a, s_g * s_a, s_b * s_a
-                src_p = jnp.stack([s_r, s_g, s_b, s_a], axis=0)
+                src_p = jnp.stack([s_r * s_a, s_g * s_a, s_b * s_a, s_a], axis=0)
+                # crop to the visible part of the rect and blend in place
+                x, y, w, h = d["rect"]
+                vx0, vy0, vx1, vy1 = d["visible"]
+                src_v = src_p[..., vy0 - y:vy1 - y, vx0 - x:vx1 - x]
+                a_v = src_v[3:4]
+                dst_v = dst[..., vy0:vy1, vx0:vx1]
                 if d["op"] == OP_SOURCE:
-                    blended = src_p
+                    blended = src_v
                 elif d["op"] == OP_ADD:
-                    blended = src_p + dst
+                    blended = src_v + dst_v
                 else:  # OVER (premultiplied)
-                    blended = src_p + dst * (1.0 - s_a)
-                dst = jnp.where(d["mask"](params), blended, dst)
-                dst = dequant(quant(dst))  # RGBA8 render target after each draw
+                    blended = src_v + dst_v * (1.0 - a_v)
+                # RGBA8 render-target write quantizes the drawn region
+                blended = dequant(quant(blended))
+                dst = dst.at[..., vy0:vy1, vx0:vx1].set(blended)
             out_q = quant(dst)
             return convert.pack_rgba(out_q, out_spec.format, matrix_out), state
 

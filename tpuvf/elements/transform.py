@@ -99,10 +99,56 @@ class Transform(Element):
             and self.props.get("crop-right") == 0
         )
 
+    def _fast_layout_op(self, method: int, w: int, h: int):
+        """Pure layout equivalents (flip/transpose) when the sampled
+        texcoords land exactly on the pixel grid: flips always do; 90-degree
+        rotations/diagonals do when the frame is square.  Returns a function
+        over (..., C, H, W) arrays or None."""
+        if method in (4,):  # horizontal flip
+            return lambda a: jnp.flip(a, axis=-1)
+        if method in (5,):  # vertical flip
+            return lambda a: jnp.flip(a, axis=-2)
+        if method == 2:  # 180
+            return lambda a: jnp.flip(jnp.flip(a, axis=-1), axis=-2)
+        if w != h:
+            return None
+        if method == 1:  # 90 clockwise: out(r,c) = in(N-1-c, r)
+            return lambda a: jnp.flip(jnp.swapaxes(a, -1, -2), axis=-1)
+        if method == 3:  # 90 counter-clockwise
+            return lambda a: jnp.flip(jnp.swapaxes(a, -1, -2), axis=-2)
+        if method == 6:  # transpose
+            return lambda a: jnp.swapaxes(a, -1, -2)
+        if method == 7:  # anti-transpose
+            return lambda a: jnp.flip(
+                jnp.flip(jnp.swapaxes(a, -1, -2), axis=-1), axis=-2)
+        return None
+
     def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
         cfg = dict(static)
         method = cfg["method"]
         w, h = in_spec.width, in_spec.height
+
+        no_crop = all(
+            cfg[k] == 0
+            for k in ("crop-left", "crop-right", "crop-top", "crop-bottom")
+        )
+        fast = self._fast_layout_op(method, w, h) if no_crop else None
+        if fast is not None:
+            from tpuvf.kernels.sample import WeightBuffers
+
+            bufs = WeightBuffers(self.name)
+            sampler = convert.plan_rgba_sampler(
+                in_spec, w, h, bufs, matrix_index=in_spec.matrix_index)
+            self._buffers = bufs.buffers
+            matrix_out = out_spec.matrix_index
+            out_fmt = out_spec.format
+
+            def process(planes, state, params):
+                rgba = fast(sampler(planes, params))
+                q = quant(rgba)
+                return convert.pack_rgba(q, out_fmt, matrix_out), state
+
+            return process
         mat, off = uv_transform_params(
             method, cfg["crop-left"], cfg["crop-right"],
             cfg["crop-top"], cfg["crop-bottom"], w, h,

@@ -278,6 +278,33 @@ class Pipeline:
             if not st.passthrough
         }
 
+    def _frame_params(self, dev_params) -> Dict[str, Dict]:
+        """Per-frame snapshot honoring controllable properties: traced
+        scalars are re-read from the property bags (the GST_OBJECT_LOCK
+        snapshot analog) while large weight buffers reuse the device copies
+        staged at run start."""
+        merged = {}
+        for st in self._stages:
+            if st.passthrough:
+                continue
+            name = st.element.name
+            fresh = st.element.traced_params()
+            staged = dev_params.get(name, {})
+            merged[name] = {
+                k: (staged[k] if k.startswith("__buf/") and k in staged else v)
+                for k, v in fresh.items()
+            }
+        return merged
+
+    def reset(self) -> None:
+        """PAUSED->READY analog: drop compiled state and per-element carry
+        (deinterlace history, filter frame counters) so the next run starts
+        fresh (change_state, gstvfmetalconvertscale.m:430-455)."""
+        self._stages = []
+        self._step = None
+        self._state = None
+        self._negotiated = False
+
     def run(self, num_frames: Optional[int] = None, progress=False) -> int:
         """Frame loop: generate -> device -> step -> host -> sink."""
         if self._step is None:
@@ -327,7 +354,8 @@ class Pipeline:
                 }
             try:
                 with trace(f"tpuvf.step[{i}]"):
-                    out, state = self._step(inputs, state, dev_params)
+                    out, state = self._step(
+                        inputs, state, self._frame_params(dev_params))
                 if sink is not None:
                     host_planes = {k: np.asarray(v) for k, v in out.items()}
                     payload = planes_to_host(host_planes, sink_spec)
