@@ -117,3 +117,24 @@ def test_pipeline_error_reports_element(tmp_path):
     with pytest.raises(PipelineError) as ei:
         pipe.run()
     assert "videofilter" in str(ei.value)
+
+def test_run_batched_matches_per_frame():
+    """Batched scan execution produces the same frames as the per-frame
+    loop, including carried state (deinterlace history).
+
+    Note: the film-grain hash is excluded — its fract/dot chain is
+    chaotically sensitive to FMA contraction, so different compiled program
+    shapes legitimately produce different grain (true of Metal shader
+    compilers as well); everything else must match bit-for-bit."""
+    desc = ("videotestsrc num-buffers=6 pattern=ball "
+            "! video/x-raw,format=NV12,width=48,height=32 "
+            "! vfmetaldeinterlace method=greedyh ! vfmetalvideofilter "
+            "brightness=0.1 contrast=1.3 vignette=0.5 ! appsink")
+    p1 = parse_pipeline(desc)
+    p1.negotiate(); p1.build(); p1.run()
+    p2 = parse_pipeline(desc)
+    p2.negotiate(); p2.build(); p2.run_batched(6, batch_size=3)
+    assert len(p1.sinks[0].frames) == len(p2.sinks[0].frames) == 6
+    for a, b in zip(p1.sinks[0].frames, p2.sinks[0].frames):
+        np.testing.assert_array_equal(a["y"], b["y"])
+        np.testing.assert_array_equal(a["uv"], b["uv"])

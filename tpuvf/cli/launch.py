@@ -159,11 +159,21 @@ def parse_pipeline(desc: str) -> Pipeline:
     return pipe
 
 
-def launch(desc: str, num_frames: Optional[int] = None, quiet: bool = False) -> int:
+def launch(desc: str, num_frames: Optional[int] = None, quiet: bool = False,
+           batch: int = 0) -> int:
     pipe = parse_pipeline(desc)
     pipe.negotiate()
     pipe.build()
-    n = pipe.run(num_frames=num_frames)
+    if batch > 1:
+        if num_frames is None:
+            limits = [s.num_frames() for s in pipe.sources]
+            limits = [l for l in limits if l is not None]
+            if not limits:
+                raise ValueError("batched mode needs num_frames or num-buffers")
+            num_frames = min(limits)
+        n = pipe.run_batched(num_frames, batch_size=batch)
+    else:
+        n = pipe.run(num_frames=num_frames)
     if not quiet:
         print(f"tpuvf-launch: processed {n} frames, reached end of stream")
     return n
@@ -172,21 +182,24 @@ def launch(desc: str, num_frames: Optional[int] = None, quiet: bool = False) -> 
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     num_frames = None
+    batch = 0
     while argv and argv[0].startswith("-"):
         flag = argv.pop(0)
         if flag in ("-n", "--num-frames"):
             num_frames = int(argv.pop(0))
+        elif flag in ("-b", "--batch"):
+            batch = int(argv.pop(0))
         elif flag in ("-q", "--quiet"):
             pass
         else:
             print(f"unknown flag {flag}", file=sys.stderr)
             return 2
     if not argv:
-        print("usage: tpuvf-launch [-n N] PIPELINE", file=sys.stderr)
+        print("usage: tpuvf-launch [-n N] [-b BATCH] PIPELINE", file=sys.stderr)
         return 2
     desc = " ".join(argv)
     try:
-        launch(desc, num_frames=num_frames)
+        launch(desc, num_frames=num_frames, batch=batch)
         return 0
     except Exception as exc:  # mirror gst-launch: error message + nonzero exit
         print(f"ERROR: {exc}", file=sys.stderr)

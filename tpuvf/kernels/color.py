@@ -114,9 +114,13 @@ def rgb_to_chroma_downsampled(r, g, b, matrix_index: int, out_cw: int, out_ch: i
         if pad_h or pad_w:
             cfg = [(0, 0)] * (x.ndim - 2) + [(0, pad_h), (0, pad_w)]
             x = jnp.pad(x, cfg, mode="edge")
-        s = x.shape
-        blocks = x.reshape(*s[:-2], out_ch, 2, out_cw, 2)
-        return blocks.mean(axis=(-3, -1))
+        # row pairs first (sublane stride), then lane pairs via a trailing
+        # reshape — measured fastest on TPU among reshape-mean / lane-strided
+        # slices / matmul variants
+        rows = (x[..., 0::2, :] + x[..., 1::2, :]) * np.float32(0.5)
+        s = rows.shape
+        pairs = rows.reshape(*s[:-1], out_cw, 2)
+        return (pairs[..., 0] + pairs[..., 1]) * np.float32(0.5)
 
     ra, ga, ba = avg(r), avg(g), avg(b)
     _, u, v = rgb_to_yuv(ra, ga, ba, matrix_index)

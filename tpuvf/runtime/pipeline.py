@@ -380,3 +380,62 @@ class Pipeline:
     def _locate_failure(self) -> str:
         active = [s.element.name for s in self._stages if not s.passthrough]
         return active[-1] if active else "<pipeline>"
+
+    def run_batched(self, num_frames: int, batch_size: int = 8) -> int:
+        """Throughput mode: lax.scan over `batch_size` frames inside ONE
+        jitted dispatch (per-frame state semantics preserved).  This replaces
+        the reference's per-element streaming-thread overlap as the
+        throughput lever (SURVEY.md §2.10)."""
+        if self._step is None:
+            self.build()
+        sources = self.sources
+        sink = self.sinks[0] if self.sinks else None
+        sink_spec = self._incoming(sink)[0].spec if sink else None
+        src_specs = {
+            s.name: self._outgoing(s)[0].spec for s in sources
+        }
+        limits = [l for l in (s.num_frames() for s in sources) if l is not None]
+        if limits:
+            num_frames = min([num_frames] + limits)
+
+        step = self._step  # already jitted; wrap with scan
+        def batch_step(inputs, state, params):
+            def body(st, frame_inputs):
+                out, st2 = step(frame_inputs, st, params)
+                return st2, out
+
+            st, outs = jax.lax.scan(body, state, inputs)
+            return outs, st
+
+        batch_fn = jax.jit(batch_step)
+        dev_params = jax.device_put(self.params())
+        state = self._state
+        done = 0
+        t_run = time.perf_counter()
+        while done < num_frames:
+            n = min(batch_size, num_frames - done)
+            stacked = {}
+            for s in sources:
+                spec = src_specs[s.name]
+                frames = [
+                    host_to_planes(s.generate(done + i, spec), spec)
+                    for i in range(n)
+                ]
+                stacked[s.name] = {
+                    k: jax.device_put(np.stack([f[k] for f in frames]))
+                    for k in frames[0]
+                }
+            outs, state = batch_fn(stacked, state, dev_params)
+            if sink is not None:
+                host = {k: np.asarray(v) for k, v in outs.items()}
+                for i in range(n):
+                    payload = planes_to_host(
+                        {k: v[i] for k, v in host.items()}, sink_spec)
+                    sink.consume(payload, sink_spec, done + i)
+            done += n
+        self._state = state
+        self.stats.frames += done
+        self.stats.wall_seconds += time.perf_counter() - t_run
+        if sink is not None:
+            sink.finalize()
+        return done
