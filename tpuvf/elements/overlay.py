@@ -155,9 +155,11 @@ class Overlay(Element):
         wx = sample.sample_matrix(np.clip(tx, 0.0, 1.0), img_w, sample.LINEAR)
         wy = sample.sample_matrix(np.clip(ty, 0.0, 1.0), img_h, sample.LINEAR)
         img_f = img.astype(np.float32) / np.float32(255.0)
-        ov_np = np.einsum(
-            "oh,chw,pw->cop", wy, img_f.transpose(2, 0, 1), wx,
-            dtype=np.float32, casting="same_kind",
+        chans = img_f.transpose(2, 0, 1)  # (4, img_h, img_w)
+        # factored matmuls (a naive 3-operand einsum is O(h*w*ih*iw) scalar
+        # ops — minutes of host time at 4K)
+        ov_np = np.ascontiguousarray(
+            (wy @ chans) @ wx.T
         ).astype(np.float32)  # (4, h, w), premultiplied rgb
 
         from tpuvf.kernels.sample import WeightBuffers
