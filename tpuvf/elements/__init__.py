@@ -7,6 +7,7 @@ from tpuvf.elements import (  # noqa: F401
     deinterlace,
     overlay,
     sinks,
+    sources,
     testsrc,
     transform,
     videofilter,

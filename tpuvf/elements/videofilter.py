@@ -120,9 +120,22 @@ class VideoFilter(Element):
     def static_config(self, in_spec, out_spec):
         self._sync_lut()
         sharp = self.props.get("sharpness")
+        g = self.props
+        # static effect gates: a disabled effect is omitted from the program
+        # (identical output; toggling recompiles via the executable cache)
+        gates = (
+            ("hue", abs(g.get("hue") * np.pi) > 0.001),
+            ("gamma", g.get("gamma") != 1.0),
+            ("sepia", g.get("sepia") > 0.001),
+            ("invert", bool(g.get("invert"))),
+            ("chroma_key", bool(g.get("chroma-key-enabled"))),
+            ("vignette", g.get("vignette") > 0.001),
+            ("noise", g.get("noise") > 0.001),
+        )
         return (
             ("use_sharpness", abs(sharp) > 0.001),
             ("lut_size", self._lut_size if self._lut is not None else 0),
+            ("gates", gates),
         )
 
     def traced_params(self):
@@ -162,6 +175,7 @@ class VideoFilter(Element):
         cfg = dict(static)
         use_sharpness = cfg["use_sharpness"]
         lut_size = cfg["lut_size"]
+        gates = dict(cfg["gates"])
         w, h = in_spec.width, in_spec.height
         matrix_in = in_spec.matrix_index
         matrix_out = out_spec.matrix_index
@@ -177,7 +191,7 @@ class VideoFilter(Element):
             rgba = sampler(planes, params)
             frame_index = state["frame_index"]
             rgba = kfilter.apply_color_adjustments(
-                rgba, params, frame_index, w, h
+                rgba, params, frame_index, w, h, gates=gates
             )
             if lut_size:
                 rgba = kfilter.apply_lut(rgba, params["lut"], lut_size)

@@ -97,13 +97,25 @@ def hsv_to_rgb(h, s, v):
     return channel(1.0), channel(2.0 / 3.0), channel(1.0 / 3.0)
 
 
-def apply_color_adjustments(rgba, p, frame_index, width, height):
+def apply_color_adjustments(rgba, p, frame_index, width, height, gates=None):
     """rgba (..., 4, H, W) f32 -> same, the canonical op order (h:88-155).
 
     p: dict of traced f32 scalars {brightness, contrast, saturation, hue
     (radians), gamma, sepia, invert, chroma_key_enabled, key_r, key_g,
     key_b, key_tolerance, key_smoothness, vignette, noise}.
+
+    gates: optional dict of *static* bools {hue, gamma, sepia, invert,
+    chroma_key, vignette, noise} — when False the stage is omitted from the
+    program entirely (jnp.where evaluates both sides, so without gates a
+    disabled hue rotation still costs a full HSV round trip per pixel).
+    Output is identical: each gate mirrors the shader's own uniform branch
+    (or, for gamma, pow(x, 1) == x after the clamp).  Toggling an effect
+    recompiles; magnitude changes stay traced.
     """
+    if gates is None:
+        gates = dict.fromkeys(
+            ("hue", "gamma", "sepia", "invert", "chroma_key", "vignette",
+             "noise"), True)
     r = rgba[..., 0, :, :]
     g = rgba[..., 1, :, :]
     b = rgba[..., 2, :, :]
@@ -126,69 +138,81 @@ def apply_color_adjustments(rgba, p, frame_index, width, height):
     b = lum + (b - lum) * s
 
     # Hue rotation — gated exactly like the uniform branch (|hue| > 0.001)
-    do_hue = jnp.abs(p["hue"]) > 0.001
-    hh, hs, hv = rgb_to_hsv(
-        jnp.clip(r, 0.0, 1.0), jnp.clip(g, 0.0, 1.0), jnp.clip(b, 0.0, 1.0)
-    )
-    hh = _fract(hh + p["hue"] / F32(2.0 * np.pi))
-    hr, hg, hb = hsv_to_rgb(hh, hs, hv)
-    r = jnp.where(do_hue, hr, r)
-    g = jnp.where(do_hue, hg, g)
-    b = jnp.where(do_hue, hb, b)
+    if gates["hue"]:
+        do_hue = jnp.abs(p["hue"]) > 0.001
+        hh, hs, hv = rgb_to_hsv(
+            jnp.clip(r, 0.0, 1.0), jnp.clip(g, 0.0, 1.0), jnp.clip(b, 0.0, 1.0)
+        )
+        hh = _fract(hh + p["hue"] / F32(2.0 * np.pi))
+        hr, hg, hb = hsv_to_rgb(hh, hs, hv)
+        r = jnp.where(do_hue, hr, r)
+        g = jnp.where(do_hue, hg, g)
+        b = jnp.where(do_hue, hb, b)
 
-    # Gamma
-    inv_gamma = 1.0 / p["gamma"]
-    r = jnp.power(jnp.clip(r, 0.0001, 1.0), inv_gamma)
-    g = jnp.power(jnp.clip(g, 0.0001, 1.0), inv_gamma)
-    b = jnp.power(jnp.clip(b, 0.0001, 1.0), inv_gamma)
+    # Gamma (the shader always pows; pow(clamp(x),1) == clamp(x), so a
+    # static gamma==1 reduces to the clamp)
+    if gates["gamma"]:
+        inv_gamma = 1.0 / p["gamma"]
+        r = jnp.power(jnp.clip(r, 0.0001, 1.0), inv_gamma)
+        g = jnp.power(jnp.clip(g, 0.0001, 1.0), inv_gamma)
+        b = jnp.power(jnp.clip(b, 0.0001, 1.0), inv_gamma)
+    else:
+        r = jnp.clip(r, 0.0001, 1.0)
+        g = jnp.clip(g, 0.0001, 1.0)
+        b = jnp.clip(b, 0.0001, 1.0)
 
     # Sepia
-    do_sepia = p["sepia"] > 0.001
-    sep = p["sepia"]
-    sr = SEPIA[0, 0] * r + SEPIA[0, 1] * g + SEPIA[0, 2] * b
-    sg = SEPIA[1, 0] * r + SEPIA[1, 1] * g + SEPIA[1, 2] * b
-    sb = SEPIA[2, 0] * r + SEPIA[2, 1] * g + SEPIA[2, 2] * b
-    r = jnp.where(do_sepia, r + (sr - r) * sep, r)
-    g = jnp.where(do_sepia, g + (sg - g) * sep, g)
-    b = jnp.where(do_sepia, b + (sb - b) * sep, b)
+    if gates["sepia"]:
+        do_sepia = p["sepia"] > 0.001
+        sep = p["sepia"]
+        sr = SEPIA[0, 0] * r + SEPIA[0, 1] * g + SEPIA[0, 2] * b
+        sg = SEPIA[1, 0] * r + SEPIA[1, 1] * g + SEPIA[1, 2] * b
+        sb = SEPIA[2, 0] * r + SEPIA[2, 1] * g + SEPIA[2, 2] * b
+        r = jnp.where(do_sepia, r + (sr - r) * sep, r)
+        g = jnp.where(do_sepia, g + (sg - g) * sep, g)
+        b = jnp.where(do_sepia, b + (sb - b) * sep, b)
 
     # Invert
-    inv = p["invert"] > 0.5
-    r = jnp.where(inv, 1.0 - r, r)
-    g = jnp.where(inv, 1.0 - g, g)
-    b = jnp.where(inv, 1.0 - b, b)
+    if gates["invert"]:
+        inv = p["invert"] > 0.5
+        r = jnp.where(inv, 1.0 - r, r)
+        g = jnp.where(inv, 1.0 - g, g)
+        b = jnp.where(inv, 1.0 - b, b)
 
     # Chroma key: alpha *= smoothstep(tol, tol+smooth, distance(rgb, key))
-    ck = p["chroma_key_enabled"] > 0.5
-    dist = jnp.sqrt(
-        (r - p["key_r"]) ** 2 + (g - p["key_g"]) ** 2 + (b - p["key_b"]) ** 2
-    )
-    mask = _smoothstep(
-        p["key_tolerance"], p["key_tolerance"] + p["key_smoothness"], dist
-    )
-    alpha = jnp.where(ck, alpha * mask, alpha)
+    if gates["chroma_key"]:
+        ck = p["chroma_key_enabled"] > 0.5
+        dist = jnp.sqrt(
+            (r - p["key_r"]) ** 2 + (g - p["key_g"]) ** 2 + (b - p["key_b"]) ** 2
+        )
+        mask = _smoothstep(
+            p["key_tolerance"], p["key_tolerance"] + p["key_smoothness"], dist
+        )
+        alpha = jnp.where(ck, alpha * mask, alpha)
 
     # Vignette (texcoord-based radial falloff)
     tx = (jnp.arange(width, dtype=F32) + 0.5) / F32(width)
     ty = (jnp.arange(height, dtype=F32) + 0.5) / F32(height)
-    cx = tx[None, :] - 0.5
-    cy = ty[:, None] - 0.5
-    do_vig = p["vignette"] > 0.001
-    vdist = jnp.sqrt(cx * cx + cy * cy) * F32(1.414)
-    vig = 1.0 - _smoothstep(F32(0.5), F32(1.0), vdist) * p["vignette"]
-    r = jnp.where(do_vig, r * vig, r)
-    g = jnp.where(do_vig, g * vig, g)
-    b = jnp.where(do_vig, b * vig, b)
+    if gates["vignette"]:
+        cx = tx[None, :] - 0.5
+        cy = ty[:, None] - 0.5
+        do_vig = p["vignette"] > 0.001
+        vdist = jnp.sqrt(cx * cx + cy * cy) * F32(1.414)
+        vig = 1.0 - _smoothstep(F32(0.5), F32(1.0), vdist) * p["vignette"]
+        r = jnp.where(do_vig, r * vig, r)
+        g = jnp.where(do_vig, g * vig, g)
+        b = jnp.where(do_vig, b * vig, b)
 
     # Film grain
-    do_noise = p["noise"] > 0.001
-    pxc = jnp.arange(width, dtype=F32) + 0.5
-    pyc = jnp.arange(height, dtype=F32) + 0.5
-    n = hash12(pxc[None, :], pyc[:, None], frame_index)
-    n = (n - 0.5) * p["noise"] * 0.5
-    r = jnp.where(do_noise, r + n, r)
-    g = jnp.where(do_noise, g + n, g)
-    b = jnp.where(do_noise, b + n, b)
+    if gates["noise"]:
+        do_noise = p["noise"] > 0.001
+        pxc = jnp.arange(width, dtype=F32) + 0.5
+        pyc = jnp.arange(height, dtype=F32) + 0.5
+        n = hash12(pxc[None, :], pyc[:, None], frame_index)
+        n = (n - 0.5) * p["noise"] * 0.5
+        r = jnp.where(do_noise, r + n, r)
+        g = jnp.where(do_noise, g + n, g)
+        b = jnp.where(do_noise, b + n, b)
 
     return jnp.stack(
         [jnp.clip(r, 0.0, 1.0), jnp.clip(g, 0.0, 1.0), jnp.clip(b, 0.0, 1.0),

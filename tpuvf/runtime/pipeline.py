@@ -215,8 +215,15 @@ class Pipeline:
             stages.append(CompiledStage(e, in_spec, out_spec, False, process))
             state[e.name] = e.init_state(in_spec, out_spec)
 
+        # preserve per-element carried state across reconfiguration rebuilds
+        old_state = getattr(self, "_state", None) or {}
+        for name, st in old_state.items():
+            if name in state:
+                state[name] = st
+
         self._stages = stages
         self._state = state
+        self._built_signature = self._static_signature()
         self.stats = PipelineStats()
         for st in stages:
             self.stats.per_element_active[st.element.name] = not st.passthrough
@@ -296,6 +303,34 @@ class Pipeline:
             }
         return merged
 
+    def _static_signature(self):
+        """Per-element static config + passthrough decisions — the analog of
+        the reference's reconfigure triggers (property writes that change
+        pipeline structure, e.g. gstvfmetalvideofilter.m:296)."""
+        sig = []
+        for e in self.elements:
+            if isinstance(e, (SourceElement, SinkElement)):
+                continue
+            ins = self._incoming(e)
+            outs = self._outgoing(e)
+            if not ins or not outs or ins[0].spec is None:
+                continue
+            try:
+                sig.append((e.name, e.static_config(ins[0].spec, outs[0].spec)))
+            except NotImplementedError:  # pragma: no cover
+                continue
+        return tuple(sig)
+
+    def _maybe_rebuild(self):
+        """Rebuild the compiled chain when a structural property changed
+        (effect toggles, method enums, crops...).  Carried state survives;
+        the XLA executable cache absorbs repeated configurations."""
+        if self._static_signature() != self._built_signature:
+            _log.info("static property change -> rebuilding pipeline")
+            self.build()
+            return True
+        return False
+
     def reset(self) -> None:
         """PAUSED->READY analog: drop compiled state and per-element carry
         (deinterlace history, filter frame counters) so the next run starts
@@ -353,6 +388,9 @@ class Pipeline:
                     k: jax.device_put(v) for k, v in planes.items()
                 }
             try:
+                if self._maybe_rebuild():
+                    state = self._state
+                    dev_params = jax.device_put(self.params())
                 with trace(f"tpuvf.step[{i}]"):
                     out, state = self._step(
                         inputs, state, self._frame_params(dev_params))
