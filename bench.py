@@ -18,10 +18,22 @@ from __future__ import annotations
 
 import json
 
-import numpy as np
+
+
+def _enable_compile_cache():
+    """First compiles through the remote tunnel cost minutes; persist them."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/tpuvf-tpu-cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
 
 
 def main():
+    _enable_compile_cache()
     from __graft_entry__ import _build_chain, _specs
     from tpuvf.runtime.benchmark import measure_fps, random_planes_for_spec
 

@@ -124,8 +124,6 @@ def test_golden_convert_scale_vs_oracle():
 
 
 def test_parser_errors():
-    from tpuvf.cli.launch import ParseError
-
     with pytest.raises(Exception):
         parse_pipeline("! fakesink")
     with pytest.raises(Exception):

@@ -1,11 +1,7 @@
 """appsrc / rawvideosrc round trips and observability behaviors."""
 
-import os
-
 import numpy as np
 import pytest
-
-from tests.util import random_host_frame
 
 from tpuvf.cli.launch import launch, parse_pipeline
 from tpuvf.core.formats import VideoFormat
@@ -60,7 +56,6 @@ def test_rawvideosrc_roundtrip(tmp_path, fmt):
 
 
 def test_tpuvf_debug_env(monkeypatch, capsys):
-    import importlib
     import logging
 
     from tpuvf.runtime import observability as obs

@@ -21,7 +21,6 @@ import numpy as np
 
 from tpuvf.core.formats import (
     PACKED_YUV_FORMATS,
-    PLANAR_YUV_FORMATS,
     RGB_FORMATS,
     VideoFormat,
     chroma_dims_420,

@@ -17,7 +17,7 @@ quantize to the RGBA8 intermediate -> pack to the output format.  Packed
 from __future__ import annotations
 
 from tpuvf.core.element import Element
-from tpuvf.core.formats import ALL_FORMATS, VideoFormat
+from tpuvf.core.formats import ALL_FORMATS
 from tpuvf.core.properties import PropertyDescriptor, argb_to_rgba_floats
 from tpuvf.core.registry import register
 from tpuvf.core.spec import CapsFilter, Fraction, FrameSpec

@@ -33,7 +33,7 @@ from tpuvf.core.registry import register
 from tpuvf.core.spec import FrameSpec
 from tpuvf.io import png
 from tpuvf.kernels import convert, sample
-from tpuvf.kernels.color import dequant, quant
+from tpuvf.kernels.color import quant
 
 _log = logging.getLogger("tpuvf.overlay")
 

@@ -27,7 +27,7 @@ from typing import Callable, Optional, Tuple
 import numpy as np
 
 from tpuvf.core.element import SinkElement
-from tpuvf.core.formats import CORE_FORMATS, VideoFormat
+from tpuvf.core.formats import CORE_FORMATS
 from tpuvf.core.properties import PropertyDescriptor
 from tpuvf.core.registry import register
 from tpuvf.core.spec import FrameSpec
@@ -143,27 +143,25 @@ class VideoSink(SinkElement):
         dx, dy = dx + rx, dy + ry
         self._display_rect = (dx, dy, dw, dh)
 
-        cols = np.arange(win_w, dtype=np.float64) + 0.5
-        rows = np.arange(win_h, dtype=np.float64) + 0.5
-        tx = (cols - dx) / max(dw, 1)
-        ty = (rows - dy) / max(dh, 1)
-        in_x = (cols >= dx) & (cols < dx + dw)
-        in_y = (rows >= dy) & (rows < dy + dh)
-        mask = jnp.asarray(np.logical_and.outer(in_y, in_x))
-        matrix = spec.matrix_index
+        # like the compositor, the display rect has integer origin/size, so
+        # the draw is resample-to-rect + slice placement into the window
+        from tpuvf.kernels.sample import WeightBuffers
 
-        wx_m = sample.sample_matrix(np.clip(tx, 0, 1), spec.width, sample.LINEAR)
-        wy_m = sample.sample_matrix(np.clip(ty, 0, 1), spec.height, sample.LINEAR)
+        bufs = WeightBuffers(self.name)
+        to_rgba = convert.plan_rgba_sampler(
+            spec, spec.width, spec.height, bufs,
+            matrix_index=spec.matrix_index)
+        scale = convert.plan_plane_sampler(
+            spec.width, spec.height, dw, dh, sample.LINEAR, 1.0, 1.0, bufs)
+        self._render_params = jax.device_put(dict(bufs.buffers))
 
-        def render(planes):
-            rgba = convert.sample_rgba(planes, spec, spec.width, spec.height,
-                                       matrix_index=matrix)
-            scaled = sample.apply_separable(rgba, wy_m, wx_m)
+        def render(planes, params):
+            rgba = to_rgba(planes, params)
+            scaled = quant(scale(rgba, params))
             # black letterbox clear (renderer m:541-560)
-            black = jnp.asarray(
-                np.array([0, 0, 0, 1], np.float32).reshape(4, 1, 1))
-            out = jnp.where(mask, scaled, black)
-            return quant(out)
+            window = jnp.zeros((4, win_h, win_w), jnp.uint8)
+            window = window.at[3].set(jnp.uint8(255))
+            return window.at[:, dy:dy + dh, dx:dx + dw].set(scaled)
 
         self._render = jax.jit(render)
         self._win_shape = (win_h, win_w)
@@ -177,7 +175,7 @@ class VideoSink(SinkElement):
             self._build_render(spec)
         planes = host_to_planes(host_frame, spec)
         dev = {k: jnp.asarray(v) for k, v in planes.items()}
-        out = np.asarray(self._render(dev))  # (4, H, W)
+        out = np.asarray(self._render(dev, self._render_params))  # (4, H, W)
         self.window = np.ascontiguousarray(out.transpose(1, 2, 0))
         self.frame_count += 1
         pattern = self.props.get("snapshot-location")

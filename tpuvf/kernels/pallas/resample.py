@@ -15,8 +15,6 @@ Pallas TPU guide.  Dense-matmul and this kernel are numerically identical
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp

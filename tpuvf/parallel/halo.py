@@ -16,8 +16,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 from tpuvf.kernels import filter as kfilter
 
 

@@ -20,7 +20,7 @@ Replaces GStreamer's runtime with a TPU-native design:
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional
 
 import jax
