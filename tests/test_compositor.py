@@ -286,3 +286,12 @@ def test_controllable_pad_alpha_between_frames():
     pipe.run(num_frames=2)
     second = pipe.sinks[0].frames[-1]
     assert second.astype(int).mean() > first.astype(int).mean() + 30
+
+
+@pytest.mark.parametrize("fmt", ["BGRA", "RGBA", "NV12", "I420"])
+def test_single_input_all_formats(fmt):
+    n = launch(
+        "vfmetalcompositor name=c ! video/x-raw,format=BGRA ! fakesink "
+        f"videotestsrc num-buffers=2 ! video/x-raw,format={fmt},width=48,height=32 "
+        "! c.sink_0", quiet=True)
+    assert n == 2

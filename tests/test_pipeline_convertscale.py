@@ -128,3 +128,54 @@ def test_parser_errors():
         parse_pipeline("! fakesink")
     with pytest.raises(Exception):
         parse_pipeline("nosuchelement ! fakesink").negotiate()
+
+
+def test_reference_odd_dims_641x479():
+    """The reference's hardest edge case (test-convertscale.sh:193-198)."""
+    run_ok(
+        "videotestsrc num-buffers=1 ! video/x-raw,format=I420,width=641,height=479 "
+        "! vfmetalconvertscale ! video/x-raw,format=BGRA,width=321,height=239 "
+        "! fakesink")
+    run_ok(
+        "videotestsrc num-buffers=1 ! video/x-raw,format=NV12,width=641,height=479 "
+        "! vfmetalconvertscale ! video/x-raw,format=NV12,width=639,height=481 "
+        "! fakesink")
+
+
+def test_tiny_to_large():
+    """16x16 -> much larger (test-convertscale.sh edge case, scaled down)."""
+    run_ok(
+        "videotestsrc num-buffers=1 ! video/x-raw,format=RGBA,width=16,height=16 "
+        "! vfmetalconvertscale ! video/x-raw,format=NV12,width=480,height=270 "
+        "! fakesink")
+
+
+def test_packed_to_packed():
+    run_ok(
+        "videotestsrc num-buffers=1 ! video/x-raw,format=UYVY,width=64,height=48 "
+        "! vfmetalconvertscale ! video/x-raw,format=YUY2 ! fakesink")
+
+
+def test_golden_uyvy_output_element():
+    """Full element golden: RGBA -> UYVY via the packed output kernels."""
+    in_spec = FrameSpec(VideoFormat.RGBA, 64, 48)
+    pipe = parse_pipeline(
+        "videotestsrc pattern=snow num-buffers=1 "
+        "! video/x-raw,format=RGBA,width=64,height=48 "
+        "! vfmetalconvertscale ! video/x-raw,format=UYVY ! appsink")
+    pipe.negotiate()
+    pipe.build()
+    pipe.run()
+    got_raw = pipe.sinks[0].frames[0]  # (48, 128) bytes
+
+    src_host = pipe.sources[0].generate(0, in_spec)
+    planes = host_to_planes(src_host, in_spec)
+    rgba = oracle.sample_rgba(planes, "RGBA", in_spec.matrix_index, 64, 48)
+    rgba_q = oracle.quant(rgba).transpose(2, 0, 1)
+    want = oracle.pack_rgba(rgba_q, "UYVY", in_spec.matrix_index)
+    raw = np.asarray(got_raw).reshape(48, 32, 4)
+    got = {"u": raw[..., 0], "y0": raw[..., 1], "v": raw[..., 2],
+           "y1": raw[..., 3]}
+    want_split = {"u": want["u"], "v": want["v"],
+                  "y0": want["y"][:, 0::2], "y1": want["y"][:, 1::2]}
+    assert_planes_close(got, want_split, tol=2, context="uyvy element")

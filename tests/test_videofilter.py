@@ -271,3 +271,10 @@ def test_smoke_chain_with_convertscale():
         "! video/x-raw,format=BGRA,width=32,height=24 ! fakesink",
         quiet=True,
     ) == 2
+
+
+def test_tiny_frame_160x120():
+    assert launch(
+        "videotestsrc num-buffers=2 ! video/x-raw,format=NV12,width=160,height=120 "
+        "! vfmetalvideofilter brightness=0.2 sharpness=0.5 ! fakesink",
+        quiet=True) == 2
