@@ -100,3 +100,23 @@ def test_structural_prop_change_rebuilds_mid_run():
     # inverted frame really is ~inverse of the non-inverted one (both had
     # brightness applied, so compare against recomputation)
     assert not np.array_equal(a, b)
+
+
+def test_queue_identity_passthrough_and_verbose(capsys):
+    from tpuvf.cli.launch import launch as launch2
+
+    n = launch2(
+        "videotestsrc num-buffers=2 ! video/x-raw,format=RGBA,width=32,height=24 "
+        "! queue ! identity ! vfmetalvideofilter sepia=0.3 ! queue ! fakesink",
+        quiet=True, verbose=True)
+    assert n == 2
+    out = capsys.readouterr().out
+    assert "format=RGBA" in out and "queue" in out
+
+
+def test_device_info():
+    from tpuvf.runtime.device import device_info, get_device
+
+    info = device_info()
+    assert "platform=" in info
+    assert get_device() is get_device()  # singleton

@@ -160,9 +160,14 @@ def parse_pipeline(desc: str) -> Pipeline:
 
 
 def launch(desc: str, num_frames: Optional[int] = None, quiet: bool = False,
-           batch: int = 0) -> int:
+           batch: int = 0, verbose: bool = False) -> int:
     pipe = parse_pipeline(desc)
     pipe.negotiate()
+    if verbose:
+        # gst-launch -v analog: print every negotiated link caps
+        for ln in pipe.links:
+            pad = f".{ln.sink_pad}" if ln.sink_pad else ""
+            print(f"{ln.upstream.name} -> {ln.downstream.name}{pad}: {ln.spec}")
     pipe.build()
     if batch > 1:
         if num_frames is None:
@@ -183,23 +188,27 @@ def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     num_frames = None
     batch = 0
+    verbose = False
     while argv and argv[0].startswith("-"):
         flag = argv.pop(0)
         if flag in ("-n", "--num-frames"):
             num_frames = int(argv.pop(0))
         elif flag in ("-b", "--batch"):
             batch = int(argv.pop(0))
+        elif flag in ("-v", "--verbose"):
+            verbose = True
         elif flag in ("-q", "--quiet"):
             pass
         else:
             print(f"unknown flag {flag}", file=sys.stderr)
             return 2
     if not argv:
-        print("usage: tpuvf-launch [-n N] [-b BATCH] PIPELINE", file=sys.stderr)
+        print("usage: tpuvf-launch [-n N] [-b BATCH] [-v] PIPELINE",
+              file=sys.stderr)
         return 2
     desc = " ".join(argv)
     try:
-        launch(desc, num_frames=num_frames, batch=batch)
+        launch(desc, num_frames=num_frames, batch=batch, verbose=verbose)
         return 0
     except Exception as exc:  # mirror gst-launch: error message + nonzero exit
         print(f"ERROR: {exc}", file=sys.stderr)

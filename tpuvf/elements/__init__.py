@@ -10,6 +10,7 @@ from tpuvf.elements import (  # noqa: F401
     sources,
     testsrc,
     transform,
+    util_elements,
     videofilter,
     videosink,
 )
