@@ -87,3 +87,22 @@ def test_driver_entry_compiles():
     fn, args = ge.entry()
     out, state = jax.jit(fn)(*args)
     assert out["rgba"].shape == (4, 480, 640)
+
+
+def test_pipeline_run_batched_on_mesh():
+    """Full pipeline executes data-parallel over a dp mesh via shard_map."""
+    require_devices(8)
+    from tpuvf.cli.launch import parse_pipeline
+
+    desc = ("videotestsrc num-buffers=8 pattern=ball "
+            "! video/x-raw,format=NV12,width=64,height=32 "
+            "! vfmetalvideofilter contrast=1.3 ! vfmetalconvertscale "
+            "! video/x-raw,format=BGRA,width=32,height=16 ! appsink")
+    p1 = parse_pipeline(desc)
+    p1.negotiate(); p1.build(); p1.run()
+    p2 = parse_pipeline(desc)
+    p2.negotiate(); p2.build()
+    m = pmesh.make_mesh({"dp": 4})
+    assert p2.run_batched(8, batch_size=8, mesh=m) == 8
+    for a, b in zip(p1.sinks[0].frames, p2.sinks[0].frames):
+        np.testing.assert_array_equal(a, b)

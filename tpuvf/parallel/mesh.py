@@ -69,28 +69,57 @@ def shard_batch(planes: Dict, mesh, dp_axis="dp", sp_axis=None) -> Dict:
     return {k: jax.device_put(v, sh) for k, v in planes.items()}
 
 
-def parallel_batch_fn(step, mesh, params, dp_axis="dp", sp_axis=None):
-    """jit a scanned batch step with inputs sharded over the mesh.
+def parallel_batch_fn(step, mesh, params, dp_axis="dp"):
+    """Data-parallel batch execution: shard_map over the dp axis; each shard
+    runs a *local* lax.scan over its sub-batch (scan is sequential, so
+    scanning a dp-sharded axis directly would serialize across chips —
+    shard_map keeps each chip's scan independent).
 
-    Each dp shard scans its own sub-batch (state is carried per shard —
-    appropriate for stateless elements and per-stream state when each dp
-    shard maps to one stream).
+    State is tiled with a leading dp axis so every shard carries its own
+    history — appropriate for stateless elements, and for stateful ones when
+    dp shards map to independent streams.
+
+    Returns run(planes, state, tiled=False) -> (outs (B, ...), state_tiled).
+    Pass a previous call's returned state back with tiled=True.
     """
-    import jax
+    import functools
 
-    def batch_step(planes, state, params):
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    dp = mesh.shape[dp_axis]
+    spec = P(dp_axis)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec, spec, P()),
+        out_specs=(spec, spec),
+        check_vma=False,
+    )
+    def sharded(planes, state_tiled, params):
+        state = jax.tree_util.tree_map(lambda s: s[0], state_tiled)
+
         def body(st, frame):
             out, st2 = step(frame, st, params)
             return st2, out
 
         st, outs = jax.lax.scan(body, state, planes)
-        return outs, st
+        return outs, jax.tree_util.tree_map(lambda s: s[None], st)
 
-    fn = jax.jit(batch_step)
+    fn = jax.jit(sharded)
 
-    def run(planes, state):
-        dev = shard_batch(planes, mesh, dp_axis, sp_axis)
-        dev_state = jax.device_put(state, replicated(mesh))
+    def tile_state(state):
+        return jax.tree_util.tree_map(
+            lambda s: np.broadcast_to(
+                np.asarray(s), (dp,) + np.shape(s)).copy(),
+            state,
+        )
+
+    def run(planes, state, tiled=False):
+        dev = shard_batch(planes, mesh, dp_axis)
+        st = state if tiled else tile_state(state)
+        dev_state = jax.device_put(st, batch_sharding(mesh, dp_axis))
         dev_params = jax.device_put(params, replicated(mesh))
         with mesh:
             return fn(dev, dev_state, dev_params)

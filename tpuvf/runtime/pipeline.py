@@ -419,11 +419,20 @@ class Pipeline:
         active = [s.element.name for s in self._stages if not s.passthrough]
         return active[-1] if active else "<pipeline>"
 
-    def run_batched(self, num_frames: int, batch_size: int = 8) -> int:
+    def run_batched(self, num_frames: int, batch_size: int = 8,
+                    mesh=None, sp_axis: Optional[str] = None) -> int:
         """Throughput mode: lax.scan over `batch_size` frames inside ONE
         jitted dispatch (per-frame state semantics preserved).  This replaces
         the reference's per-element streaming-thread overlap as the
-        throughput lever (SURVEY.md §2.10)."""
+        throughput lever (SURVEY.md §2.10).
+
+        With `mesh` (jax.sharding.Mesh with a 'dp' axis, e.g. from
+        tpuvf.parallel.mesh.make_mesh), the batch shards across chips: each
+        dp shard scans its own sub-batch; pass sp_axis to additionally shard
+        plane rows (XLA inserts the ICI collectives).  batch_size must be a
+        multiple of the dp size.  Per-frame state is carried per shard, so
+        stateful elements (deinterlace) see their own shard's history —
+        appropriate when dp shards map to independent streams."""
         if self._step is None:
             self.build()
         sources = self.sources
@@ -445,9 +454,24 @@ class Pipeline:
             st, outs = jax.lax.scan(body, state, inputs)
             return outs, st
 
+        if mesh is not None:
+            from tpuvf.parallel.mesh import parallel_batch_fn
+
+            if batch_size % mesh.shape["dp"] != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by dp="
+                    f"{mesh.shape['dp']}")
+            dp_run = parallel_batch_fn(step, mesh, self.params())
+        else:
+            dp_run = None
         batch_fn = jax.jit(batch_step)
         dev_params = jax.device_put(self.params())
+        if dp_run is not None and num_frames % batch_size != 0:
+            raise ValueError(
+                "mesh mode needs num_frames divisible by batch_size")
         state = self._state
+        dp_state = self._state  # tiled after the first dp_run call
+        dp_tiled = False
         done = 0
         t_run = time.perf_counter()
         while done < num_frames:
@@ -460,10 +484,15 @@ class Pipeline:
                     for i in range(n)
                 ]
                 stacked[s.name] = {
-                    k: jax.device_put(np.stack([f[k] for f in frames]))
+                    k: np.stack([f[k] for f in frames])
                     for k in frames[0]
                 }
-            outs, state = batch_fn(stacked, state, dev_params)
+            if dp_run is not None:
+                outs, dp_state = dp_run(stacked, dp_state, tiled=dp_tiled)
+                dp_tiled = True
+            else:
+                stacked = jax.device_put(stacked)
+                outs, state = batch_fn(stacked, state, dev_params)
             if sink is not None:
                 host = {k: np.asarray(v) for k, v in outs.items()}
                 for i in range(n):
