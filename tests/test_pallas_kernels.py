@@ -9,7 +9,7 @@ from tpuvf.kernels.pallas import resample as presample
 from tpuvf.kernels import sample
 
 
-@pytest.mark.parametrize("in_h,out_h", [(64, 32), (32, 80), (1080 // 8, 480 // 8)])
+@pytest.mark.parametrize("in_h,out_h", [(64, 32), (32, 80), (136, 60)])
 def test_banded_resample_matches_dense(in_h, out_h):
     rng = np.random.default_rng(5)
     w = 256

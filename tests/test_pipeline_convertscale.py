@@ -179,3 +179,17 @@ def test_golden_uyvy_output_element():
     want_split = {"u": want["u"], "v": want["v"],
                   "y0": want["y"][:, 0::2], "y1": want["y"][:, 1::2]}
     assert_planes_close(got, want_split, tol=2, context="uyvy element")
+
+
+def test_hd_negotiates_bt709():
+    """1080p caps re-derive BT.709 colorimetry (regression: the source's
+    SD default leaked bt601 into HD pipelines)."""
+    pipe = parse_pipeline(
+        "videotestsrc num-buffers=1 "
+        "! video/x-raw,format=NV12,width=1920,height=1080 "
+        "! vfmetalconvertscale ! video/x-raw,format=BGRA,width=640,height=480 "
+        "! fakesink")
+    pipe.negotiate()
+    specs = [l.spec for l in pipe.links]
+    assert specs[0].matrix == "bt709"   # HD input
+    assert specs[1].matrix == "bt709"   # convertscale preserves input matrix

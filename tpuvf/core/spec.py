@@ -199,11 +199,9 @@ class CapsFilter:
             kw["par"] = self.par
         if self.interlaced is not None:
             kw["interlaced"] = self.interlaced
-        if ("width" in kw or "height" in kw) and "format" not in kw:
-            kw.setdefault("format", spec.format)
-        new = spec.with_(**kw)
-        if kw.get("width") or kw.get("height"):
-            # re-derive default matrix when the size class changes and the
-            # matrix was never explicitly set
-            pass
-        return new
+        if "width" in kw or "height" in kw:
+            # size change re-derives the default colorimetry (HD -> BT.709,
+            # SD -> BT.601), like caps renegotiation would; a spec whose
+            # matrix was derived from its old size must not leak it
+            kw["matrix"] = ""
+        return spec.with_(**kw)

@@ -35,34 +35,43 @@ def plan_rows(t: np.ndarray, in_size: int):
     x0 = np.floor(s)
     f = (s - x0).astype(np.float32)
     i0 = x0.astype(np.int64)
-    w0 = 1.0 - f
-    # clamp-to-edge: fold out-of-range taps onto valid rows
+    # fold clamp-to-edge into the two taps, keeping i0+1 always in range:
+    #   below row 0        -> both taps row 0   (i0=0,      w0=1)
+    #   at/above last row  -> both taps row n-1 (i0=n-2,    w0=0)
     lo = i0 < 0
-    w0 = np.where(lo, 1.0, w0)  # both taps land on row 0: full weight first
     i0 = np.where(lo, 0, i0)
-    w0 = np.where(i0 >= in_size - 1, 1.0, w0)
-    i0 = np.minimum(i0, in_size - 1)
-    # second tap index = min(i0+1, in-1); when it clamps, give w0 the rest
-    i1 = np.minimum(i0 + 1, in_size - 1)
-    same = i1 == i0
-    w0 = np.where(same, 1.0, w0)
-    return i0.astype(np.int32), w0.astype(np.float32)
+    f = np.where(lo, 0.0, f)
+    hi = i0 > in_size - 2
+    i0 = np.where(hi, in_size - 2, i0)
+    f = np.where(hi, 1.0, f)
+    w0 = (1.0 - f).astype(np.float32)
+    return np.maximum(i0, 0).astype(np.int32), w0
 
 
-def _band_starts(i0: np.ndarray, in_size: int, band: int):
-    """Input band origin per output tile (static, from the numpy plan)."""
+def _band_plan(i0: np.ndarray, in_size: int):
+    """(starts, band): 8-aligned input band origin per output tile and the
+    (8-aligned) band height — Mosaic HBM slices must align to the sublane
+    tiling."""
     n_tiles = (len(i0) + TILE_OUT - 1) // TILE_OUT
     starts = np.zeros(n_tiles, np.int32)
+    need = 0
     for tidx in range(n_tiles):
-        lo = i0[tidx * TILE_OUT: (tidx + 1) * TILE_OUT].min()
-        starts[tidx] = min(lo, max(in_size - band, 0))
-    return starts
+        seg = i0[tidx * TILE_OUT: (tidx + 1) * TILE_OUT]
+        base = (int(seg.min()) // 8) * 8
+        starts[tidx] = base
+        need = max(need, int(seg.max()) + 2 - base)
+    band = min(-(-need // 8) * 8, in_size)
+    for tidx in range(n_tiles):
+        starts[tidx] = max(min(starts[tidx], in_size - band), 0)
+    return starts, band
 
 
 def _make_kernel(band: int, width: int):
     def kernel(starts_ref, i0_ref, w0_ref, img_hbm, out_ref):
         tile = pl.program_id(0)
-        base = starts_ref[tile]
+        # starts are pre-aligned; the hint lets Mosaic slice HBM at sublane
+        # granularity
+        base = pl.multiple_of(starts_ref[tile], 8)
 
         def inner(band_vmem, sem):
             cp = pltpu.make_async_copy(
@@ -93,28 +102,20 @@ def banded_resample_rows(img: jnp.ndarray, t: np.ndarray, interpret=False):
     """
     in_h, w = img.shape
     out_h = len(t)
+    if in_h % 8 != 0:
+        raise ValueError("banded_resample_rows needs in_h % 8 == 0 "
+                         "(Mosaic sublane alignment); use the dense sampler")
     i0, w0 = plan_rows(np.asarray(t, np.float64), in_h)
-    # band height: max rows any tile touches (+1 for the second tap)
-    spans = [
-        i0[k * TILE_OUT: (k + 1) * TILE_OUT].max()
-        - i0[k * TILE_OUT: (k + 1) * TILE_OUT].min()
-        for k in range((out_h + TILE_OUT - 1) // TILE_OUT)
-    ]
-    band = int(max(spans)) + 2
-    band = max(band, 2)
     pad_out = (-out_h) % TILE_OUT
     if pad_out:
         i0 = np.concatenate([i0, np.repeat(i0[-1:], pad_out)])
         w0 = np.concatenate([w0, np.repeat(w0[-1:], pad_out)])
     n_tiles = len(i0) // TILE_OUT
-    if band > in_h:
-        band = in_h
-    starts = _band_starts(i0, in_h, band)
-    i0_rel_ok = all(
-        i0[k * TILE_OUT + r] - starts[k] + 1 < band + 1
-        for k in range(n_tiles) for r in range(min(TILE_OUT, len(i0)))
+    starts, band = _band_plan(i0, in_h)
+    assert all(
+        0 <= i0[k * TILE_OUT + r] - starts[k] + 1 < band
+        for k in range(n_tiles) for r in range(TILE_OUT)
     )
-    assert i0_rel_ok
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # starts, i0, w0
