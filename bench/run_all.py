@@ -26,7 +26,15 @@ def run(name: str) -> dict:
         def make_planes(batch):
             return random_planes_for_spec(spec, batch)
 
-    small, large = (2, 8) if name == "compositor" else (4, 16)
+    # fast configs need a larger batch delta so per-frame time clears the
+    # tunnel's per-call jitter (sub-ms frames are invisible at delta=12)
+    sizes = {
+        "compositor": (2, 8),
+        "transform": (16, 128),
+        "convertscale": (8, 64),
+        "deinterlace": (8, 32),
+    }
+    small, large = sizes.get(name, (4, 16))
     res = measure_fps(step, make_planes, state0, params,
                       batch_small=small, batch_large=large)
     return {
