@@ -295,3 +295,52 @@ def test_single_input_all_formats(fmt):
         f"videotestsrc num-buffers=2 ! video/x-raw,format={fmt},width=48,height=32 "
         "! c.sink_0", quiet=True)
     assert n == 2
+
+
+def test_pad_output_size_dar_correction():
+    """pad_get_output_size math (m:202-325) with non-square PARs."""
+    from tpuvf.core.spec import Fraction
+    from tpuvf.elements.compositor import CompositorPadConfig
+
+    comp = make("vfcompositor")
+    # anamorphic input: 720x576 PAR 16/11 displayed into square-pixel output
+    bag = comp.get_pad("sink_0")
+    bag.set("width", 720)
+    bag.set("height", 576)
+    spec = FrameSpec(VideoFormat.BGRA, 720, 576, par=Fraction(16, 11))
+    pad = CompositorPadConfig("sink_0", spec, bag)
+    w, h, xo, yo = pad.output_size(comp, Fraction(1, 1))
+    # dar = (720*16)/(576*11) = 20/11; sizing NONE adjusts one axis:
+    # 576 % 20 != 0, 720 % 11 != 0 -> width = 576*20//11 = 1047
+    assert (w, h, xo, yo) == (1047, 576, 0, 0)
+
+
+def test_pad_output_size_keep_aspect_with_par():
+    from tpuvf.core.spec import Fraction
+    from tpuvf.elements.compositor import CompositorPadConfig
+
+    comp = make("vfcompositor")
+    bag = comp.get_pad("sink_0")
+    bag.set("width", 200)
+    bag.set("height", 100)
+    bag.set("sizing-policy", 1)
+    spec = FrameSpec(VideoFormat.BGRA, 100, 100)  # square content
+    pad = CompositorPadConfig("sink_0", spec, bag)
+    w, h, xo, yo = pad.output_size(comp, Fraction(1, 1))
+    # square content aspect-fit into 200x100 -> 100x100 centered at x=50
+    assert (w, h) == (100, 100)
+    assert (xo, yo) == (50, 0)
+
+
+def test_zero_size_is_unscaled_false():
+    from tpuvf.core.spec import Fraction
+    from tpuvf.elements.compositor import CompositorPadConfig
+
+    comp = make("vfcompositor")
+    comp.set_property("zero-size-is-unscaled", False)
+    bag = comp.get_pad("sink_0")
+    bag.set("width", 0)   # with the flag off, 0 means literally zero
+    spec = FrameSpec(VideoFormat.BGRA, 64, 48)
+    pad = CompositorPadConfig("sink_0", spec, bag)
+    w, h, xo, yo = pad.output_size(comp, Fraction(1, 1))
+    assert (w, h) == (0, 0)  # pad skipped

@@ -193,3 +193,26 @@ def test_hd_negotiates_bt709():
     specs = [l.spec for l in pipe.links]
     assert specs[0].matrix == "bt709"   # HD input
     assert specs[1].matrix == "bt709"   # convertscale preserves input matrix
+
+
+def test_golden_nv12_to_nv12_resize():
+    """Chroma down+up round trip through a size change (NV12 -> NV12)."""
+    in_spec = FrameSpec(VideoFormat.NV12, 64, 48)
+    pipe = parse_pipeline(
+        "videotestsrc pattern=smpte num-buffers=1 "
+        "! video/x-raw,format=NV12,width=64,height=48 "
+        "! vfmetalconvertscale ! video/x-raw,format=NV12,width=44,height=36 "
+        "! appsink")
+    pipe.negotiate()
+    pipe.build()
+    pipe.run()
+    got = pipe.sinks[0].frames[0]
+
+    host = pipe.sources[0].generate(0, in_spec)
+    planes = host_to_planes(host, in_spec)
+    rgba = oracle.sample_rgba(planes, "NV12", in_spec.matrix_index, 44, 36)
+    want = oracle.pack_rgba(
+        oracle.quant(rgba).transpose(2, 0, 1), "NV12", in_spec.matrix_index)
+    got_planes = {"y": got["y"],
+                  "u": got["uv"][:, 0::2], "v": got["uv"][:, 1::2]}
+    assert_planes_close(got_planes, want, tol=2, context="nv12->nv12 resize")

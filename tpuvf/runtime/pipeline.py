@@ -377,6 +377,7 @@ class Pipeline:
         dev_params = jax.device_put(self.params())
 
         count = 0
+        pending = None
         t_run = time.perf_counter()
         for i in range(num_frames):
             inputs = {}
@@ -394,12 +395,12 @@ class Pipeline:
                 with trace(f"tpuvf.step[{i}]"):
                     out, state = self._step(
                         inputs, state, self._frame_params(dev_params))
-                if sink is not None:
-                    host_planes = {k: np.asarray(v) for k, v in out.items()}
-                    payload = planes_to_host(host_planes, sink_spec)
-                    for codec in codecs:
-                        payload = codec.encode(payload, sink_spec)
-                    sink.consume(payload, sink_spec, i)
+                # overlap: consume frame i-1 while frame i computes (jax
+                # dispatch is async; the device round trip of the previous
+                # frame's readback hides behind this frame's compute)
+                if pending is not None:
+                    self._consume(sink, codecs, sink_spec, *pending)
+                pending = (out, i) if sink is not None else None
             except PipelineError:
                 raise
             except Exception as exc:
@@ -407,6 +408,12 @@ class Pipeline:
                 # (the MTLCommandBufferStatusError -> GST_FLOW_ERROR analog)
                 raise PipelineError(self._locate_failure(), i, exc) from exc
             count += 1
+        if pending is not None:
+            try:
+                self._consume(sink, codecs, sink_spec, *pending)
+            except Exception as exc:
+                raise PipelineError(
+                    self._locate_failure(), pending[1], exc) from exc
         self._state = state
         self.stats.frames += count
         self.stats.wall_seconds += time.perf_counter() - t_run
@@ -418,6 +425,13 @@ class Pipeline:
     def _locate_failure(self) -> str:
         active = [s.element.name for s in self._stages if not s.passthrough]
         return active[-1] if active else "<pipeline>"
+
+    def _consume(self, sink, codecs, sink_spec, out, index) -> None:
+        host_planes = {k: np.asarray(v) for k, v in out.items()}
+        payload = planes_to_host(host_planes, sink_spec)
+        for codec in codecs:
+            payload = codec.encode(payload, sink_spec)
+        sink.consume(payload, sink_spec, index)
 
     def run_batched(self, num_frames: int, batch_size: int = 8,
                     mesh=None, sp_axis: Optional[str] = None) -> int:
