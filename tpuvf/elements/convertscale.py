@@ -113,8 +113,8 @@ class ConvertScale(Element):
         self._buffers = bufs.buffers
 
         def process(planes, state, params):
-            rgba = sampler(planes, params)
-            rgba_q = quant(rgba)  # the RGBA8 render-target write
-            return convert.pack_rgba(rgba_q, out_spec.format, matrix_out), state
+            chans = sampler.tuple(planes, params)
+            # pack_rgba_t applies the RGBA8 render-target quantization
+            return convert.pack_rgba_t(chans, out_spec.format, matrix_out), state
 
         return process

@@ -188,18 +188,17 @@ class VideoFilter(Element):
         self._buffers = bufs.buffers
 
         def process(planes, state, params):
-            rgba = sampler(planes, params)
+            chans = sampler.tuple(planes, params)
             frame_index = state["frame_index"]
-            rgba = kfilter.apply_color_adjustments(
-                rgba, params, frame_index, w, h, gates=gates
+            chans = kfilter.apply_color_adjustments_t(
+                chans, params, frame_index, w, h, gates=gates
             )
             if lut_size:
-                rgba = kfilter.apply_lut(rgba, params["lut"], lut_size)
-            q1 = quant(rgba)  # pass 1 RGBA8 render-target write
-            final_q = q1
+                chans = kfilter.apply_lut_t(chans, params["lut"], lut_size)
             if use_sharpness:
-                # phase 2: blurH -> temp (RGBA8), blurV -> result (RGBA8),
-                # unsharp(original, blurred) -> temp (RGBA8)
+                # blur phases run on the stacked RGBA8 texture (the reference
+                # blurs all 4 channels of one texture)
+                q1 = quant(jnp.stack(chans, axis=-3))
                 bh = quant(kfilter.blur9(dequant(q1), axis=-1))
                 bv = quant(kfilter.blur9(dequant(bh), axis=-2))
                 final_q = quant(
@@ -207,7 +206,9 @@ class VideoFilter(Element):
                         dequant(q1), dequant(bv), params["sharpness"]
                     )
                 )
-            out = convert.pack_rgba(final_q, out_spec.format, matrix_out)
+                out = convert.pack_rgba(final_q, out_spec.format, matrix_out)
+            else:
+                out = convert.pack_rgba_t(chans, out_spec.format, matrix_out)
             new_state = {
                 "frame_index": (frame_index + np.uint32(1)).astype(jnp.uint32)
             }
