@@ -372,12 +372,19 @@ class Compositor(Element):
         matrix_out = out_spec.matrix_index
 
         def process(pad_inputs, state, params):
-            dst = dequant(jnp.asarray(fetch_bg(params)))
+            # per-channel canvas planes (tuple dataflow: no (4, H, W) stacks)
+            bg = jnp.asarray(fetch_bg(params))
+            dst = [dequant(bg[c]) for c in range(4)]
             for d in compiled_draws:
                 planes = pad_inputs[d["pad"].name]
                 if d["fmt"] in RGB_FORMATS:
-                    src = d["samplers"]["rgba"](dequant(planes["rgba"]), params)
-                    s_r, s_g, s_b, s_a = src[0], src[1], src[2], src[3]
+                    rgba8 = planes["rgba"]
+                    srcs = [
+                        d["samplers"]["rgba"](
+                            dequant(rgba8[..., c, :, :]), params)
+                        for c in range(4)
+                    ]
+                    s_r, s_g, s_b, s_a = srcs
                 else:
                     yv = d["samplers"]["y"](dequant(planes["y"]), params)
                     uv = d["samplers"]["c"](dequant(planes["u"]), params)
@@ -386,23 +393,25 @@ class Compositor(Element):
                     s_a = jnp.ones_like(s_r)
                 # fragment: alpha *= pad alpha; premultiply
                 s_a = s_a * d["alpha"]
-                src_p = jnp.stack([s_r * s_a, s_g * s_a, s_b * s_a, s_a], axis=0)
+                src_p = [s_r * s_a, s_g * s_a, s_b * s_a, s_a]
                 # crop to the visible part of the rect and blend in place
                 x, y, w, h = d["rect"]
                 vx0, vy0, vx1, vy1 = d["visible"]
-                src_v = src_p[..., vy0 - y:vy1 - y, vx0 - x:vx1 - x]
-                a_v = src_v[3:4]
-                dst_v = dst[..., vy0:vy1, vx0:vx1]
-                if d["op"] == OP_SOURCE:
-                    blended = src_v
-                elif d["op"] == OP_ADD:
-                    blended = src_v + dst_v
-                else:  # OVER (premultiplied)
-                    blended = src_v + dst_v * (1.0 - a_v)
-                # RGBA8 render-target write quantizes the drawn region
-                blended = dequant(quant(blended))
-                dst = dst.at[..., vy0:vy1, vx0:vx1].set(blended)
-            out_q = quant(dst)
-            return convert.pack_rgba(out_q, out_spec.format, matrix_out), state
+                ry, rx = slice(vy0 - y, vy1 - y), slice(vx0 - x, vx1 - x)
+                a_v = src_p[3][..., ry, rx]
+                for c in range(4):
+                    src_v = src_p[c][..., ry, rx]
+                    dst_v = dst[c][..., vy0:vy1, vx0:vx1]
+                    if d["op"] == OP_SOURCE:
+                        blended = src_v
+                    elif d["op"] == OP_ADD:
+                        blended = src_v + dst_v
+                    else:  # OVER (premultiplied)
+                        blended = src_v + dst_v * (1.0 - a_v)
+                    # RGBA8 render-target write quantizes the drawn region
+                    blended = dequant(quant(blended))
+                    dst[c] = dst[c].at[..., vy0:vy1, vx0:vx1].set(blended)
+            return convert.pack_rgba_t(tuple(dst), out_spec.format,
+                                       matrix_out), state
 
         return process
