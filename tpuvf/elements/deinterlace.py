@@ -93,28 +93,35 @@ class Deinterlace(Element):
         self._buffers = bufs.buffers
 
         def process(planes, state, params):
-            # input -> RGBA8 (nearest sampling for YUV inputs, m:204-293)
-            rgba = sampler(planes, params)
-            cur_q = quant(rgba)
-            cur = dequant(cur_q)
-            prev = dequant(state["prev"])
+            # input -> RGBA8 (nearest sampling for YUV inputs, m:204-293);
+            # per-channel tuple dataflow (see CLAUDE.md)
+            chans = sampler.tuple(planes, params)
+            cur_q_t = tuple(quant(c) for c in chans)
+            cur_t = tuple(dequant(c) for c in cur_q_t)
+            prev_q = state["prev"]
+            prev_t = tuple(dequant(prev_q[..., c, :, :]) for c in range(4))
             has_prev = state["has_prev"]
 
             if method == METHOD_BOB:
-                out_f = kdeint.bob(cur, tff)
+                out_t = kdeint.bob_t(cur_t, tff)
             elif method == METHOD_LINEAR:
-                out_f = kdeint.linear(cur, tff)
+                out_t = kdeint.bob_t(cur_t, tff)  # same 2-tap average
             elif method == METHOD_WEAVE:
-                woven = kdeint.weave(cur, prev, tff)
-                out_f = jnp.where(has_prev, woven, kdeint.bob(cur, tff))
+                woven = kdeint.weave_t(cur_t, prev_t, tff)
+                fallback = kdeint.bob_t(cur_t, tff)
+                out_t = tuple(jnp.where(has_prev, wv, fb)
+                              for wv, fb in zip(woven, fallback))
             else:  # greedyh
-                gh = kdeint.greedyh(cur, prev, tff, params["motion-threshold"])
-                out_f = jnp.where(has_prev, gh, kdeint.bob(cur, tff))
+                gh = kdeint.greedyh_t(cur_t, prev_t, tff,
+                                      params["motion-threshold"])
+                fallback = kdeint.bob_t(cur_t, tff)
+                out_t = tuple(jnp.where(has_prev, g, fb)
+                              for g, fb in zip(gh, fallback))
 
-            out_q = quant(out_f)
-            out = convert.pack_rgba(out_q, out_spec.format, matrix_out)
+            out = convert.pack_rgba_t(out_t, out_spec.format, matrix_out)
             new_state = {
-                "prev": cur_q,  # blit input -> prevFrame (m:394-405)
+                # blit input -> prevFrame (m:394-405); uint8 stack is cheap
+                "prev": jnp.stack(cur_q_t, axis=-3),
                 "has_prev": jnp.asarray(True),
             }
             return out, new_state

@@ -139,12 +139,17 @@ class Overlay(Element):
         ow = float(self.props.get("width") or img_w)
         oh = float(self.props.get("height") or img_h)
 
-        # pixel-center rect test: px in [ox, ox+ow), py in [oy, oy+oh)
+        # pixel-center rect test: px in [ox, ox+ow), py in [oy, oy+oh).
+        # The covered pixels form a contiguous rect even for fractional
+        # positions, so the blend is a slice update (no full-frame mask).
         pxs = np.arange(w, dtype=np.float64) + 0.5
         pys = np.arange(h, dtype=np.float64) + 0.5
         in_x = (pxs >= ox) & (pxs < ox + ow)
         in_y = (pys >= oy) & (pys < oy + oh)
-        mask = np.logical_and.outer(in_y, in_x)
+        xs = np.where(in_x)[0]
+        ys = np.where(in_y)[0]
+        rx = slice(int(xs[0]), int(xs[-1]) + 1) if len(xs) else slice(0, 0)
+        ry = slice(int(ys[0]), int(ys[-1]) + 1) if len(ys) else slice(0, 0)
 
         # overlay UV per output pixel: (px-ox)/ow, (py-oy)/oh; the stretched
         # overlay is resampled once at build time on the host (the reference
@@ -167,19 +172,20 @@ class Overlay(Element):
         bufs = WeightBuffers(self.name)
         video_sampler = convert.plan_rgba_sampler(
             in_spec, w, h, bufs, matrix_index=in_spec.matrix_index)
-        fetch_ov = bufs.add(ov_np, "overlay")
-        fetch_mask = bufs.add(mask, "mask")
+        # only the covered rect of the resampled overlay is needed
+        fetch_ov = bufs.add(np.ascontiguousarray(ov_np[:, ry, rx]), "overlay")
         self._buffers = bufs.buffers
         matrix_out = out_spec.matrix_index
 
         def process(planes, state, params):
-            video = video_sampler(planes, params)
-            ov = fetch_ov(params)
+            chans = list(video_sampler.tuple(planes, params))
+            ov = jnp.asarray(fetch_ov(params))
             a = ov[3] * params["alpha"]
-            blend = jnp.where(fetch_mask(params), a, 0.0)
-            rgb = video[..., :3, :, :] * (1.0 - blend) + ov[:3] * blend
-            rgba = jnp.concatenate([rgb, video[..., 3:4, :, :]], axis=-3)
-            q = quant(rgba)
-            return convert.pack_rgba(q, out_spec.format, matrix_out), state
+            for c in range(3):
+                region = chans[c][..., ry, rx]
+                blended = region * (1.0 - a) + ov[c] * a
+                chans[c] = chans[c].at[..., ry, rx].set(blended)
+            return convert.pack_rgba_t(tuple(chans), out_spec.format,
+                                       matrix_out), state
 
         return process

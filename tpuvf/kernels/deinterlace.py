@@ -67,3 +67,25 @@ def greedyh(cur, prev, tff: bool, motion_threshold):
     low_motion = motion < motion_threshold
     repl = jnp.where(low_motion, prev, _bob_interp(cur))
     return jnp.where(keep, cur, repl)
+
+
+# -- per-channel-tuple variants (no (4, H, W) stacks; see CLAUDE.md) --------
+
+def bob_t(cur_t, tff: bool):
+    keep = _row_mask(cur_t[0].shape[-2], tff)
+    return tuple(jnp.where(keep, c, _bob_interp(c)) for c in cur_t)
+
+
+def weave_t(cur_t, prev_t, tff: bool):
+    keep = _row_mask(cur_t[0].shape[-2], tff)
+    return tuple(jnp.where(keep, c, p) for c, p in zip(cur_t, prev_t))
+
+
+def greedyh_t(cur_t, prev_t, tff: bool, motion_threshold):
+    keep = _row_mask(cur_t[0].shape[-2], tff)
+    motion = jnp.sqrt(sum((c - p) ** 2 for c, p in zip(cur_t[:3], prev_t[:3])))
+    low_motion = motion < motion_threshold
+    return tuple(
+        jnp.where(keep, c, jnp.where(low_motion, p, _bob_interp(c)))
+        for c, p in zip(cur_t, prev_t)
+    )
