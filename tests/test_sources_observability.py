@@ -120,3 +120,21 @@ def test_device_info():
     info = device_info()
     assert "platform=" in info
     assert get_device() is get_device()  # singleton
+
+
+def test_passthrough_toggle_mid_run():
+    """Setting a traced prop away from default on an ELIDED element must
+    reconfigure the chain (passthrough flip, not just a param change)."""
+    pipe = parse_pipeline(
+        "videotestsrc num-buffers=2 pattern=smpte "
+        "! video/x-raw,format=RGBA,width=32,height=24 "
+        "! vfmetalvideofilter ! appsink")
+    pipe.negotiate()
+    pipe.build()
+    assert all(s.passthrough for s in pipe._stages)  # elided at defaults
+    pipe.run(num_frames=1)
+    vf = [e for e in pipe.elements if e.ELEMENT_NAME == "vfvideofilter"][0]
+    vf.set_property("brightness", 0.4)
+    pipe.run(num_frames=1)
+    a, b = pipe.sinks[0].frames
+    assert b[..., :3].astype(int).mean() > a[..., :3].astype(int).mean() + 30

@@ -285,20 +285,33 @@ class Pipeline:
             if not st.passthrough
         }
 
+    def _stage_params(self):
+        """device_put the current params once; remember host-array object
+        identities so per-frame snapshots can reuse the device copies."""
+        host = self.params()
+        self._staged_ids = {
+            name: {k: id(v) for k, v in d.items() if isinstance(v, np.ndarray)
+                   and v.size > 64}
+            for name, d in host.items()
+        }
+        return jax.device_put(host)
+
     def _frame_params(self, dev_params) -> Dict[str, Dict]:
         """Per-frame snapshot honoring controllable properties: traced
         scalars are re-read from the property bags (the GST_OBJECT_LOCK
-        snapshot analog) while large weight buffers reuse the device copies
-        staged at run start."""
+        snapshot analog) while unchanged large arrays (weight buffers, LUT
+        tables) reuse the device copies staged at run start."""
         merged = {}
+        staged_ids = getattr(self, "_staged_ids", {})
         for st in self._stages:
             if st.passthrough:
                 continue
             name = st.element.name
             fresh = st.element.traced_params()
             staged = dev_params.get(name, {})
+            ids = staged_ids.get(name, {})
             merged[name] = {
-                k: (staged[k] if k.startswith("__buf/") and k in staged else v)
+                k: (staged[k] if k in staged and ids.get(k) == id(v) else v)
                 for k, v in fresh.items()
             }
         return merged
@@ -316,7 +329,13 @@ class Pipeline:
             if not ins or not outs or ins[0].spec is None:
                 continue
             try:
-                sig.append((e.name, e.static_config(ins[0].spec, outs[0].spec)))
+                sig.append((
+                    e.name,
+                    e.static_config(ins[0].spec, outs[0].spec),
+                    # passthrough flips (e.g. a videofilter prop leaving its
+                    # default) must also reconfigure the chain
+                    e.is_passthrough(ins[0].spec, outs[0].spec),
+                ))
             except NotImplementedError:  # pragma: no cover
                 continue
         return tuple(sig)
@@ -374,7 +393,7 @@ class Pipeline:
             codecs.reverse()
 
         # params (incl. weight buffers) staged to device once per run
-        dev_params = jax.device_put(self.params())
+        dev_params = self._stage_params()
 
         count = 0
         pending = None
@@ -391,7 +410,7 @@ class Pipeline:
             try:
                 if self._maybe_rebuild():
                     state = self._state
-                    dev_params = jax.device_put(self.params())
+                    dev_params = self._stage_params()
                 with trace(f"tpuvf.step[{i}]"):
                     out, state = self._step(
                         inputs, state, self._frame_params(dev_params))
