@@ -14,6 +14,9 @@ SUITES=(
   "multi-element:tests/test_multi_element.py"
   "parallel:tests/test_parallel.py"
   "native:tests/test_native.py"
+  "core:tests/test_core.py tests/test_schemas.py"
+  "sources+observability:tests/test_sources_observability.py"
+  "pallas:tests/test_pallas_kernels.py"
 )
 
 pass=0; fail=0; failed=()
