@@ -14,6 +14,29 @@ from tpuvf.core import registry
 from tpuvf.core.element import SinkElement, SourceElement
 
 
+# Ancestry of the reference element each of ours mirrors (what the reference
+# suites' gst-inspect greps look for — e.g. 'GstVideoFilter',
+# test-videofilter.sh:97)
+_GST_ANCESTRY = {
+    "vfconvertscale": ("GstObject", "GstElement", "GstBaseTransform"),
+    "vfvideofilter": ("GstObject", "GstElement", "GstBaseTransform",
+                      "GstVideoFilter"),
+    "vftransform": ("GstObject", "GstElement", "GstBaseTransform",
+                    "GstVideoFilter"),
+    "vfdeinterlace": ("GstObject", "GstElement", "GstBaseTransform",
+                      "GstVideoFilter"),
+    "vfoverlay": ("GstObject", "GstElement", "GstBaseTransform",
+                  "GstVideoFilter"),
+    "vfcompositor": ("GstObject", "GstElement", "GstAggregator",
+                     "GstVideoAggregator"),
+    "vfvideosink": ("GstObject", "GstElement", "GstBaseSink", "GstVideoSink"),
+}
+_GST_IFACES = {
+    "vfcompositor": ("GstChildProxy",),
+    "vfvideosink": ("GstVideoOverlay", "GstNavigation"),
+}
+
+
 def _type_name(d):
     return {
         "float": "Double", "int": "Integer", "uint": "Unsigned Integer",
@@ -31,11 +54,25 @@ def format_element(cls) -> str:
     lines.append(f"  Klass                    {cls.KLASS}")
     lines.append(f"  Description              {cls.DESCRIPTION}")
     lines.append("")
-    # ancestry analog
-    bases = [b.__name__ for b in cls.__mro__ if b.__name__ not in ("object",)]
+    # ancestry of the reference element each class mirrors (the gst-inspect
+    # output the reference test suites grep for), then the local classes
+    gst_ancestry = _GST_ANCESTRY.get(cls.ELEMENT_NAME)
     lines.append("Object Hierarchy:")
-    for i, b in enumerate(reversed(bases)):
-        lines.append("  " + "  " * i + b)
+    depth = 0
+    if gst_ancestry:
+        for name in gst_ancestry:
+            lines.append("  " + "  " * depth + name)
+            depth += 1
+    bases = [b.__name__ for b in cls.__mro__ if b.__name__ not in ("object",)]
+    for b in reversed(bases):
+        lines.append("  " + "  " * depth + b)
+        depth += 1
+    ifaces = _GST_IFACES.get(cls.ELEMENT_NAME)
+    if ifaces:
+        lines.append("")
+        lines.append("Implemented Interfaces (reference-API analogs):")
+        for i in ifaces:
+            lines.append(f"  {i}")
     lines.append("")
     if cls.IN_FORMATS or cls.OUT_FORMATS:
         lines.append("Pad Templates:")
@@ -85,7 +122,20 @@ def format_element(cls) -> str:
     return "\n".join(lines)
 
 
+def _apply_platform_override():
+    """TPUVF_PLATFORM=cpu forces the CPU backend (the container pins
+    jax_platforms to a remote TPU tunnel; env vars alone cannot override)."""
+    import os
+
+    plat = os.environ.get("TPUVF_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def main(argv=None) -> int:
+    _apply_platform_override()
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
         print("Available elements:")

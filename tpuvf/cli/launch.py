@@ -184,7 +184,20 @@ def launch(desc: str, num_frames: Optional[int] = None, quiet: bool = False,
     return n
 
 
+def _apply_platform_override():
+    """TPUVF_PLATFORM=cpu forces the CPU backend (the container pins
+    jax_platforms to a remote TPU tunnel; env vars alone cannot override)."""
+    import os
+
+    plat = os.environ.get("TPUVF_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def main(argv=None) -> int:
+    _apply_platform_override()
     argv = list(sys.argv[1:] if argv is None else argv)
     num_frames = None
     batch = 0
