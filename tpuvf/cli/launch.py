@@ -110,14 +110,18 @@ def parse_pipeline(desc: str) -> Pipeline:
             continue
         if _is_pad_ref(tok):
             name, _, pad = tok.partition(".")
-            if name not in named:
-                raise ParseError(f"pad reference to unknown element {name!r}")
-            target = named[name]
             if pending_link:
-                # chain tail: upstream ! name.pad
+                # chain tail: upstream ! name.pad — the named element may be
+                # declared later in the string (gst-launch forward refs)
                 if current is None and pending_src_ref is None:
                     raise ParseError(f"pad ref {tok!r} with no upstream")
-                finish_link(target, sink_pad=pad or None)
+                if current is None:
+                    raise ParseError(
+                        "linking two pad references directly is unsupported")
+                deferred.append(
+                    (current, pending_caps, name, pad or None, "to"))
+                pending_link = False
+                pending_caps = None
                 current = None
             else:
                 # chain head: name. ! downstream
@@ -150,12 +154,16 @@ def parse_pipeline(desc: str) -> Pipeline:
             finish_link(elem)
         current = elem
 
-    # resolve deferred src-pad references (aggregator src -> downstream)
-    for downstream, caps, name, pad, direction in deferred:
+    # resolve deferred pad references (both directions; names may appear
+    # anywhere in the string)
+    for other, caps, name, pad, direction in deferred:
         if name not in named:
             raise ParseError(f"unknown element {name!r} in pad reference")
-        upstream = named[name]
-        pipe.link(upstream, downstream, caps=caps)
+        target = named[name]
+        if direction == "to":
+            pipe.link(other, target, caps=caps, sink_pad=pad)
+        else:  # "from": target's src pad feeds `other`
+            pipe.link(target, other, caps=caps)
     return pipe
 
 
