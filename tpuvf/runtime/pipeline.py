@@ -471,6 +471,13 @@ class Pipeline:
         sources = self.sources
         sink = self.sinks[0] if self.sinks else None
         sink_spec = self._incoming(sink)[0].spec if sink else None
+        if sink is not None and any(
+            getattr(self._incoming(sink)[0].upstream, "HOST_CODEC", False)
+            for _ in (0,)
+        ):
+            raise ValueError(
+                "run_batched does not support host-codec elements (pngenc); "
+                "use run()")
         src_specs = {
             s.name: self._outgoing(s)[0].spec for s in sources
         }
