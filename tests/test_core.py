@@ -126,18 +126,20 @@ def test_png_16bit_high_byte():
     assert got.shape[-1] == 4
 
 
-def test_png_interlaced_rejected():
+@pytest.mark.parametrize("shape", [(37, 53, 3), (16, 16, 4), (9, 7), (1, 1, 4)])
+def test_png_adam7_interlaced(shape):
+    """Adam7 round trip through our encoder/decoder, cross-read by PIL."""
     from PIL import Image
 
-    img = np.zeros((16, 16, 3), np.uint8)
-    buf = io.BytesIO()
-    Image.fromarray(img).save(buf, format="PNG", interlace=True)
-    data = buf.getvalue()
-    # PIL may silently write non-interlaced for tiny images; only assert
-    # when the header really says Adam7
-    if data[28] == 1:
-        with pytest.raises(png.PngError):
-            png.decode(data)
+    img = RNG.integers(0, 255, shape, dtype=np.uint8)
+    data = png.encode(img, interlace=True)
+    assert data[28] == 1  # Adam7 header
+    got = png.decode(data)
+    want = img if img.ndim == 3 else img[..., None]
+    np.testing.assert_array_equal(got[..., : want.shape[-1]], want)
+    # PIL agrees our interlaced stream is valid
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGBA"))
+    np.testing.assert_array_equal(got, pil)
 
 
 def test_png_truncated():

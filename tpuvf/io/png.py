@@ -4,8 +4,8 @@ The reference uses CGImageSource/CGBitmapContext for PNG decode (overlay
 images, PNG LUTs — metaloverlayrenderer.m:180-264, metalvideofilterrenderer.m
 :166-305) and gstreamer's pngenc for test fixtures.  This environment has no
 image library baked in, so the framework ships its own: 8/16-bit, color
-types 0/2/3/4/6, filters 0-4, non-interlaced (Adam7 unsupported — rejected
-with a clear error).  Decode output is always (H, W, 4) uint8 RGBA.
+types 0/2/3/4/6, filters 0-4, both non-interlaced and Adam7-interlaced
+streams.  Decode output is always (H, W, 4) uint8 RGBA.
 """
 
 from __future__ import annotations
@@ -84,6 +84,36 @@ def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray
     return out
 
 
+# Adam7 pass layout: (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _decode_adam7(raw: np.ndarray, width: int, height: int, nch: int,
+                  bps: int) -> np.ndarray:
+    """Deinterlace an Adam7 stream: 7 independently-filtered sub-images
+    scattered onto the output grid.  Returns (H, W, nch*bps) bytes."""
+    bpp = nch * bps
+    out = np.zeros((height, width, bpp), np.uint8)
+    pos = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (width - x0 + xs - 1) // xs
+        ph = (height - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * bpp
+        need = ph * (1 + stride)
+        sub = raw[pos: pos + need]
+        if len(sub) < need:
+            raise PngError("truncated Adam7 pass data")
+        pos += need
+        rows = _unfilter(sub.reshape(ph, 1 + stride), ph, stride, bpp)
+        out[y0::ys, x0::xs] = rows.reshape(ph, pw, bpp)
+    return out
+
+
 def decode(data: bytes) -> np.ndarray:
     """PNG bytes -> (H, W, 4) uint8 RGBA."""
     if data[:8] != _SIGNATURE:
@@ -110,8 +140,8 @@ def decode(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise PngError("missing IHDR")
     width, height, depth, color_type, comp, filt, interlace = ihdr
-    if interlace:
-        raise PngError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise PngError(f"unknown interlace method {interlace}")
     if comp or filt:
         raise PngError("unsupported compression/filter method")
     if color_type not in _CHANNELS:
@@ -123,6 +153,8 @@ def decode(data: bytes) -> np.ndarray:
     raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
 
     if color_type == 3 and depth < 8:
+        if interlace:
+            raise PngError("interlaced sub-byte palette PNG not supported")
         # unpack sub-byte palette indices
         bits_per_row = width * depth
         stride = (bits_per_row + 7) // 8
@@ -136,14 +168,17 @@ def decode(data: bytes) -> np.ndarray:
     else:
         bytes_per_sample = depth // 8
         bpp = nch * bytes_per_sample
-        stride = width * bpp
-        raw = raw[: height * (1 + stride)].reshape(height, 1 + stride)
-        rows = _unfilter(raw, height, stride, bpp)
-        if depth == 16:
-            rows = rows.reshape(height, width, nch, 2)[..., 0]  # high byte
-            channels = rows
+        if interlace:
+            channels = _decode_adam7(raw, width, height, nch, bytes_per_sample)
         else:
-            channels = rows.reshape(height, width, nch)
+            stride = width * bpp
+            raw = raw[: height * (1 + stride)].reshape(height, 1 + stride)
+            channels = _unfilter(raw, height, stride, bpp).reshape(
+                height, width, nch * bytes_per_sample)
+        if depth == 16:
+            channels = channels.reshape(height, width, nch, 2)[..., 0]
+        else:
+            channels = channels.reshape(height, width, nch)
 
     out = np.zeros((height, width, 4), np.uint8)
     if color_type == 0:  # gray
@@ -181,18 +216,33 @@ def decode_premultiplied(data: bytes) -> np.ndarray:
     return rgba.astype(np.uint8)
 
 
-def encode(rgba: np.ndarray, color_type: int | None = None) -> bytes:
-    """(H, W, 3|4) or (H, W) uint8 -> PNG bytes (filter 0, one IDAT)."""
+def encode(rgba: np.ndarray, color_type: int | None = None,
+           interlace: bool = False) -> bytes:
+    """(H, W, 3|4) or (H, W) uint8 -> PNG bytes (filter 0 rows, one IDAT;
+    optionally Adam7 interlaced)."""
     arr = np.asarray(rgba, np.uint8)
     if arr.ndim == 2:
         arr = arr[..., None]
     h, w, nch = arr.shape
     if color_type is None:
         color_type = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
-    rows = np.concatenate(
-        [np.zeros((h, 1), np.uint8), arr.reshape(h, w * nch)], axis=1
-    )
-    compressed = zlib.compress(rows.tobytes(), 9)
+    if interlace:
+        parts = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = arr[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            ph, pw = sub.shape[:2]
+            rows = np.concatenate(
+                [np.zeros((ph, 1), np.uint8), sub.reshape(ph, pw * nch)],
+                axis=1)
+            parts.append(rows.tobytes())
+        compressed = zlib.compress(b"".join(parts), 9)
+    else:
+        rows = np.concatenate(
+            [np.zeros((h, 1), np.uint8), arr.reshape(h, w * nch)], axis=1
+        )
+        compressed = zlib.compress(rows.tobytes(), 9)
 
     def chunk(ctype: bytes, payload: bytes) -> bytes:
         body = ctype + payload
@@ -200,7 +250,8 @@ def encode(rgba: np.ndarray, color_type: int | None = None) -> bytes:
             ">I", zlib.crc32(body) & 0xFFFFFFFF
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0,
+                       1 if interlace else 0)
     return (
         _SIGNATURE
         + chunk(b"IHDR", ihdr)
