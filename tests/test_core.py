@@ -147,3 +147,12 @@ def test_png_truncated():
     data = png.encode(img)
     with pytest.raises(Exception):
         png.decode(data[:30])
+
+
+def test_capsfilter_colorimetry():
+    f = CapsFilter.parse("video/x-raw,width=1920,height=1080,colorimetry=bt601")
+    spec = f.apply(FrameSpec(VideoFormat.NV12, 320, 240))
+    assert spec.matrix == "bt601"  # explicit colorimetry beats the HD default
+    f2 = CapsFilter.parse("video/x-raw,colorimetry=bt709")
+    assert f2.apply(FrameSpec(VideoFormat.NV12, 320, 240)).matrix == "bt709"
+    assert not f2.accepts(FrameSpec(VideoFormat.NV12, 320, 240))  # bt601 default

@@ -130,6 +130,7 @@ class CapsFilter:
     fps: Fraction | None = None
     par: Fraction | None = None
     interlaced: bool | None = None
+    matrix: str | None = None  # explicit colorimetry constraint
 
     @classmethod
     def parse(cls, text: str) -> "CapsFilter":
@@ -162,9 +163,13 @@ class CapsFilter:
                 fields["par"] = Fraction.parse(val)
             elif key == "interlace-mode":
                 fields["interlaced"] = val == "interleaved"
-            elif key in ("colorimetry", "chroma-site"):
-                # accepted but not constrained at this level
-                pass
+            elif key == "colorimetry":
+                # map GStreamer colorimetry strings to the YUV matrix
+                # (vf_metal_color_matrix_for_frame: BT.709 else BT.601)
+                fields["matrix"] = (
+                    "bt709" if "709" in val else "bt601")
+            elif key == "chroma-site":
+                pass  # accepted but not constrained
             else:
                 raise ValueError(f"unsupported caps field {key!r}")
         return cls(**fields)
@@ -181,6 +186,8 @@ class CapsFilter:
         if self.par is not None and spec.par != self.par:
             return False
         if self.interlaced is not None and spec.interlaced != self.interlaced:
+            return False
+        if self.matrix is not None and spec.matrix != self.matrix:
             return False
         return True
 
@@ -199,7 +206,9 @@ class CapsFilter:
             kw["par"] = self.par
         if self.interlaced is not None:
             kw["interlaced"] = self.interlaced
-        if "width" in kw or "height" in kw:
+        if self.matrix is not None:
+            kw["matrix"] = self.matrix
+        elif "width" in kw or "height" in kw:
             # size change re-derives the default colorimetry (HD -> BT.709,
             # SD -> BT.601), like caps renegotiation would; a spec whose
             # matrix was derived from its old size must not leak it
