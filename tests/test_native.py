@@ -138,16 +138,80 @@ class TestJpeg:
         diff = np.abs(got[..., :3].astype(int) - want.astype(int))
         assert diff.mean() < 3.0
 
-    def test_progressive_rejected(self):
+    def test_progressive_gradient_420(self):
+        h, w = 64, 80
+        img = np.zeros((h, w, 3), np.uint8)
+        img[..., 0] = np.linspace(0, 255, w, dtype=np.uint8)[None, :]
+        img[..., 1] = np.linspace(255, 0, h, dtype=np.uint8)[:, None]
+        img[..., 2] = 128
+        got, want = self._roundtrip(img, quality=95, progressive=True)
+        diff = np.abs(got[..., :3].astype(int) - want.astype(int))
+        assert diff.mean() < 2.0 and diff.max() <= 40
+
+    def test_progressive_noise_444(self):
+        rng2 = np.random.default_rng(3)
+        img = rng2.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+        got, want = self._roundtrip(img, quality=92, subsampling=0,
+                                    progressive=True)
+        diff = np.abs(got[..., :3].astype(int) - want.astype(int))
+        assert diff.mean() < 1.0
+
+    def test_progressive_gray(self):
+        img = np.tile(np.linspace(0, 255, 64, dtype=np.uint8), (32, 1))
+        got, want = self._roundtrip(img, quality=90, progressive=True)
+        diff = np.abs(got[..., 0].astype(int) - want[..., 0].astype(int))
+        assert diff.mean() < 1.0
+
+    def test_progressive_restart_markers(self):
+        img = np.full((48, 48, 3), 90, np.uint8)
+        img[10:30, 10:30] = (200, 50, 120)
+        got, want = self._roundtrip(img, quality=90, progressive=True,
+                                    restart_marker_blocks=2)
+        diff = np.abs(got[..., :3].astype(int) - want.astype(int))
+        assert diff.mean() < 3.0
+
+    def test_progressive_odd_dims_444(self):
+        rng2 = np.random.default_rng(7)
+        img = rng2.integers(0, 255, (37, 23, 3), dtype=np.uint8)
+        got, want = self._roundtrip(img, quality=95, subsampling=0,
+                                    progressive=True)
+        diff = np.abs(got[..., :3].astype(int) - want.astype(int))
+        assert diff.mean() < 1.0
+
+    def test_malformed_inputs_rejected_not_crash(self):
+        """File-controlled table ids / truncated segments must error cleanly
+        (round-1 advisory: OOB writes on DQT/DHT id > 3, reads past se)."""
         import io
         from PIL import Image
         from tpuvf.native import jpeg as njpeg
 
-        img = np.zeros((32, 32, 3), np.uint8)
+        img = np.full((16, 16, 3), 128, np.uint8)
         buf = io.BytesIO()
-        Image.fromarray(img).save(buf, format="JPEG", progressive=True)
+        Image.fromarray(img).save(buf, format="JPEG", quality=90)
+        data = bytearray(buf.getvalue())
+
+        # corrupt the DQT table id to 0x0F (would index qt[15] unchecked)
+        dqt = bytes(data).find(b"\xff\xdb")
+        assert dqt >= 0
+        bad = bytearray(data)
+        bad[dqt + 4] = 0x0F
         with pytest.raises(Exception):
-            njpeg.decode(buf.getvalue())
+            njpeg.decode(bytes(bad))
+
+        # corrupt a DHT table id
+        dht = bytes(data).find(b"\xff\xc4")
+        assert dht >= 0
+        bad = bytearray(data)
+        bad[dht + 4] = 0x3F
+        with pytest.raises(Exception):
+            njpeg.decode(bytes(bad))
+
+        # truncate mid-segment at every marker boundary
+        for cut in (4, 6, dqt + 3, dht + 3, len(data) // 2):
+            try:
+                njpeg.decode(bytes(data[:cut]))
+            except Exception:
+                pass  # must raise or succeed, never crash
 
     def test_overlay_element_loads_jpeg(self, tmp_path):
         import io

@@ -1,4 +1,4 @@
-"""Baseline JPEG decode via the native library (jpeg.cc)."""
+"""JPEG decode (baseline + progressive) via the native library (jpeg.cc)."""
 
 from __future__ import annotations
 
@@ -14,9 +14,9 @@ class JpegError(ValueError):
 
 
 _ERRORS = {
-    1: "not a JPEG", 2: "bad marker stream", 3: "truncated segment",
+    1: "not a JPEG", 2: "bad marker stream", 3: "truncated/invalid segment",
     4: "unsupported precision/component count", 5: "sampling beyond 2x2",
-    6: "progressive/extended JPEG unsupported (baseline only)",
+    6: "lossless/arithmetic/hierarchical JPEG unsupported",
     7: "missing SOF before SOS", 8: "no scan data",
 }
 
