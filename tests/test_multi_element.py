@@ -102,21 +102,38 @@ def test_passthrough_chain_elides_everything():
 
 
 def test_pipeline_error_reports_element(tmp_path):
-    """A bad mid-run failure surfaces as PipelineError naming an element."""
+    """A mid-run failure surfaces as PipelineError; attribution bisects the
+    eager step, so a stage failure names the stage while an unreproducible
+    fused-program failure reports '<pipeline>' (never a wrong element)."""
     from tpuvf.runtime.observability import PipelineError
 
     pipe = parse_pipeline(
         SRC64.format(fmt="BGRA") + "! vfmetalvideofilter gamma=0.5 ! appsink")
     pipe.negotiate()
     pipe.build()
-    # sabotage the compiled step to simulate a device-side failure
+
+    # 1) failure inside a stage's kernels -> named element
+    stage = next(s for s in pipe._stages if not s.passthrough)
+
+    def stage_boom(*a, **k):
+        raise RuntimeError("kernel failure")
+
+    orig = stage.process
+    stage.process = stage_boom
+    with pytest.raises(PipelineError) as ei:
+        pipe.run()
+    assert "videofilter" in str(ei.value)
+    stage.process = orig
+
+    # 2) failure only in the fused dispatch (not reproducible per-stage)
+    #    -> honest '<pipeline>' attribution, not a guessed element
     def boom(*a, **k):
         raise RuntimeError("device lost")
 
     pipe._step = boom
     with pytest.raises(PipelineError) as ei:
         pipe.run()
-    assert "videofilter" in str(ei.value)
+    assert "<pipeline>" in str(ei.value)
 
 def test_run_batched_matches_per_frame():
     """Batched scan execution produces the same frames as the per-frame

@@ -141,3 +141,97 @@ def test_inspect_main(capsys):
     assert "vfconvertscale" in out
     assert inspect_main(["vfmetaltransform"]) == 0
     assert inspect_main(["nope"]) == 1
+
+
+# -- codec-chain placement + failure attribution (round-2 hardening) ---------
+
+def test_pngenc_behind_queue_still_encodes(tmp_path):
+    """pngenc ! queue ! filesink must encode (the codec walk crosses
+    passthrough elements) — previously wrote raw plane bytes silently."""
+    out = str(tmp_path / "frame.png")
+    launch(
+        "videotestsrc num-buffers=1 pattern=smpte "
+        "! video/x-raw,format=RGBA,width=64,height=48 "
+        f"! pngenc ! queue ! filesink location={out}", quiet=True)
+    img = png.read(out)
+    assert img.shape == (48, 64, 4)
+
+
+def test_pngenc_not_at_sink_edge_rejected(tmp_path):
+    """A codec feeding a non-passthrough element can't encode host-side:
+    reject the graph loudly instead of writing unencoded bytes."""
+    out = str(tmp_path / "frame.png")
+    with pytest.raises(Exception, match="host-codec"):
+        launch(
+            "videotestsrc num-buffers=1 "
+            "! video/x-raw,format=RGBA,width=64,height=48 "
+            "! pngenc ! vfmetalvideofilter brightness=0.2 "
+            f"! filesink location={out}", quiet=True)
+
+
+def test_pngenc_in_run_batched(tmp_path):
+    out = str(tmp_path / "frames.png")
+    p = parse_pipeline(
+        "videotestsrc num-buffers=5 "
+        "! video/x-raw,format=RGBA,width=32,height=24 "
+        f"! pngenc ! filesink location={out}")
+    p.negotiate()
+    p.build()
+    assert p.run_batched(5, batch_size=2) == 5
+    data = open(out, "rb").read()
+    assert data.count(b"\x89PNG\r\n\x1a\n") == 5  # 5 encoded streams
+    img = png.decode(data[:data.index(b"\x89PNG", 1)])
+    assert img.shape == (24, 32, 4)
+
+
+def test_multiple_sinks_rejected():
+    from tpuvf.core.registry import make
+    from tpuvf.runtime.pipeline import Pipeline
+
+    p = Pipeline()
+    src = p.add(make("videotestsrc", "src"))
+    src.set_property("num-buffers", 1)
+    s1 = p.add(make("fakesink", "s1"))
+    s2 = p.add(make("fakesink", "s2"))
+    p.link(src, s1)
+    p.link(src, s2)
+    with pytest.raises(ValueError, match="sink"):
+        p.negotiate()
+
+
+def _two_filter_pipeline():
+    from tpuvf.core.registry import make
+    from tpuvf.runtime.pipeline import Pipeline
+
+    p = Pipeline()
+    src = p.add(make("videotestsrc", "src"))
+    src.set_property("num-buffers", 1)
+    first = p.add(make("vfmetalvideofilter", "firstfilter"))
+    first.set_property("brightness", 0.3)
+    second = p.add(make("vfmetalvideofilter", "secondfilter"))
+    second.set_property("contrast", 1.5)
+    sink = p.add(make("fakesink", "sink"))
+    p.link(src, first)
+    p.link(first, second)
+    p.link(second, sink)
+    p.negotiate()
+    p.build()
+    return p
+
+
+def test_failure_attribution_names_failing_element():
+    """PipelineError must name the element whose stage raised, not the last
+    active element (round-1: _locate_failure always blamed the last)."""
+    from tpuvf.runtime.pipeline import PipelineError
+
+    p = _two_filter_pipeline()
+    stage = next(s for s in p._stages if s.element.name == "firstfilter")
+
+    def boom(planes, state, params):
+        raise RuntimeError("injected kernel failure")
+
+    stage.process = boom  # the step closure reads st.process at trace time
+    with pytest.raises(PipelineError) as ei:
+        p.run(1)
+    assert ei.value.element == "firstfilter"
+    assert ei.value.frame_index == 0

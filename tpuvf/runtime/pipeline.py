@@ -57,6 +57,16 @@ class CompiledStage:
     process: Optional[callable] = None
 
 
+class _StageFailure(Exception):
+    """Internal: tags an exception with the stage (element) that raised it
+    while tracing/executing the composed step."""
+
+    def __init__(self, element_name: str, cause: Exception):
+        super().__init__(f"{element_name}: {cause}")
+        self.element_name = element_name
+        self.cause = cause
+
+
 class Pipeline:
     def __init__(self):
         self.elements: List[Element] = []
@@ -120,6 +130,11 @@ class Pipeline:
     def negotiate(self) -> None:
         from tpuvf.elements.compositor import Compositor  # circular-safe
 
+        if len(self.sinks) > 1:
+            raise ValueError(
+                f"pipeline has {len(self.sinks)} sinks "
+                f"({[s.name for s in self.sinks]}); only one sink per "
+                f"pipeline is supported")
         for e in self.elements:
             ins, outs = self._incoming(e), self._outgoing(e)
             if isinstance(e, SourceElement):
@@ -252,19 +267,27 @@ class Pipeline:
                 if st.passthrough:
                     produced[id(e)] = value_of(incoming[id(e)][0].upstream)
                     continue
-                if isinstance(e, Compositor):
-                    pad_inputs = {
-                        (l.sink_pad or ""): value_of(l.upstream)
-                        for l in incoming[id(e)]
-                    }
-                    out, new_state[e.name] = st.process(
-                        pad_inputs, state.get(e.name, ()), params.get(e.name, {})
-                    )
-                else:
-                    src = value_of(incoming[id(e)][0].upstream)
-                    out, new_state[e.name] = st.process(
-                        src, state.get(e.name, ()), params.get(e.name, {})
-                    )
+                try:
+                    if isinstance(e, Compositor):
+                        pad_inputs = {
+                            (l.sink_pad or ""): value_of(l.upstream)
+                            for l in incoming[id(e)]
+                        }
+                        out, new_state[e.name] = st.process(
+                            pad_inputs, state.get(e.name, ()),
+                            params.get(e.name, {})
+                        )
+                    else:
+                        src = value_of(incoming[id(e)][0].upstream)
+                        out, new_state[e.name] = st.process(
+                            src, state.get(e.name, ()), params.get(e.name, {})
+                        )
+                except _StageFailure:
+                    raise
+                except Exception as exc:
+                    # tags trace-time failures with the real element; runtime
+                    # (post-compile) failures are bisected in _locate_failure
+                    raise _StageFailure(e.name, exc) from exc
                 produced[id(e)] = out
             if sink is not None:
                 out = value_of(incoming[id(sink)][0].upstream)
@@ -273,7 +296,38 @@ class Pipeline:
                 out = value_of(last)
             return out, new_state
 
+        self._step_py = step  # eager variant for failure bisection
         self._step = jax.jit(step, donate_argnums=(1,))
+        self._codec_chain = self._collect_codec_chain(stage_by_elem)
+
+    def _collect_codec_chain(self, stage_by_elem) -> List[Element]:
+        """Host-side encoder chain at the sink edge, walking upstream through
+        passthrough-elided elements (so `pngenc ! queue ! filesink` encodes).
+        Any HOST_CODEC element NOT reachable this way would silently write
+        unencoded bytes — reject the graph instead."""
+        codecs: List[Element] = []
+        sink = self.sinks[0] if self.sinks else None
+        node = self._incoming(sink)[0].upstream if sink is not None else None
+        while node is not None:
+            if getattr(node, "HOST_CODEC", False):
+                codecs.append(node)
+            else:
+                st = stage_by_elem.get(id(node))
+                if st is None or not st.passthrough:
+                    break
+            ins = self._incoming(node)
+            node = ins[0].upstream if ins else None
+        codecs.reverse()
+        stray = [
+            e.name for e in self.elements
+            if getattr(e, "HOST_CODEC", False) and e not in codecs
+        ]
+        if stray:
+            raise ValueError(
+                f"host-codec element(s) {stray} must form a contiguous chain "
+                f"directly upstream of the sink (only passthrough elements "
+                f"in between)")
+        return codecs
 
     # -- execution ---------------------------------------------------------
 
@@ -356,6 +410,8 @@ class Pipeline:
         fresh (change_state, gstvfmetalconvertscale.m:430-455)."""
         self._stages = []
         self._step = None
+        self._step_py = None
+        self._codec_chain = []
         self._state = None
         self._negotiated = False
 
@@ -383,14 +439,9 @@ class Pipeline:
             outs = self._outgoing(s)
             src_specs[s.name] = outs[0].spec
 
-        # host-side encoder chain directly upstream of the sink
-        codecs = []
-        if sink is not None:
-            node = self._incoming(sink)[0].upstream
-            while getattr(node, "HOST_CODEC", False):
-                codecs.append(node)
-                node = self._incoming(node)[0].upstream
-            codecs.reverse()
+        # host-side encoder chain at the sink edge (computed at build time,
+        # walks through passthrough elements)
+        codecs = self._codec_chain
 
         # params (incl. weight buffers) staged to device once per run
         dev_params = self._stage_params()
@@ -408,12 +459,16 @@ class Pipeline:
                     k: jax.device_put(v) for k, v in planes.items()
                 }
             try:
+                # publish the live scan-carried state so a structural
+                # rebuild merges the CURRENT carry, not the run-start one
+                self._state = state
                 if self._maybe_rebuild():
                     state = self._state
                     dev_params = self._stage_params()
+                    codecs = self._codec_chain
+                frame_params = self._frame_params(dev_params)
                 with trace(f"tpuvf.step[{i}]"):
-                    out, state = self._step(
-                        inputs, state, self._frame_params(dev_params))
+                    out, state = self._step(inputs, state, frame_params)
                 # overlap: consume frame i-1 while frame i computes (jax
                 # dispatch is async; the device round trip of the previous
                 # frame's readback hides behind this frame's compute)
@@ -422,17 +477,23 @@ class Pipeline:
                 pending = (out, i) if sink is not None else None
             except PipelineError:
                 raise
+            except _StageFailure as sf:
+                raise PipelineError(sf.element_name, i, sf.cause) from sf
             except Exception as exc:
                 # per-frame device failure -> flow error with element context
-                # (the MTLCommandBufferStatusError -> GST_FLOW_ERROR analog)
-                raise PipelineError(self._locate_failure(), i, exc) from exc
+                # (the MTLCommandBufferStatusError -> GST_FLOW_ERROR analog);
+                # the fused program can't attribute, so bisect eagerly
+                raise PipelineError(
+                    self._locate_failure(inputs, frame_params), i, exc
+                ) from exc
             count += 1
         if pending is not None:
             try:
                 self._consume(sink, codecs, sink_spec, *pending)
             except Exception as exc:
                 raise PipelineError(
-                    self._locate_failure(), pending[1], exc) from exc
+                    sink.name if sink is not None else "<pipeline>",
+                    pending[1], exc) from exc
         self._state = state
         self.stats.frames += count
         self.stats.wall_seconds += time.perf_counter() - t_run
@@ -441,9 +502,25 @@ class Pipeline:
             sink.finalize()
         return count
 
-    def _locate_failure(self) -> str:
-        active = [s.element.name for s in self._stages if not s.passthrough]
-        return active[-1] if active else "<pipeline>"
+    def _locate_failure(self, inputs=None, params=None) -> str:
+        """Attribute a runtime failure inside the fused program by re-running
+        the step eagerly (op by op) on fresh state: _StageFailure then names
+        the stage whose ops raise.  Best-effort — if the eager re-run can't
+        reproduce, fall back to '<pipeline>'."""
+        if inputs is None or self._step_py is None:
+            return "<pipeline>"
+        try:
+            fresh = {
+                st.element.name: st.element.init_state(st.in_spec, st.out_spec)
+                for st in self._stages if not st.passthrough
+            }
+            with jax.disable_jit():
+                self._step_py(inputs, fresh, params)
+        except _StageFailure as sf:
+            return sf.element_name
+        except Exception:
+            pass
+        return "<pipeline>"
 
     def _consume(self, sink, codecs, sink_spec, out, index) -> None:
         host_planes = {k: np.asarray(v) for k, v in out.items()}
@@ -471,13 +548,7 @@ class Pipeline:
         sources = self.sources
         sink = self.sinks[0] if self.sinks else None
         sink_spec = self._incoming(sink)[0].spec if sink else None
-        if sink is not None and any(
-            getattr(self._incoming(sink)[0].upstream, "HOST_CODEC", False)
-            for _ in (0,)
-        ):
-            raise ValueError(
-                "run_batched does not support host-codec elements (pngenc); "
-                "use run()")
+        codecs = self._codec_chain
         src_specs = {
             s.name: self._outgoing(s)[0].spec for s in sources
         }
@@ -506,9 +577,6 @@ class Pipeline:
             dp_run = None
         batch_fn = jax.jit(batch_step)
         dev_params = jax.device_put(self.params())
-        if dp_run is not None and num_frames % batch_size != 0:
-            raise ValueError(
-                "mesh mode needs num_frames divisible by batch_size")
         state = self._state
         dp_state = self._state  # tiled after the first dp_run call
         dp_tiled = False
@@ -516,6 +584,10 @@ class Pipeline:
         t_run = time.perf_counter()
         while done < num_frames:
             n = min(batch_size, num_frames - done)
+            # mesh mode shards the batch axis, so the compiled shape is
+            # fixed at batch_size: pad a short tail by repeating the last
+            # frame and drop the padded outputs after readback
+            pad = batch_size - n if dp_run is not None else 0
             stacked = {}
             for s in sources:
                 spec = src_specs[s.name]
@@ -524,7 +596,7 @@ class Pipeline:
                     for i in range(n)
                 ]
                 stacked[s.name] = {
-                    k: np.stack([f[k] for f in frames])
+                    k: np.stack([f[k] for f in frames] + [frames[-1][k]] * pad)
                     for k in frames[0]
                 }
             if dp_run is not None:
@@ -538,6 +610,8 @@ class Pipeline:
                 for i in range(n):
                     payload = planes_to_host(
                         {k: v[i] for k, v in host.items()}, sink_spec)
+                    for codec in codecs:
+                        payload = codec.encode(payload, sink_spec)
                     sink.consume(payload, sink_spec, done + i)
             done += n
         self._state = state
