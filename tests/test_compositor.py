@@ -344,3 +344,161 @@ def test_zero_size_is_unscaled_false():
     pad = CompositorPadConfig("sink_0", spec, bag)
     w, h, xo, yo = pad.output_size(comp, Fraction(1, 1))
     assert (w, h) == (0, 0)  # pad skipped
+
+
+# -- round 2: timestamps, traced geometry, inactive pads ----------------------
+
+def _run_collect(pipeline_str, n=None):
+    pipe = parse_pipeline(pipeline_str)
+    pipe.negotiate()
+    pipe.build()
+    pipe.run(n)
+    return pipe, [f.copy() for f in pipe.sinks[0].frames]
+
+
+def test_timestamp_aggregation_mixed_rates():
+    """30 fps + 15 fps pads into a 30 fps composite: each slow-pad buffer is
+    shown twice (latest-buffer-by-pts selection, the GstVideoAggregator
+    model; gstvfmetalcompositor.m:574-684)."""
+    pipe, frames = _run_collect(
+        "vfmetalcompositor name=c background=black sink_1::xpos=32 "
+        "! video/x-raw,format=RGBA,width=64,height=24 ! appsink "
+        "videotestsrc num-buffers=4 pattern=ball "
+        "! video/x-raw,format=RGBA,width=32,height=24,framerate=30/1 ! c.sink_0 "
+        "videotestsrc num-buffers=2 pattern=snow "
+        "! video/x-raw,format=RGBA,width=32,height=24,framerate=15/1 ! c.sink_1 "
+    )
+    assert len(frames) == 4
+    slow = [f[:, 32:, :] for f in frames]
+    # slow pad buffer 0 covers output frames 0-1, buffer 1 covers 2-3
+    np.testing.assert_array_equal(slow[0], slow[1])
+    np.testing.assert_array_equal(slow[2], slow[3])
+    assert (slow[0] != slow[2]).any()
+
+
+def test_eos_pad_freezes_last_frame_by_default():
+    """A pad whose stream ended holds its last buffer (frozen frame) while
+    other pads continue — aggregator EOS semantics."""
+    _, frames = _run_collect(
+        "vfmetalcompositor name=c background=black sink_1::xpos=32 "
+        "! video/x-raw,format=RGBA,width=64,height=24 ! appsink "
+        "videotestsrc num-buffers=4 pattern=ball "
+        "! video/x-raw,format=RGBA,width=32,height=24,framerate=25/1 ! c.sink_0 "
+        "videotestsrc num-buffers=2 pattern=snow "
+        "! video/x-raw,format=RGBA,width=32,height=24,framerate=25/1 ! c.sink_1 "
+    )
+    assert len(frames) == 4  # runs until ALL pads past their last buffer
+    slow = [f[:, 32:, :] for f in frames]
+    assert (slow[0] != slow[1]).any()          # live: distinct snow frames
+    np.testing.assert_array_equal(slow[1], slow[2])  # frozen last buffer
+    np.testing.assert_array_equal(slow[1], slow[3])
+
+
+def test_ignore_inactive_pads_drops_eos_pad():
+    """With ignore-inactive-pads=true the EOS pad stops being drawn."""
+    _, frames = _run_collect(
+        "vfmetalcompositor name=c background=black ignore-inactive-pads=true sink_1::xpos=32 "
+        "! video/x-raw,format=RGBA,width=64,height=24 ! appsink "
+        "videotestsrc num-buffers=4 pattern=ball "
+        "! video/x-raw,format=RGBA,width=32,height=24,framerate=25/1 ! c.sink_0 "
+        "videotestsrc num-buffers=2 pattern=snow "
+        "! video/x-raw,format=RGBA,width=32,height=24,framerate=25/1 ! c.sink_1 "
+    )
+    assert len(frames) == 4
+    slow = [f[:, 32:, :] for f in frames]
+    assert (slow[0] != slow[1]).any()
+    # after EOS: background (black) where the pad was
+    assert (slow[2][..., :3] == 0).all()
+    assert (slow[3][..., :3] == 0).all()
+
+
+def test_late_start_pad_skipped_until_first_buffer():
+    """A pad whose stream starts later (timestamp-offset) is not drawn
+    before its first buffer's pts."""
+    offset_ns = int(2 / 25 * 1e9)  # starts at output frame 2 (25 fps)
+    _, frames = _run_collect(
+        "vfmetalcompositor name=c background=black sink_1::xpos=32 "
+        "! video/x-raw,format=RGBA,width=64,height=24 ! appsink "
+        "videotestsrc num-buffers=4 pattern=ball "
+        "! video/x-raw,format=RGBA,width=32,height=24,framerate=25/1 ! c.sink_0 "
+        f"videotestsrc num-buffers=2 pattern=white timestamp-offset={offset_ns} "
+        "! video/x-raw,format=RGBA,width=32,height=24,framerate=25/1 ! c.sink_1 "
+    )
+    assert len(frames) == 4
+    late = [f[:, 32:, :] for f in frames]
+    assert (late[0][..., :3] == 0).all()   # not started: background
+    assert (late[1][..., :3] == 0).all()
+    assert (late[2][..., :3] == 255).all()  # white pad visible
+    assert (late[3][..., :3] == 255).all()
+
+
+def test_animated_xpos_zero_rebuilds():
+    """xpos/ypos are CONTROLLABLE (gstvfmetalcompositorpad.m:282-315):
+    animating them triggers zero rebuilds and the draw moves."""
+    pipe = parse_pipeline(
+        "vfmetalcompositor name=c background=black "
+        "! video/x-raw,format=RGBA,width=64,height=24 ! appsink "
+        "videotestsrc num-buffers=8 pattern=white "
+        "! video/x-raw,format=RGBA,width=8,height=8 ! c.sink_0 "
+    )
+    pipe.negotiate()
+    pipe.build()
+    comp = pipe["c"]
+    bag = comp.get_pad("sink_0")
+    sink = pipe.sinks[0]
+
+    pipe.run(num_frames=1)
+    assert (sink.frames[0][:8, :8, 0] == 255).all()
+
+    bag.set("xpos", 40)
+    bag.set("ypos", 8)
+    assert not pipe._maybe_rebuild()  # controllable: no structural change
+    pipe.run(num_frames=1)
+    f = sink.frames[-1]
+    assert (f[8:16, 40:48, 0] == 255).all()
+    assert (f[:8, :8, 0] == 0).all()
+
+    # negative position: left/top-cropped, no shift-back
+    bag.set("xpos", -4)
+    bag.set("ypos", -4)
+    assert not pipe._maybe_rebuild()
+    pipe.run(num_frames=1)
+    f = sink.frames[-1]
+    assert (f[:4, :4, 0] == 255).all()
+    assert (f[:4, 4:8, 0] == 0).all() or (f[:4, 4:8, 0] == 255).any() is False
+
+    # fully offscreen: nothing drawn
+    bag.set("xpos", 200)
+    bag.set("ypos", 0)
+    assert not pipe._maybe_rebuild()
+    pipe.run(num_frames=1)
+    assert (pipe.sinks[0].frames[-1][..., :3] == 0).all()
+
+
+def test_golden_negative_position_crop():
+    """Pad partially above/left of the canvas is cropped, matching the
+    numpy oracle's mask semantics."""
+    out, out_spec, in_planes, pad_specs = run_compositor([
+        ("RGBA", 32, 24, {}, None),
+        ("RGBA", 16, 16, {"xpos": -8, "ypos": -4, "alpha": 0.7}, None),
+    ], comp_props={"background": 1})
+    draws = [
+        (in_planes["sink_0"], "RGBA", 0, (0, 0, 32, 24), 1.0, 1),
+        (in_planes["sink_1"], "RGBA", 0, (-8, -4, 16, 16), 0.7, 1),
+    ]
+    want = _oracle_composite(draws, out_spec.width, out_spec.height, 1)
+    assert_planes_close(out, want, tol=2, context="negative pos crop")
+
+
+def test_add_operator_full_coverage_makes_background_transparent():
+    """An opaque full-coverage pad obscures the background even in ADD mode
+    (pad_obscures_rectangle checks alpha/format/containment only,
+    m:328-358): background must be cleared transparent, so ADD composites
+    onto zeros, not onto the checker."""
+    out, out_spec, in_planes, pad_specs = run_compositor([
+        ("NV12", 32, 24, {"operator": 2}, None),
+    ], comp_props={"background": 0})
+    draws = [(in_planes["sink_0"], "NV12", pad_specs["sink_0"].matrix_index,
+              (0, 0, 32, 24), 1.0, 2)]
+    want = _oracle_composite(draws, out_spec.width, out_spec.height, 3)
+    assert_planes_close(out, want, tol=2, context="ADD obscures bg")

@@ -105,3 +105,49 @@ def test_smoke_pipeline(mname):
         "videotestsrc num-buffers=4 ! video/x-raw,format=I420,width=64,height=48 "
         f"! vfmetaldeinterlace method={mname} motion-threshold=0.3 ! fakesink",
         quiet=True) == 4
+
+
+def test_auto_field_order_per_buffer_flip():
+    """A stream whose TFF flag flips mid-run deinterlaces each buffer with
+    its own field order (GST_VIDEO_BUFFER_FLAG_TFF analog,
+    gstvfmetaldeinterlace.m:169-185) — no recompile between frames."""
+    from tpuvf.cli.launch import parse_pipeline
+
+    w, h = 16, 12
+    spec = FrameSpec(VideoFormat.RGBA, w, h)
+    hosts = [np.asarray(random_host_frame(RNG, spec)) for _ in range(3)]
+    tffs = [True, False, True]
+
+    pipe = parse_pipeline(
+        f"appsrc format=RGBA width={w} height={h} "
+        "! vfmetaldeinterlace method=bob field-layout=auto ! appsink")
+    src = pipe.sources[0]
+    for host, tff in zip(hosts, tffs):
+        src.push(host, tff=tff)
+    src.end_of_stream()
+    pipe.negotiate()
+    pipe.build()
+    pipe.run()
+    frames = pipe.sinks[0].frames
+    assert len(frames) == 3
+
+    # bob depends only on the current buffer: each output must equal a
+    # forced-layout single-frame run with that buffer's field order
+    def forced(host, layout):
+        p = parse_pipeline(
+            f"appsrc format=RGBA width={w} height={h} "
+            f"! vfmetaldeinterlace method=bob field-layout={layout} ! appsink")
+        p.sources[0].push(host)
+        p.sources[0].end_of_stream()
+        p.negotiate()
+        p.build()
+        p.run()
+        return p.sinks[0].frames[0]
+
+    for i, (host, tff) in enumerate(zip(hosts, tffs)):
+        layout = "top-field-first" if tff else "bottom-field-first"
+        np.testing.assert_array_equal(frames[i], forced(host, layout),
+                                      err_msg=f"frame {i} tff={tff}")
+    # and the two field orders genuinely differ on this data
+    assert (forced(hosts[1], "top-field-first")
+            != forced(hosts[1], "bottom-field-first")).any()

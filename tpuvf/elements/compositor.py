@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -151,6 +152,7 @@ class Compositor(Element):
         super().__init__(*a, **k)
         self.pads: Dict[str, PropertyBag] = {}
         self._pad_insert_order: Dict[str, int] = {}
+        self._last_pad_specs: Dict[str, FrameSpec] = {}
 
     # -- GstChildProxy analog: request pads ------------------------------
 
@@ -211,15 +213,34 @@ class Compositor(Element):
         fps = out_filter.fps if out_filter and out_filter.fps else best_fps
         return FrameSpec(format=fmt, width=w, height=h, fps=fps, par=out_par)
 
-    # -- static config covers pad props too ------------------------------
+    # -- static config covers the STRUCTURAL pad props only ---------------
+    # xpos/ypos/alpha/operator are GST_PARAM_CONTROLLABLE in the reference
+    # (gstvfmetalcompositorpad.m:282-315): they are traced per frame, so
+    # animating them triggers ZERO rebuilds.  width/height/sizing-policy
+    # change rect shapes (compiled sizes) and zorder changes draw order —
+    # those stay static and rebuild.
+
+    _TRACED_PAD_PROPS = ("xpos", "ypos", "alpha", "operator")
 
     def static_config(self, in_spec, out_spec):
         base = super().static_config(in_spec, out_spec)
         pads = tuple(
-            (name, tuple(sorted(bag.snapshot().items())))
+            (name, tuple(sorted(
+                (k, v) for k, v in bag.snapshot().items()
+                if k not in self._TRACED_PAD_PROPS
+            )))
             for name, bag in sorted(self.pads.items())
         )
         return base + (("pads", pads),)
+
+    def traced_params(self):
+        out = super().traced_params()
+        for name, bag in self.pads.items():
+            out[f"pad.{name}.xpos"] = np.int32(bag.get("xpos"))
+            out[f"pad.{name}.ypos"] = np.int32(bag.get("ypos"))
+            out[f"pad.{name}.alpha"] = np.float32(bag.get("alpha"))
+            out[f"pad.{name}.operator"] = np.int32(bag.get("operator"))
+        return out
 
     def init_state(self, in_spec, out_spec):
         return ()
@@ -246,71 +267,29 @@ class Compositor(Element):
                 return pad.name, ix, iy
         return None
 
-    _last_pad_specs: Dict[str, FrameSpec] = {}
-
     # -- compilation ------------------------------------------------------
 
     def make_aggregate(self, pad_specs: Dict[str, FrameSpec], out_spec: FrameSpec):
+        """Compile the aggregate.  Pad GEOMETRY is traced: xpos/ypos/alpha/
+        operator enter as per-frame params (GST_PARAM_CONTROLLABLE,
+        gstvfmetalcompositorpad.m:282-315), placement uses dynamic slices at
+        traced offsets, and the reference's per-frame CPU prepare decisions
+        (alpha-0 skip, clamped-empty skip, obscured-by-opaque skip,
+        background-obscured transparency, prepare_frame_start m:159-246 +
+        _should_draw_background m:360-385) become traced scalar flags — so
+        animating any controllable pad property recompiles NOTHING.
+
+        Per-pad buffer availability arrives in params["__pad_meta__"] from
+        the runtime clock: 'active' (stream started) and 'eos' (past the
+        last buffer — frozen last frame unless ignore-inactive-pads)."""
         self._last_pad_specs = dict(pad_specs)
         out_w, out_h = out_spec.width, out_spec.height
         out_par = out_spec.par
         pads = self._sorted_pads(pad_specs)
+        ignore_inactive = bool(self.props.get("ignore-inactive-pads"))
 
-        # resolve geometry + skip rules (prepare_frame_start, compositorpad.m)
-        draws = []
-        rects = []
-        for pad in pads:
-            alpha = pad.bag.get("alpha")
-            if alpha == 0.0:
-                rects.append(None)
-                continue
-            w, h, x_off, y_off = pad.output_size(self, out_par)
-            if w == 0 or h == 0:
-                rects.append(None)
-                continue
-            x = pad.bag.get("xpos") + x_off
-            y = pad.bag.get("ypos") + y_off
-            cx0, cy0 = min(max(x, 0), out_w), min(max(y, 0), out_h)
-            cx1 = min(max(x + w, 0), out_w)
-            cy1 = min(max(y + h, 0), out_h)
-            if cx1 - cx0 == 0 or cy1 - cy0 == 0:
-                rects.append(None)
-                continue
-            rects.append((x, y, w, h))
-            draws.append((pad, (x, y, w, h)))
-
-        def obscures(idx_later, rect):
-            """pad_obscures_rectangle: later pad opaque and covering rect."""
-            pad = pads[idx_later]
-            if rects[idx_later] is None:
-                return False
-            if pad.bag.get("alpha") != 1.0:
-                return False
-            if pad.spec.format in RGB_FORMATS:  # has alpha channel
-                return False
-            rx, ry, rw, rh = rects[idx_later]
-            x, y, w, h = rect
-            return rx <= x and ry <= y and rx + rw >= x + w and ry + rh >= y + h
-
-        # cull pads obscured by later (higher-zorder) pads
-        culled = []
-        for i, (pad, rect) in enumerate(zip(pads, rects)):
-            if rect is None:
-                continue
-            later = [j for j in range(len(pads)) if j > i]
-            if any(obscures(j, rect) for j in later):
-                continue
-            culled.append((pad, rect))
-
-        # background (should_draw_background m:360-385)
+        # background canvas (quantized, the cleared target)
         bg_mode = self.props.get("background")
-        full = (0, 0, out_w, out_h)
-        if any(obscures(j, full) for j in range(len(pads))):
-            bg_mode = BG_TRANSPARENT
-        if not culled:
-            pass  # n_pads==0 => draw background anyway (m:605-608)
-
-        # precompute background canvas (quantized, the cleared target)
         if bg_mode == BG_CHECKER:
             ys, xs = np.mgrid[0:out_h, 0:out_w]
             checker = ((xs // 8) + (ys // 8)) % 2
@@ -330,18 +309,17 @@ class Compositor(Element):
         bufs = WeightBuffers(self.name)
         fetch_bg = bufs.add(bg_q, "bg")
 
-        # Per-draw plan.  Pad positions are integers, so an output pixel at
-        # column c inside the rect has texcoord (c - x + 0.5)/w — exactly the
-        # half-texel grid of a w-wide render target.  Each draw therefore
-        # resamples the input to the PAD size (identity/2x fast paths apply;
-        # any dense matmuls are pad-sized, not canvas-sized) and blends into
-        # the canvas rect by slicing — no canvas-sized matmuls or masks.
+        # Per-draw plan.  Rect SIZE (w, h) and centering offsets are static
+        # (width/height/sizing-policy props); each draw resamples the input
+        # to the PAD size (identity/2x fast paths apply; dense matmuls are
+        # pad-sized, not canvas-sized).  The window is (min(h,out_h),
+        # min(w,out_w)) placed by dynamic slices at the traced position.
         compiled_draws = []
-        for pad, (x, y, w, h) in culled:
+        for pad in pads:
+            w, h, x_off, y_off = pad.output_size(self, out_par)
+            if w == 0 or h == 0:
+                continue  # zero-size rect: statically skipped
             spec = pad.spec
-            # visible region of the rect on the canvas
-            vx0, vy0 = max(x, 0), max(y, 0)
-            vx1, vy1 = min(x + w, out_w), min(y + h, out_h)
             if spec.format in RGB_FORMATS:
                 samplers = {"rgba": convert.plan_plane_sampler(
                     spec.width, spec.height, w, h, sample.LINEAR, 1.0, 1.0,
@@ -358,25 +336,96 @@ class Compositor(Element):
             compiled_draws.append(
                 dict(
                     pad=pad,
-                    rect=(x, y, w, h),
-                    visible=(vx0, vy0, vx1, vy1),
+                    size=(w, h),
+                    offsets=(x_off, y_off),
+                    window=(min(h, out_h), min(w, out_w)),
                     samplers=samplers,
-                    alpha=np.float32(pad.bag.get("alpha")),
-                    op=pad.bag.get("operator"),
                     matrix=spec.matrix_index,
                     fmt=spec.format,
+                    # obscuring requires an opaque format (no alpha channel),
+                    # pad_obscures_rectangle m:328-358
+                    opaque_fmt=spec.format not in RGB_FORMATS,
                 )
             )
 
         self._buffers = bufs.buffers
         matrix_out = out_spec.matrix_index
 
+        def pad_param(params, name, prop):
+            return params[f"pad.{name}.{prop}"]
+
+        def pad_meta_flags(params, name):
+            meta = (params.get("__pad_meta__") or {}).get(name) or {}
+            started = meta.get("active")
+            eos = meta.get("eos")
+            started = jnp.float32(1.0) if started is None else started
+            eos = jnp.float32(0.0) if eos is None else eos
+            # eos pads hold their frozen last buffer unless ignored
+            has_buffer = started * (1.0 - eos) if ignore_inactive else started
+            return has_buffer
+
         def process(pad_inputs, state, params):
-            # per-channel canvas planes (tuple dataflow: no (4, H, W) stacks)
-            bg = jnp.asarray(fetch_bg(params))
-            dst = [dequant(bg[c]) for c in range(4)]
+            # -- per-frame prepare pass (traced scalars) ------------------
+            prep = []
             for d in compiled_draws:
+                name = d["pad"].name
+                w, h = d["size"]
+                x_off, y_off = d["offsets"]
+                x = pad_param(params, name, "xpos").astype(jnp.int32) + x_off
+                y = pad_param(params, name, "ypos").astype(jnp.int32) + y_off
+                alpha = pad_param(params, name, "alpha")
+                has_buffer = pad_meta_flags(params, name)
+                # clamped rect (prepare_frame_start m:159-173, 208-215)
+                vx0 = jnp.clip(x, 0, out_w)
+                vy0 = jnp.clip(y, 0, out_h)
+                vx1 = jnp.clip(x + w, 0, out_w)
+                vy1 = jnp.clip(y + h, 0, out_h)
+                nonempty = ((vx1 - vx0) > 0) & ((vy1 - vy0) > 0)
+                visible = (has_buffer * (alpha > 0) *
+                           nonempty.astype(jnp.float32))
+                # does this pad obscure a rect? (alpha==1, opaque format,
+                # has a buffer; containment checked against the UNCLAMPED
+                # pad rect, m:328-358)
+                obscuring = (has_buffer * (alpha >= 1.0)
+                             if d["opaque_fmt"] else jnp.float32(0.0))
+                prep.append(dict(d=d, x=x, y=y, alpha=alpha, visible=visible,
+                                 obscuring=obscuring,
+                                 rect=(vx0, vy0, vx1, vy1)))
+
+            def contains(p_outer, x0, y0, x1, y1):
+                """outer pad's unclamped rect contains [x0,y0,x1,y1]."""
+                w, h = p_outer["d"]["size"]
+                return ((p_outer["x"] <= x0) & (p_outer["y"] <= y0) &
+                        (p_outer["x"] + w >= x1) & (p_outer["y"] + h >= y1))
+
+            # draw flag: visible and not obscured by a LATER (higher-zorder)
+            # obscuring pad containing this pad's clamped rect (m:219-246)
+            for i, p in enumerate(prep):
+                vx0, vy0, vx1, vy1 = p["rect"]
+                not_obscured = jnp.float32(1.0)
+                for q in prep[i + 1:]:
+                    occ = q["obscuring"] * contains(
+                        q, vx0, vy0, vx1, vy1).astype(jnp.float32)
+                    not_obscured = not_obscured * (1.0 - occ)
+                p["draw"] = p["visible"] * not_obscured
+
+            # background: transparent when any pad obscures the full canvas
+            # (_should_draw_background m:360-385)
+            bg_drawn = jnp.float32(1.0)
+            for p in prep:
+                occ = p["obscuring"] * p["visible"] * contains(
+                    p, 0, 0, out_w, out_h).astype(jnp.float32)
+                bg_drawn = bg_drawn * (1.0 - occ)
+
+            # -- render ---------------------------------------------------
+            bg = jnp.asarray(fetch_bg(params))
+            # per-channel canvas planes (tuple dataflow: no (4,H,W) stacks)
+            dst = [dequant(bg[c]) * bg_drawn for c in range(4)]
+            for p in prep:
+                d = p["d"]
                 planes = pad_inputs[d["pad"].name]
+                w, h = d["size"]
+                wh, ww = d["window"]
                 if d["fmt"] in RGB_FORMATS:
                     rgba8 = planes["rgba"]
                     srcs = [
@@ -392,25 +441,52 @@ class Compositor(Element):
                     s_r, s_g, s_b = kcolor.yuv_to_rgb(yv, uv, vv, d["matrix"])
                     s_a = jnp.ones_like(s_r)
                 # fragment: alpha *= pad alpha; premultiply
-                s_a = s_a * d["alpha"]
+                s_a = s_a * p["alpha"]
                 src_p = [s_r * s_a, s_g * s_a, s_b * s_a, s_a]
-                # crop to the visible part of the rect and blend in place
-                x, y, w, h = d["rect"]
-                vx0, vy0, vx1, vy1 = d["visible"]
-                ry, rx = slice(vy0 - y, vy1 - y), slice(vx0 - x, vx1 - x)
-                a_v = src_p[3][..., ry, rx]
+
+                # traced placement: clamp position, then shift the source
+                # inside a zero-padded rect so cropping at canvas edges
+                # falls out of the dynamic slice (no lane gathers)
+                xc = jnp.clip(p["x"], -w, out_w)
+                yc = jnp.clip(p["y"], -h, out_h)
+                sxr = jnp.clip(xc, 0, max(out_w - ww, 0))
+                syr = jnp.clip(yc, 0, max(out_h - wh, 0))
+                shift_x = sxr - xc + ww
+                shift_y = syr - yc + wh
+
+                def window(arr):
+                    padded = jnp.pad(arr, ((wh, wh), (ww, ww)))
+                    return jax.lax.dynamic_slice(
+                        padded, (shift_y, shift_x), (wh, ww))
+
+                win_p = [window(c) for c in src_p]
+                mask = window(jnp.ones((h, w), src_p[0].dtype))
+                a_v = win_p[3]
+                op = jnp.clip(
+                    pad_param(params, d["pad"].name, "operator"), 0, 2)
+                draw = p["draw"]
                 for c in range(4):
-                    src_v = src_p[c][..., ry, rx]
-                    dst_v = dst[c][..., vy0:vy1, vx0:vx1]
-                    if d["op"] == OP_SOURCE:
-                        blended = src_v
-                    elif d["op"] == OP_ADD:
-                        blended = src_v + dst_v
-                    else:  # OVER (premultiplied)
-                        blended = src_v + dst_v * (1.0 - a_v)
+                    src_v = win_p[c]
+                    dst_v = jax.lax.dynamic_slice(
+                        dst[c], (syr, sxr), (wh, ww))
+                    blended = jax.lax.switch(
+                        op,
+                        (
+                            # SOURCE = (one, zero) inside the quad
+                            lambda s, dv, av: jnp.where(mask > 0, s, dv),
+                            # OVER = (one, one-minus-src-alpha) premultiplied
+                            lambda s, dv, av: s + dv * (1.0 - av),
+                            # ADD = (one, one)
+                            lambda s, dv, av: s + dv,
+                        ),
+                        src_v, dst_v, a_v,
+                    )
+                    blended = jnp.where(draw > 0, blended, dst_v)
                     # RGBA8 render-target write quantizes the drawn region
+                    # (idempotent on preserved pixels — already uint8 grid)
                     blended = dequant(quant(blended))
-                    dst[c] = dst[c].at[..., vy0:vy1, vx0:vx1].set(blended)
+                    dst[c] = jax.lax.dynamic_update_slice(
+                        dst[c], blended, (syr, sxr))
             return convert.pack_rgba_t(tuple(dst), out_spec.format,
                                        matrix_out), state
 

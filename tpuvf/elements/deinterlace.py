@@ -78,10 +78,20 @@ class Deinterlace(Element):
         method = cfg["method"]
         layout = cfg["field-layout"]
         w, h = in_spec.width, in_spec.height
-        if layout == FIELD_AUTO:
-            tff = in_spec.tff  # per-stream TFF flag (auto mode)
-        else:
-            tff = layout == FIELD_TFF
+        # auto mode reads the per-BUFFER TFF flag from the frame metadata
+        # (gstvfmetaldeinterlace.m:169-185) as a traced select — a stream
+        # whose field order flips mid-run needs no recompile; the spec's
+        # stream-level flag is the fallback when no metadata flows (e.g.
+        # direct make_process callers)
+        static_tff = in_spec.tff if layout == FIELD_AUTO else (
+            layout == FIELD_TFF)
+
+        def resolve_tff(params):
+            if layout != FIELD_AUTO:
+                return static_tff
+            meta = params.get("__meta__") or {}
+            tff_flag = meta.get("tff")
+            return static_tff if tff_flag is None else (tff_flag != 0)
         matrix_in = in_spec.matrix_index
         matrix_out = out_spec.matrix_index
 
@@ -93,6 +103,7 @@ class Deinterlace(Element):
         self._buffers = bufs.buffers
 
         def process(planes, state, params):
+            tff = resolve_tff(params)
             # input -> RGBA8 (nearest sampling for YUV inputs, m:204-293);
             # per-channel tuple dataflow (see CLAUDE.md)
             chans = sampler.tuple(planes, params)

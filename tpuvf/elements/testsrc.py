@@ -153,6 +153,9 @@ class VideoTestSrc(SourceElement):
                            "Number of buffers to output (-1 = unlimited)",
                            minimum=-1, maximum=2**31 - 1),
         PropertyDescriptor("is-live", "bool", False, "Act as a live source"),
+        PropertyDescriptor("timestamp-offset", "int", 0,
+                           "Stream start time (nanoseconds)",
+                           minimum=0, maximum=2**63 - 1),
     )
 
     DEFAULT_SPEC = FrameSpec(VideoFormat.I420, 320, 240)

@@ -20,11 +20,12 @@ import numpy as np
 import jax.numpy as jnp
 
 
-def _row_mask(height: int, tff: bool):
-    """True where the row belongs to the kept field."""
-    rows = np.arange(height)
-    keep = (rows % 2 == 0) if tff else (rows % 2 == 1)
-    return jnp.asarray(keep[:, None])
+def _row_mask(height: int, tff):
+    """True where the row belongs to the kept field.  `tff` may be a Python
+    bool (static field layout) or a traced bool scalar (per-buffer
+    GST_VIDEO_BUFFER_FLAG_TFF analog) — keep = even-row XNOR tff."""
+    even = jnp.asarray((np.arange(height) % 2 == 0)[:, None])
+    return even == jnp.asarray(tff, bool)
 
 
 def _shift_rows(img, offset: int):

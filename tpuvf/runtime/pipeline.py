@@ -269,19 +269,40 @@ class Pipeline:
                     continue
                 try:
                     if isinstance(e, Compositor):
-                        pad_inputs = {
-                            (l.sink_pad or ""): value_of(l.upstream)
-                            for l in incoming[id(e)]
-                        }
+                        # per-pad buffer metadata rides the frame dicts (the
+                        # GstBuffer pts/flags analog) and reaches the
+                        # aggregate as params["__pad_meta__"]
+                        pad_inputs, pad_meta = {}, {}
+                        for l in incoming[id(e)]:
+                            v = value_of(l.upstream)
+                            key = l.sink_pad or ""
+                            pad_meta[key] = v.get("__meta__")
+                            pad_inputs[key] = {
+                                k: x for k, x in v.items() if k != "__meta__"
+                            }
+                        prm = dict(params.get(e.name, {}))
+                        prm["__pad_meta__"] = pad_meta
                         out, new_state[e.name] = st.process(
-                            pad_inputs, state.get(e.name, ()),
-                            params.get(e.name, {})
+                            pad_inputs, state.get(e.name, ()), prm
                         )
+                        out = dict(out)
+                        out["__meta__"] = None  # aggregate starts a new stream
                     else:
                         src = value_of(incoming[id(e)][0].upstream)
+                        meta = src.get("__meta__")
+                        planes = {
+                            k: x for k, x in src.items() if k != "__meta__"
+                        }
+                        prm = params.get(e.name, {})
+                        if meta is not None:
+                            prm = dict(prm)
+                            prm["__meta__"] = meta
                         out, new_state[e.name] = st.process(
-                            src, state.get(e.name, ()), params.get(e.name, {})
+                            planes, state.get(e.name, ()), prm
                         )
+                        if meta is not None:
+                            out = dict(out)
+                            out["__meta__"] = meta  # flags travel with frames
                 except _StageFailure:
                     raise
                 except Exception as exc:
@@ -294,6 +315,8 @@ class Pipeline:
             else:
                 last = stages[-1].element if stages else self.sources[0]
                 out = value_of(last)
+            # buffer metadata stops at the host boundary
+            out = {k: v for k, v in out.items() if k != "__meta__"}
             return out, new_state
 
         self._step_py = step  # eager variant for failure bisection
@@ -415,6 +438,77 @@ class Pipeline:
         self._state = None
         self._negotiated = False
 
+    # -- output clock + per-source buffer selection -------------------------
+
+    def _clock(self):
+        """Output timeline rate (the aggregator's srcpad clock; fixate picks
+        max input fps, gstvfmetalcompositor.m:460-540 — already folded into
+        the negotiated tail spec) plus per-source timing info."""
+        sink = self.sinks[0] if self.sinks else None
+        if sink is not None:
+            tail_spec = self._incoming(sink)[0].spec
+        elif self._stages:
+            tail_spec = self._stages[-1].out_spec
+        else:
+            tail_spec = self._outgoing(self.sources[0])[0].spec
+        out_fps = float(tail_spec.fps) or 25.0
+        infos = []
+        for s in self.sources:
+            spec = self._outgoing(s)[0].spec
+            infos.append((s, spec, float(spec.fps) or out_fps,
+                          s.timestamp_offset(), s.num_frames()))
+        return out_fps, infos
+
+    def _clock_num_frames(self, out_fps, infos, num_frames):
+        """Output frame count: the stream runs until ALL sources are past
+        their last buffer (aggregator EOS semantics), capped by the caller."""
+        ends = []
+        for s, spec, fps, off, n in infos:
+            if n is None:
+                ends = None  # unbounded source: caller must bound the run
+                break
+            ends.append(off + n / fps)
+        computed = None
+        if ends is not None and ends:
+            computed = max(1, int(np.ceil(max(ends) * out_fps - 1e-6)))
+        if num_frames is None:
+            if computed is None:
+                raise ValueError("unbounded pipeline: pass num_frames or "
+                                 "set num-buffers on the source")
+            return computed
+        return min(num_frames, computed) if computed is not None else num_frames
+
+    def _select_buffers(self, k, out_fps, infos):
+        """Timestamp-driven buffer selection for output frame k: each source
+        contributes its latest buffer with pts <= the output deadline
+        (repeating/dropping as rates mismatch — the GstVideoAggregator
+        aggregate model, gstvfmetalcompositor.m:574-684).  Returns
+        {source_name: (gen_index, meta_dict)} with traced meta arrays."""
+        deadline = k / out_fps + 1e-9
+        sel = {}
+        for s, spec, fps, off, n in infos:
+            j = int(np.floor((deadline - off) * fps))
+            # refine for sources with custom (monotonic) per-buffer pts
+            limit = n if n is not None else j + 2
+            while j + 1 < limit and s.buffer_pts(j + 1, spec) <= deadline:
+                j += 1
+            while j >= 0 and s.buffer_pts(j, spec) > deadline:
+                j -= 1
+            started = j >= 0
+            ended = n is not None and j >= n
+            gen_j = min(max(j, 0), n - 1) if n is not None else max(j, 0)
+            flags = s.buffer_meta(gen_j, spec)
+            meta = {
+                "pts": np.float32(s.buffer_pts(gen_j, spec)),
+                "tff": np.int32(1 if flags.get("tff", True) else 0),
+                # started: the stream has produced its first buffer;
+                # eos: past the last buffer (held = frozen last frame)
+                "active": np.float32(1.0 if started else 0.0),
+                "eos": np.float32(1.0 if ended else 0.0),
+            }
+            sel[s.name] = (gen_j, meta)
+        return sel
+
     def run(self, num_frames: Optional[int] = None, progress=False) -> int:
         """Frame loop: generate -> device -> step -> host -> sink."""
         if self._step is None:
@@ -423,15 +517,8 @@ class Pipeline:
         sink = self.sinks[0] if self.sinks else None
         sink_spec = self._incoming(sink)[0].spec if sink else None
 
-        limits = [s.num_frames() for s in sources]
-        limits = [l for l in limits if l is not None]
-        if num_frames is None:
-            if not limits:
-                raise ValueError("unbounded pipeline: pass num_frames or "
-                                 "set num-buffers on the source")
-            num_frames = min(limits)
-        elif limits:
-            num_frames = min([num_frames] + limits)
+        out_fps, clock_infos = self._clock()
+        num_frames = self._clock_num_frames(out_fps, clock_infos, num_frames)
 
         state = self._state
         src_specs = {}
@@ -449,15 +536,23 @@ class Pipeline:
         count = 0
         pending = None
         t_run = time.perf_counter()
+        gen_cache = {}  # (source, index) -> device planes; reuses repeats
         for i in range(num_frames):
+            selection = self._select_buffers(i, out_fps, clock_infos)
             inputs = {}
             for s in sources:
                 spec = src_specs[s.name]
-                host = s.generate(i, spec)
-                planes = host_to_planes(host, spec)
-                inputs[s.name] = {
-                    k: jax.device_put(v) for k, v in planes.items()
-                }
+                gen_j, meta = selection[s.name]
+                cached = gen_cache.get(s.name)
+                if cached is None or cached[0] != gen_j:
+                    host = s.generate(gen_j, spec)
+                    planes = host_to_planes(host, spec)
+                    dev = {k: jax.device_put(v) for k, v in planes.items()}
+                    gen_cache[s.name] = (gen_j, dev)
+                else:
+                    dev = cached[1]
+                inputs[s.name] = dict(dev)
+                inputs[s.name]["__meta__"] = meta
             try:
                 # publish the live scan-carried state so a structural
                 # rebuild merges the CURRENT carry, not the run-start one
@@ -552,9 +647,8 @@ class Pipeline:
         src_specs = {
             s.name: self._outgoing(s)[0].spec for s in sources
         }
-        limits = [l for l in (s.num_frames() for s in sources) if l is not None]
-        if limits:
-            num_frames = min([num_frames] + limits)
+        out_fps, clock_infos = self._clock()
+        num_frames = self._clock_num_frames(out_fps, clock_infos, num_frames)
 
         step = self._step  # already jitted; wrap with scan
         def batch_step(inputs, state, params):
@@ -588,16 +682,32 @@ class Pipeline:
             # fixed at batch_size: pad a short tail by repeating the last
             # frame and drop the padded outputs after readback
             pad = batch_size - n if dp_run is not None else 0
+            selections = [
+                self._select_buffers(done + i, out_fps, clock_infos)
+                for i in range(n)
+            ]
             stacked = {}
             for s in sources:
                 spec = src_specs[s.name]
-                frames = [
-                    host_to_planes(s.generate(done + i, spec), spec)
-                    for i in range(n)
-                ]
+                frames = []
+                metas = []
+                gen_cache = (None, None)
+                for i in range(n):
+                    gen_j, meta = selections[i][s.name]
+                    if gen_cache[0] != gen_j:
+                        gen_cache = (
+                            gen_j,
+                            host_to_planes(s.generate(gen_j, spec), spec),
+                        )
+                    frames.append(gen_cache[1])
+                    metas.append(meta)
                 stacked[s.name] = {
                     k: np.stack([f[k] for f in frames] + [frames[-1][k]] * pad)
                     for k in frames[0]
+                }
+                stacked[s.name]["__meta__"] = {
+                    k: np.stack([m[k] for m in metas] + [metas[-1][k]] * pad)
+                    for k in metas[0]
                 }
             if dp_run is not None:
                 outs, dp_state = dp_run(stacked, dp_state, tiled=dp_tiled)
