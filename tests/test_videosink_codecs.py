@@ -235,3 +235,81 @@ def test_failure_attribution_names_failing_element():
         p.run(1)
     assert ei.value.element == "firstfilter"
     assert ei.value.frame_index == 0
+
+
+# -- expose() + navigation routing (round 2) ----------------------------------
+
+def test_expose_reblits_after_render_rectangle_change():
+    """expose() re-presents the LAST frame through a changed render
+    rectangle without a new buffer (GstVideoOverlay expose analog)."""
+    sink = make("vfvideosink")
+    sink.set_window_size(128, 48)
+    spec = FrameSpec(VideoFormat.RGBA, 64, 48)
+    host = np.full((48, 64, 4), 255, np.uint8)
+    sink.prepare(spec)
+    sink.consume(host, spec, 0)
+    assert sink._display_rect == (32, 0, 64, 48)
+    before = sink.window.copy()
+
+    sink.set_render_rectangle(0, 0, 64, 48)  # left half of the window
+    sink.expose()  # no new frame
+    after = sink.window
+    assert sink.frame_count == 1
+    assert (before != after).any()
+    assert (after[:, :64, 0] == 255).all()   # content now in the left half
+    assert (after[:, 64:, :3] == 0).all()    # right half letterboxed black
+
+
+def test_expose_noop_before_first_frame():
+    sink = make("vfvideosink")
+    sink.expose()  # must not raise
+    assert sink.window is None
+
+
+def test_navigation_routed_to_compositor_pad_source():
+    """A pointer event on the videosink routes upstream: sink window->video
+    transform, compositor pad hit-test + rescale into the pad's input
+    coordinates, delivered at the hit pad's source
+    (gstvfmetalvideosink.m:407-440 -> gstvfmetalcompositor.m:705-787)."""
+    pipe = parse_pipeline(
+        "vfmetalcompositor name=c background=black sink_1::xpos=100 "
+        "sink_1::ypos=50 sink_1::width=64 sink_1::height=48 "
+        "! video/x-raw,format=RGBA,width=200,height=120 ! vfmetalvideosink "
+        "videotestsrc name=srcA num-buffers=1 "
+        "! video/x-raw,format=RGBA,width=200,height=120 ! c.sink_0 "
+        "videotestsrc name=srcB num-buffers=1 "
+        "! video/x-raw,format=NV12,width=32,height=24 ! c.sink_1 "
+    )
+    pipe.negotiate()
+    pipe.build()
+    pipe.run()
+    sink = pipe.sinks[0]
+    # window == video size here; point inside sink_1's 64x48 rect at (100,50)
+    sink.send_navigation_event("mouse-move", 132.0, 74.0)
+    assert pipe.navigation_events, "event was not routed"
+    ev = pipe.navigation_events[-1]
+    assert ev["source"] == "srcB"
+    # rescaled into the 32x24 input of the scaled 64x48 pad
+    assert ev["pointer_x"] == pytest.approx((132 - 100) * 32 / 64)
+    assert ev["pointer_y"] == pytest.approx((74 - 50) * 24 / 48)
+    # a point over only the base pad routes to srcA
+    sink.send_navigation_event("mouse-move", 10.0, 10.0)
+    assert pipe.navigation_events[-1]["source"] == "srcA"
+
+
+def test_navigation_rescaled_through_convertscale():
+    """Coordinates crossing a resizing element scale by in/out ratio (the
+    videoscale src_event convention)."""
+    pipe = parse_pipeline(
+        "videotestsrc name=src num-buffers=1 "
+        "! video/x-raw,format=RGBA,width=64,height=48 "
+        "! vfmetalconvertscale ! video/x-raw,format=RGBA,width=128,height=96 "
+        "! vfmetalvideosink")
+    pipe.negotiate()
+    pipe.build()
+    pipe.run()
+    pipe.sinks[0].send_navigation_event("mouse-move", 64.0, 48.0)
+    ev = pipe.navigation_events[-1]
+    assert ev["source"] == "src"
+    assert ev["pointer_x"] == pytest.approx(32.0)
+    assert ev["pointer_y"] == pytest.approx(24.0)

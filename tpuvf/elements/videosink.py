@@ -82,6 +82,7 @@ class VideoSink(SinkElement):
         self._display_rect: Optional[Tuple[int, int, int, int]] = None
         self._render = None
         self._render_rectangle = None
+        self._last_planes = None  # device planes of the last frame (expose)
         self.navigation_callback: Optional[Callable] = None
 
     # -- GstVideoOverlay analog ------------------------------------------
@@ -97,7 +98,17 @@ class VideoSink(SinkElement):
         self._render = None
 
     def expose(self) -> None:
-        """Re-present the last frame (no-op when nothing rendered yet)."""
+        """Re-present the last frame through the current window/render
+        rectangle (the GstVideoOverlay expose analog,
+        gstvfmetalvideosink.m:364-372): after set_render_rectangle or
+        set_window_size, the window buffer refreshes without a new buffer
+        arriving.  No-op when nothing has been rendered yet."""
+        if self._last_planes is None or self._spec is None:
+            return
+        if self._render is None:
+            self._build_render(self._spec)
+        out = np.asarray(self._render(self._last_planes, self._render_params))
+        self.window = np.ascontiguousarray(out.transpose(1, 2, 0))
 
     # -- GstNavigation analog --------------------------------------------
 
@@ -175,6 +186,7 @@ class VideoSink(SinkElement):
             self._build_render(spec)
         planes = host_to_planes(host_frame, spec)
         dev = {k: jnp.asarray(v) for k, v in planes.items()}
+        self._last_planes = dev  # kept for expose() re-blits
         out = np.asarray(self._render(dev, self._render_params))  # (4, H, W)
         self.window = np.ascontiguousarray(out.transpose(1, 2, 0))
         self.frame_count += 1

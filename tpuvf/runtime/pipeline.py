@@ -322,6 +322,66 @@ class Pipeline:
         self._step_py = step  # eager variant for failure bisection
         self._step = jax.jit(step, donate_argnums=(1,))
         self._codec_chain = self._collect_codec_chain(stage_by_elem)
+        self._wire_navigation()
+
+    def _wire_navigation(self) -> None:
+        """Route navigation events from the videosink upstream, the analog of
+        the reference's event flow: the sink transforms pointer coords into
+        video space and pushes the event up the pipeline
+        (gstvfmetalvideosink.m:407-440); a compositor on the way hit-tests
+        its pads, rescales into the hit pad's input coordinates and forwards
+        up THAT branch (gstvfmetalcompositor.m:705-787).  Delivery: the
+        owning source's `navigation_callback` if set, plus
+        `pipeline.navigation_events` for inspection."""
+        from tpuvf.elements.compositor import Compositor
+        from tpuvf.elements.videosink import VideoSink
+
+        self.navigation_events: List[Dict] = []
+        sink = self.sinks[0] if self.sinks else None
+        if not isinstance(sink, VideoSink):
+            return
+
+        def route(ev: Dict) -> None:
+            node = self._incoming(sink)[0].upstream
+            x, y = ev["pointer_x"], ev["pointer_y"]
+            while True:
+                if isinstance(node, SourceElement):
+                    break
+                if isinstance(node, Compositor):
+                    pad_specs = {
+                        l.sink_pad: l.spec for l in self._incoming(node)
+                    }
+                    hit = node.navigation_event(x, y, pad_specs)
+                    if hit is None:
+                        return  # no pad under the pointer: event stops here
+                    pad_name, x, y = hit
+                    link = next(l for l in self._incoming(node)
+                                if l.sink_pad == pad_name)
+                    node = link.upstream
+                    continue
+                ins = self._incoming(node)
+                if not ins:
+                    break
+                outs = self._outgoing(node)
+                if (ins[0].spec is not None and outs and
+                        outs[0].spec is not None):
+                    in_s, out_s = ins[0].spec, outs[0].spec
+                    if (in_s.width, in_s.height) != (out_s.width,
+                                                     out_s.height):
+                        # rescale coords across resizing elements (the
+                        # videoscale src_event convention)
+                        x = x * in_s.width / out_s.width
+                        y = y * in_s.height / out_s.height
+                node = ins[0].upstream
+            routed = dict(ev)
+            routed["pointer_x"], routed["pointer_y"] = x, y
+            routed["source"] = node.name
+            self.navigation_events.append(routed)
+            cb = getattr(node, "navigation_callback", None)
+            if cb is not None:
+                cb(routed)
+
+        sink.navigation_callback = route
 
     def _collect_codec_chain(self, stage_by_elem) -> List[Element]:
         """Host-side encoder chain at the sink edge, walking upstream through
