@@ -118,3 +118,169 @@ def test_quant_dequant_roundtrip():
     from tpuvf.kernels.color import dequant
 
     np.testing.assert_array_equal(np.asarray(quant(dequant(x))), np.asarray(x))
+
+
+import jax.numpy as jnp
+
+# -- even/odd column-phase dataflow parity (round 2) --------------------------
+
+class TestSplitDataflow:
+    """The split (even/odd column-phase) fast path must be BIT-exact vs the
+    generic interleaving path — same float ops in the same order."""
+
+    @staticmethod
+    def _planes(w, h, seed=5):
+        rng = np.random.default_rng(seed)
+        return {
+            "y": jnp.asarray(rng.integers(0, 256, (h, w), np.uint8)),
+            "u": jnp.asarray(rng.integers(0, 256, (h // 2, w // 2), np.uint8)),
+            "v": jnp.asarray(rng.integers(0, 256, (h // 2, w // 2), np.uint8)),
+        }
+
+    @pytest.mark.parametrize("out_fmt", ["BGRA", "RGBA", "NV12", "I420",
+                                         "UYVY", "YUY2"])
+    def test_convertscale_split_matches_generic(self, out_fmt):
+        from tpuvf.core.registry import make
+
+        w, h = 64, 48
+        in_spec = FrameSpec(VideoFormat.NV12, w, h)
+        out_spec = FrameSpec(VideoFormat(out_fmt), w, h)
+        planes = self._planes(w, h)
+
+        elem = make("vfconvertscale")
+        static = elem.static_config(in_spec, out_spec)
+        split_proc = elem.make_process(in_spec, out_spec, static)
+        split_out, _ = split_proc(planes, (), elem.traced_params())
+
+        # generic path: force-disable the split by lying about parity
+        from tpuvf.kernels import convert as kconvert
+        from tpuvf.kernels.sample import WeightBuffers
+
+        bufs = WeightBuffers("ref")
+        sampler = kconvert.plan_rgba_sampler(
+            in_spec, w, h, bufs, matrix_index=in_spec.matrix_index)
+        chans = sampler.tuple(planes, dict(bufs.buffers))
+        ref_out = kconvert.pack_rgba_t(
+            chans, out_spec.format, out_spec.matrix_index)
+
+        assert set(split_out) == set(ref_out)
+        for k in ref_out:
+            np.testing.assert_array_equal(
+                np.asarray(split_out[k]), np.asarray(ref_out[k]),
+                err_msg=f"{out_fmt} plane {k}")
+
+    def test_convertscale_split_i420_input(self):
+        from tpuvf.core.registry import make
+
+        w, h = 32, 24
+        in_spec = FrameSpec(VideoFormat.I420, w, h)
+        out_spec = FrameSpec(VideoFormat.RGBA, w, h)
+        planes = self._planes(w, h, seed=9)
+        elem = make("vfconvertscale")
+        proc = elem.make_process(
+            in_spec, out_spec, elem.static_config(in_spec, out_spec))
+        out, _ = proc(planes, (), elem.traced_params())
+
+        from tpuvf.kernels import convert as kconvert
+        from tpuvf.kernels.sample import WeightBuffers
+
+        bufs = WeightBuffers("ref")
+        sampler = kconvert.plan_rgba_sampler(
+            in_spec, w, h, bufs, matrix_index=in_spec.matrix_index)
+        ref = kconvert.pack_rgba_t(
+            sampler.tuple(planes, dict(bufs.buffers)),
+            out_spec.format, out_spec.matrix_index)
+        np.testing.assert_array_equal(np.asarray(out["rgba"]),
+                                      np.asarray(ref["rgba"]))
+
+    def test_convertscale_nearest_split(self):
+        from tpuvf.core.registry import make
+
+        w, h = 32, 16
+        in_spec = FrameSpec(VideoFormat.NV12, w, h)
+        out_spec = FrameSpec(VideoFormat.RGBA, w, h)
+        planes = self._planes(w, h, seed=3)
+        elem = make("vfconvertscale", method=1)  # nearest
+        proc = elem.make_process(
+            in_spec, out_spec, elem.static_config(in_spec, out_spec))
+        out, _ = proc(planes, (), elem.traced_params())
+
+        from tpuvf.kernels import convert as kconvert
+        from tpuvf.kernels.sample import NEAREST, WeightBuffers
+
+        bufs = WeightBuffers("ref")
+        sampler = kconvert.plan_rgba_sampler(
+            in_spec, w, h, bufs, filter=NEAREST,
+            matrix_index=in_spec.matrix_index)
+        ref = kconvert.pack_rgba_t(
+            sampler.tuple(planes, dict(bufs.buffers)),
+            out_spec.format, out_spec.matrix_index)
+        np.testing.assert_array_equal(np.asarray(out["rgba"]),
+                                      np.asarray(ref["rgba"]))
+
+    def test_videofilter_split_matches_generic(self):
+        """All position-dependent effects + chroma key + LUT through the
+        split path vs the generic path.  Grain is excluded (hash12 is
+        FMA-chaotic across program shapes, see CLAUDE.md)."""
+        from tpuvf.core.registry import make
+        import tempfile, os
+
+        w, h = 64, 48
+        in_spec = FrameSpec(VideoFormat.NV12, w, h)
+        planes = self._planes(w, h, seed=11)
+
+        lut_path = os.path.join(tempfile.mkdtemp(), "t.cube")
+        rng = np.random.default_rng(2)
+        size = 9
+        with open(lut_path, "w") as fh:
+            fh.write(f"LUT_3D_SIZE {size}\n")
+            for val in rng.random((size ** 3, 3)):
+                fh.write(f"{val[0]:.6f} {val[1]:.6f} {val[2]:.6f}\n")
+
+        props = dict(brightness=0.1, contrast=1.2, saturation=0.8,
+                     vignette=0.5)
+
+        def run(force_generic):
+            elem = make("vfvideofilter")
+            for k, v in props.items():
+                elem.set_property(k, v)
+            elem.set_property("chroma-key-enabled", True)
+            elem.set_property("lut-file", lut_path)
+            if force_generic:
+                elem.set_property("sharpness", 1e-9)  # keeps output identical
+                # (|sharpness| <= 0.001 -> blur phase still gated OFF, but
+                # can_split requires use_sharpness False... use a direct hook)
+            static = elem.static_config(in_spec, in_spec)
+            proc = elem.make_process(in_spec, in_spec, static)
+            state = elem.init_state(in_spec, in_spec)
+            out, _ = proc(planes, state, elem.traced_params())
+            return {k: np.asarray(v) for k, v in out.items()}
+
+        split_out = run(False)
+
+        # generic reference: build via kernels directly
+        from tpuvf.kernels import convert as kconvert, filter as kfilter
+        from tpuvf.kernels.sample import WeightBuffers
+
+        elem = make("vfvideofilter")
+        for k, v in props.items():
+            elem.set_property(k, v)
+        elem.set_property("chroma-key-enabled", True)
+        elem.set_property("lut-file", lut_path)
+        static = dict(elem.static_config(in_spec, in_spec))
+        gates = dict(static["gates"])
+        bufs = WeightBuffers("ref")
+        sampler = kconvert.plan_rgba_sampler(
+            in_spec, w, h, bufs, matrix_index=in_spec.matrix_index)
+        params = elem.traced_params()
+        params.update(bufs.buffers)
+        chans = sampler.tuple(planes, params)
+        chans = kfilter.apply_color_adjustments_t(
+            chans, params, np.uint32(0), w, h, gates=gates)
+        chans = kfilter.apply_lut_t(chans, params["lut"], size)
+        ref_out = kconvert.pack_rgba_t(
+            chans, in_spec.format, in_spec.matrix_index)
+
+        for k in ref_out:
+            np.testing.assert_array_equal(
+                split_out[k], np.asarray(ref_out[k]), err_msg=f"plane {k}")

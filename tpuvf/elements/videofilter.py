@@ -101,7 +101,9 @@ class VideoFilter(Element):
             self._lut = None
             self._lut_path_loaded = None
             return
-        self._lut = kfilter.pack_lut_corners(table)  # (S^3, 24) corner-packed
+        # corner-packed (S^3, 24) f32 (f16 measured SLOWER on v5e: the
+        # widening convert outweighs the halved corner traffic)
+        self._lut = kfilter.pack_lut_corners(table)
         self._lut_size = table.shape[0]
         self._lut_path_loaded = path
 
@@ -183,6 +185,44 @@ class VideoFilter(Element):
         from tpuvf.kernels.sample import WeightBuffers
 
         bufs = WeightBuffers(self.name)
+        # even/odd column-phase path for 4:2:0 inputs: the internal
+        # NV12/I420 -> RGBA sample and RGBA -> NV12/I420 pack both avoid f32
+        # lane interleaves (bit-exact; position-dependent effects get true x
+        # coordinates per phase).  The blur is a column stencil that mixes
+        # phases, so |sharpness| > 0 falls back to the interleaving path.
+        if (not use_sharpness and
+                convert.can_split_420(in_spec, w, h, 1.0, 1.0, None) and
+                out_spec.format == in_spec.format):
+            split_sampler = convert.plan_rgba_sampler_split(
+                in_spec, matrix_index=matrix_in)
+            self._buffers = bufs.buffers
+            x_even = np.arange(w // 2, dtype=np.float32) * 2.0
+            x_odd = x_even + 1.0
+
+            def process_split(planes, state, params):
+                ch_e, ch_o = split_sampler(planes, params)
+                frame_index = state["frame_index"]
+                ch_e = kfilter.apply_color_adjustments_t(
+                    ch_e, params, frame_index, w, h, gates=gates,
+                    x_index=x_even)
+                ch_o = kfilter.apply_color_adjustments_t(
+                    ch_o, params, frame_index, w, h, gates=gates,
+                    x_index=x_odd)
+                if lut_size:
+                    # per-phase LUT (measured: stacking phases into one
+                    # gather site costs more than it saves)
+                    ch_e = kfilter.apply_lut_t(ch_e, params["lut"], lut_size)
+                    ch_o = kfilter.apply_lut_t(ch_o, params["lut"], lut_size)
+                out = convert.pack_rgba_split(
+                    ch_e, ch_o, out_spec.format, matrix_out)
+                new_state = {
+                    "frame_index":
+                        (state["frame_index"] + np.uint32(1)).astype(jnp.uint32)
+                }
+                return out, new_state
+
+            return process_split
+
         sampler = convert.plan_rgba_sampler(
             in_spec, w, h, bufs, matrix_index=matrix_in)
         self._buffers = bufs.buffers

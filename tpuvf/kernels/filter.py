@@ -120,14 +120,22 @@ def apply_color_adjustments(rgba, p, frame_index, width, height, gates=None):
 
 
 def apply_color_adjustments_t(chans, p, frame_index, width, height,
-                              gates=None):
+                              gates=None, x_index=None):
     """Per-channel-tuple variant of apply_color_adjustments: channels stay
     separate (r, g, b, a) so XLA fuses the whole chain without the
-    (4, H, W) stack materializations (1.66x end-to-end at 4K)."""
+    (4, H, W) stack materializations (1.66x end-to-end at 4K).
+
+    x_index: optional 1-D array of the true pixel x positions of the plane
+    columns (for column-phase half-width planes: arange(W/2)*2 + phase);
+    `width` stays the FULL frame width for texcoord normalization.  Defaults
+    to arange(width)."""
     if gates is None:
         gates = dict.fromkeys(
             ("hue", "gamma", "sepia", "invert", "chroma_key", "vignette",
              "noise"), True)
+    if x_index is None:
+        x_index = np.arange(width, dtype=np.float32)
+    x_index = jnp.asarray(x_index, F32)
     r, g, b, alpha = chans
 
     # Brightness
@@ -200,7 +208,7 @@ def apply_color_adjustments_t(chans, p, frame_index, width, height,
         alpha = jnp.where(ck, alpha * mask, alpha)
 
     # Vignette (texcoord-based radial falloff)
-    tx = (jnp.arange(width, dtype=F32) + 0.5) / F32(width)
+    tx = (x_index + 0.5) / F32(width)
     ty = (jnp.arange(height, dtype=F32) + 0.5) / F32(height)
     if gates["vignette"]:
         cx = tx[None, :] - 0.5
@@ -215,7 +223,7 @@ def apply_color_adjustments_t(chans, p, frame_index, width, height,
     # Film grain
     if gates["noise"]:
         do_noise = p["noise"] > 0.001
-        pxc = jnp.arange(width, dtype=F32) + 0.5
+        pxc = x_index + 0.5
         pyc = jnp.arange(height, dtype=F32) + 0.5
         n = hash12(pxc[None, :], pyc[:, None], frame_index)
         n = (n - 0.5) * p["noise"] * 0.5
@@ -257,6 +265,25 @@ def apply_lut(rgba, lut_packed, size: int):
     return jnp.stack(apply_lut_t(chans, lut_packed, size), axis=-3)
 
 
+_GATHER_SPLITS = 2  # measured on v5e: 2 overlapped gathers run 1.33x one
+                    # (4-way is slightly slower than 2-way in-chain)
+
+
+def _gather_corners_t(lut_packed, cell):
+    """Gather corner rows TRANSPOSED: output (24,) + cell.shape keeps the
+    pixel axes in their native 2-D tiling (a flat (n, 24) output is
+    lane-padded to (n, 128) by the TPU layout — ~5x wasted write traffic at
+    1080p: the round-1 LUT stage cost 8.8 ms of which only 3.9 ms was the
+    gather).  Index batch dims carry cell's shape straight through, so no
+    relayout-reshape follows the gather."""
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(0,), collapsed_slice_dims=(0,), start_index_map=(0,))
+    return jax.lax.gather(
+        lut_packed, cell[..., None], dn,
+        slice_sizes=(1, lut_packed.shape[1]),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
 def apply_lut_t(chans, lut_packed, size: int):
     """3D LUT lookup with trilinear filtering (h:188-194).
 
@@ -264,6 +291,12 @@ def apply_lut_t(chans, lut_packed, size: int):
     coord = rgb*(s-1)/s + 0.5/s in normalized texture space; since the
     texture has S texels per axis, the texel-space coordinate is exactly
     rgb*(S-1).
+
+    TPU shape (v5e, measured): the 2M-index gather is index-bound at
+    ~1.9 ns/idx; two overlapped gathers over index halves run at ~1.4
+    ns/idx; a transposed (24, n) output avoids lane-padding the result;
+    the trilinear reduce runs as row-slice FMAs that fuse with the gather
+    output read.  Together: ~8.8 ms -> ~5-6 ms for the 1080p LUT stage.
     """
     r, g, b, alpha = chans
     s1 = F32(size - 1)
@@ -271,23 +304,44 @@ def apply_lut_t(chans, lut_packed, size: int):
     r0 = jnp.clip(jnp.floor(pr), 0, size - 1).astype(jnp.int32)
     g0 = jnp.clip(jnp.floor(pg), 0, size - 1).astype(jnp.int32)
     b0 = jnp.clip(jnp.floor(pb), 0, size - 1).astype(jnp.int32)
-    fr = (pr - jnp.floor(pr))[..., None]
-    fg = (pg - jnp.floor(pg))[..., None]
-    fb = (pb - jnp.floor(pb))[..., None]
+    fr = pr - jnp.floor(pr)
+    fg = pg - jnp.floor(pg)
+    fb = pb - jnp.floor(pb)
 
+    # Everything stays 2-D: a flat (P,) plane lays out as a single sublane
+    # row on TPU — 8x padded traffic on every elementwise op.  The gather
+    # splits by IMAGE ROWS so each half and all weights keep (H, W) tiling.
     cell = (b0 * size + g0) * size + r0
-    corners = jnp.take(lut_packed, cell, axis=0)  # (..., H, W, 24)
-    shape = corners.shape[:-1] + (8, 3)
-    corners = corners.reshape(shape)
-    # corner k = (db, dg, dr) bit-packed; weight = wb*wg*wr
-    wr = jnp.concatenate([1.0 - fr, fr], axis=-1)  # (..., 2)
-    wg = jnp.concatenate([1.0 - fg, fg], axis=-1)
-    wb = jnp.concatenate([1.0 - fb, fb], axis=-1)
-    w8 = (
-        wb[..., :, None, None] * wg[..., None, :, None] * wr[..., None, None, :]
-    ).reshape(shape[:-2] + (8,))
-    out = (corners * w8[..., None]).sum(axis=-2)  # (..., H, W, 3)
-    return (out[..., 0], out[..., 1], out[..., 2], alpha)
+    shape = r.shape
+    hdim = shape[-2]
+    splits = (_GATHER_SPLITS
+              if hdim % _GATHER_SPLITS == 0 and cell.size >= 1024 else 1)
+    hq = hdim // splits
+
+    def part(x, i):
+        return x[..., i * hq:(i + 1) * hq, :]
+
+    res = [[] for _ in range(3)]
+    for i in range(splits):
+        cell_i = part(cell, i)
+        corners = _gather_corners_t(lut_packed, cell_i)  # (24, ..., hq, W)
+        w_fr = [1.0 - part(fr, i), part(fr, i)]
+        w_fg = [1.0 - part(fg, i), part(fg, i)]
+        w_fb = [1.0 - part(fb, i), part(fb, i)]
+        acc = [None, None, None]
+        for k in range(8):
+            db, dg, dr = (k >> 2) & 1, (k >> 1) & 1, k & 1
+            wk = w_fb[db] * w_fg[dg] * w_fr[dr]
+            for c in range(3):
+                t = wk * corners[3 * k + c].astype(jnp.float32)
+                acc[c] = t if acc[c] is None else acc[c] + t
+        for c in range(3):
+            res[c].append(acc[c])
+    out = [
+        res[c][0] if splits == 1 else jnp.concatenate(res[c], axis=-2)
+        for c in range(3)
+    ]
+    return (out[0], out[1], out[2], alpha)
 
 
 def blur9(img, axis: int):
