@@ -364,6 +364,20 @@ class Compositor(Element):
             has_buffer = started * (1.0 - eos) if ignore_inactive else started
             return has_buffer
 
+        # baked geometry for the FAST branch: dynamic placement ops (cond /
+        # dynamic_slice / dynamic_update_slice) are fusion barriers that cost
+        # ~3x at 4K, so the process compiles TWO render bodies — a static-
+        # slicing one specialized to the build-time positions/operators
+        # (full XLA fusion, round-1 speed) and the general traced one — and
+        # a lax.cond picks per frame.  Animating any controllable pad prop
+        # still triggers ZERO rebuilds: the animated frames just run the
+        # general branch.
+        for d in compiled_draws:
+            bag = d["pad"].bag
+            d["baked_x"] = int(bag.get("xpos")) + d["offsets"][0]
+            d["baked_y"] = int(bag.get("ypos")) + d["offsets"][1]
+            d["baked_op"] = int(bag.get("operator"))
+
         def process(pad_inputs, state, params):
             # -- per-frame prepare pass (traced scalars) ------------------
             prep = []
@@ -417,15 +431,10 @@ class Compositor(Element):
                     p, 0, 0, out_w, out_h).astype(jnp.float32)
                 bg_drawn = bg_drawn * (1.0 - occ)
 
-            # -- render ---------------------------------------------------
-            bg = jnp.asarray(fetch_bg(params))
-            # per-channel canvas planes (tuple dataflow: no (4,H,W) stacks)
-            dst = [dequant(bg[c]) * bg_drawn for c in range(4)]
-            for p in prep:
+            def sample_draw(p):
+                """Premultiplied (r, g, b, a) source planes at pad size."""
                 d = p["d"]
                 planes = pad_inputs[d["pad"].name]
-                w, h = d["size"]
-                wh, ww = d["window"]
                 if d["fmt"] in RGB_FORMATS:
                     rgba8 = planes["rgba"]
                     srcs = [
@@ -438,56 +447,132 @@ class Compositor(Element):
                     yv = d["samplers"]["y"](dequant(planes["y"]), params)
                     uv = d["samplers"]["c"](dequant(planes["u"]), params)
                     vv = d["samplers"]["c"](dequant(planes["v"]), params)
-                    s_r, s_g, s_b = kcolor.yuv_to_rgb(yv, uv, vv, d["matrix"])
+                    s_r, s_g, s_b = kcolor.yuv_to_rgb(
+                        yv, uv, vv, d["matrix"])
                     s_a = jnp.ones_like(s_r)
-                # fragment: alpha *= pad alpha; premultiply
-                s_a = s_a * p["alpha"]
-                src_p = [s_r * s_a, s_g * s_a, s_b * s_a, s_a]
+                # fragment: alpha *= pad alpha; premultiply.  The draw flag
+                # folds into the alpha so skipped draws contribute nothing
+                # under OVER/ADD with no extra select pass (SOURCE handles
+                # the flag in its mask).
+                s_a = s_a * (p["alpha"] * p["draw"])
+                return [s_r * s_a, s_g * s_a, s_b * s_a, s_a]
 
-                # traced placement: clamp position, then shift the source
-                # inside a zero-padded rect so cropping at canvas edges
-                # falls out of the dynamic slice (no lane gathers)
-                xc = jnp.clip(p["x"], -w, out_w)
-                yc = jnp.clip(p["y"], -h, out_h)
-                sxr = jnp.clip(xc, 0, max(out_w - ww, 0))
-                syr = jnp.clip(yc, 0, max(out_h - wh, 0))
-                shift_x = sxr - xc + ww
-                shift_y = syr - yc + wh
+            def blend(op, mask, src_v, dst_v, a_v, draw):
+                return jax.lax.switch(
+                    op,
+                    (
+                        # SOURCE = (one, zero) inside the drawn quad
+                        lambda s, dv, av: jnp.where(
+                            mask & (draw > 0), s, dv),
+                        # OVER = (one, one-minus-src-alpha) premultiplied
+                        # (skipped draws have av == 0 -> dv)
+                        lambda s, dv, av: s + dv * (1.0 - av),
+                        # ADD = (one, one)
+                        lambda s, dv, av: s + dv,
+                    ),
+                    src_v, dst_v, a_v,
+                )
 
-                def window(arr):
-                    padded = jnp.pad(arr, ((wh, wh), (ww, ww)))
-                    return jax.lax.dynamic_slice(
-                        padded, (shift_y, shift_x), (wh, ww))
+            def make_dst():
+                bg = jnp.asarray(fetch_bg(params))
+                # per-channel canvas planes (tuple dataflow, no (4,H,W) stack)
+                return [dequant(bg[c]) * bg_drawn for c in range(4)]
 
-                win_p = [window(c) for c in src_p]
-                mask = window(jnp.ones((h, w), src_p[0].dtype))
-                a_v = win_p[3]
-                op = jnp.clip(
-                    pad_param(params, d["pad"].name, "operator"), 0, 2)
-                draw = p["draw"]
-                for c in range(4):
-                    src_v = win_p[c]
-                    dst_v = jax.lax.dynamic_slice(
-                        dst[c], (syr, sxr), (wh, ww))
-                    blended = jax.lax.switch(
-                        op,
-                        (
-                            # SOURCE = (one, zero) inside the quad
-                            lambda s, dv, av: jnp.where(mask > 0, s, dv),
-                            # OVER = (one, one-minus-src-alpha) premultiplied
-                            lambda s, dv, av: s + dv * (1.0 - av),
-                            # ADD = (one, one)
-                            lambda s, dv, av: s + dv,
-                        ),
-                        src_v, dst_v, a_v,
-                    )
-                    blended = jnp.where(draw > 0, blended, dst_v)
-                    # RGBA8 render-target write quantizes the drawn region
-                    # (idempotent on preserved pixels — already uint8 grid)
-                    blended = dequant(quant(blended))
-                    dst[c] = jax.lax.dynamic_update_slice(
-                        dst[c], blended, (syr, sxr))
-            return convert.pack_rgba_t(tuple(dst), out_spec.format,
-                                       matrix_out), state
+            def render_fast(_):
+                """Static-slicing body specialized to the BAKED positions and
+                operators (the cond guarantees they equal the traced values
+                at runtime).  Full XLA fusion: sampler -> premultiply ->
+                blend -> quantize in one pass per visible rect."""
+                dst = make_dst()
+                for p in prep:
+                    d = p["d"]
+                    w, h = d["size"]
+                    x, y = d["baked_x"], d["baked_y"]
+                    vx0, vy0 = min(max(x, 0), out_w), min(max(y, 0), out_h)
+                    vx1 = min(max(x + w, 0), out_w)
+                    vy1 = min(max(y + h, 0), out_h)
+                    if vx1 - vx0 == 0 or vy1 - vy0 == 0:
+                        continue  # statically offscreen at baked geometry
+                    src_p = sample_draw(p)
+                    ry = slice(vy0 - y, vy1 - y)
+                    rx = slice(vx0 - x, vx1 - x)
+                    a_v = src_p[3][ry, rx]
+                    draw = p["draw"]
+                    for c in range(4):
+                        src_v = src_p[c][ry, rx]
+                        dst_v = dst[c][vy0:vy1, vx0:vx1]
+                        if d["baked_op"] == OP_SOURCE:
+                            blended = jnp.where(draw > 0, src_v, dst_v)
+                        elif d["baked_op"] == OP_ADD:
+                            blended = src_v + dst_v  # skipped: src == 0
+                        else:
+                            blended = src_v + dst_v * (1.0 - a_v)
+                        # RGBA8 render-target write quantizes the drawn rect
+                        blended = dequant(quant(blended))
+                        dst[c] = dst[c].at[vy0:vy1, vx0:vx1].set(blended)
+                return convert.pack_rgba_t(tuple(dst), out_spec.format,
+                                           matrix_out)
+
+            def render_general(_):
+                """Traced placement: clamp position, then shift the source
+                inside a zero-padded rect so cropping at canvas edges falls
+                out of the dynamic slice (no lane gathers)."""
+                dst = make_dst()
+                for p in prep:
+                    d = p["d"]
+                    w, h = d["size"]
+                    wh, ww = d["window"]
+                    src_p = sample_draw(p)
+                    xc = jnp.clip(p["x"], -w, out_w)
+                    yc = jnp.clip(p["y"], -h, out_h)
+                    sxr = jnp.clip(xc, 0, max(out_w - ww, 0))
+                    syr = jnp.clip(yc, 0, max(out_h - wh, 0))
+                    shift_x = sxr - xc + ww
+                    shift_y = syr - yc + wh
+
+                    def window(arr):
+                        padded = jnp.pad(arr, ((wh, wh), (ww, ww)))
+                        return jax.lax.dynamic_slice(
+                            padded, (shift_y, shift_x), (wh, ww))
+
+                    win_p = [window(c) for c in src_p]
+                    # source-validity mask from iotas: window cell (i, j)
+                    # reads src (syr+i-y, sxr+j-x)
+                    ii = jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 0)
+                    jj = jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 1)
+                    si = ii + (syr - p["y"])
+                    sj = jj + (sxr - p["x"])
+                    mask = ((si >= 0) & (si < h) & (sj >= 0) & (sj < w))
+                    a_v = win_p[3]
+                    op = jnp.clip(
+                        pad_param(params, d["pad"].name, "operator"), 0, 2)
+                    draw = p["draw"]
+                    for c in range(4):
+                        dst_v = jax.lax.dynamic_slice(
+                            dst[c], (syr, sxr), (wh, ww))
+                        blended = blend(op, mask, win_p[c], dst_v, a_v, draw)
+                        blended = dequant(quant(blended))
+                        dst[c] = jax.lax.dynamic_update_slice(
+                            dst[c], blended, (syr, sxr))
+                return convert.pack_rgba_t(tuple(dst), out_spec.format,
+                                           matrix_out)
+
+            # -- render ---------------------------------------------------
+            if not prep:
+                return convert.pack_rgba_t(tuple(make_dst()),
+                                           out_spec.format,
+                                           matrix_out), state
+            at_baked = jnp.bool_(True)
+            for p in prep:
+                d = p["d"]
+                x_off, y_off = d["offsets"]
+                at_baked = (at_baked
+                            & (p["x"] == d["baked_x"])
+                            & (p["y"] == d["baked_y"])
+                            & (pad_param(params, d["pad"].name, "operator")
+                               == d["baked_op"]))
+            out = jax.lax.cond(
+                at_baked, render_fast, render_general, 0)
+            return out, state
 
         return process
