@@ -101,9 +101,18 @@ class VideoFilter(Element):
             self._lut = None
             self._lut_path_loaded = None
             return
-        # corner-packed (S^3, 24) f32 (f16 measured SLOWER on v5e: the
-        # widening convert outweighs the halved corner traffic)
-        self._lut = kfilter.pack_lut_corners(table)
+        # corner-packed (S^3, 24); the gather is partly bandwidth-bound on
+        # its corner output, so in-range tables store as bfloat16 (half the
+        # payload bytes; the widening convert fuses into the trilinear
+        # reduce, unlike u16's integer convert — measured 233 vs 213 fps on
+        # config 3).  Max corner error 2^-9 ~ 0.5 of one 8-bit LSB, within
+        # the 2-LSB parity tolerance.  Out-of-range .cube values (legal: the
+        # reference stores raw floats in an RGBA32Float texture) keep f32
+        # so the relative bf16 error can't scale with the value.
+        import jax.numpy as jnp
+        dtype = (jnp.bfloat16 if table.min() >= 0.0 and table.max() <= 1.0
+                 else np.float32)
+        self._lut = kfilter.pack_lut_corners(table, dtype=dtype)
         self._lut_size = table.shape[0]
         self._lut_path_loaded = path
 

@@ -235,7 +235,10 @@ def apply_color_adjustments_t(chans, p, frame_index, width, height,
             jnp.clip(b, 0.0, 1.0), alpha)
 
 
-def pack_lut_corners(lut: np.ndarray) -> np.ndarray:
+LUT_U16_SCALE = 65535.0
+
+
+def pack_lut_corners(lut: np.ndarray, dtype=np.float32) -> np.ndarray:
     """(S, S, S, 3) [b][g][r] table -> corner-packed (S^3, 24).
 
     Cell (b, g, r) stores the 8 trilinear corner values (with +1 neighbors
@@ -243,6 +246,12 @@ def pack_lut_corners(lut: np.ndarray) -> np.ndarray:
     pixel instead of eight — on TPU a 2M-index gather costs ~16 ms at 1080p
     regardless of row width, so this is a straight 8x reduction of the
     dominant cost.
+
+    dtype: np.float32 (exact) or np.uint16 (fixed-point x65535).  The TPU
+    gather is partly BANDWIDTH-bound on its (24, H, W) corner output
+    (measured: full-res 1080p LUT stage 5.0 ms f32 -> 4.1 ms at half the
+    payload bytes), so the element stores u16 — max quantization error
+    0.5/65535 = 0.3% of one 8-bit LSB, invisible after the RGBA8 write.
     """
     size = lut.shape[0]
     i0 = np.arange(size)
@@ -255,7 +264,11 @@ def pack_lut_corners(lut: np.ndarray) -> np.ndarray:
         rr = i1 if dr else i0
         packed[..., k, :] = lut[bb[:, None, None], gg[None, :, None],
                                 rr[None, None, :]]
-    return packed.reshape(size ** 3, 24)
+    packed = packed.reshape(size ** 3, 24)
+    if np.dtype(dtype) == np.uint16:
+        return np.round(
+            np.clip(packed, 0.0, 1.0) * LUT_U16_SCALE).astype(np.uint16)
+    return packed.astype(dtype)
 
 
 def apply_lut(rgba, lut_packed, size: int):
@@ -265,8 +278,14 @@ def apply_lut(rgba, lut_packed, size: int):
     return jnp.stack(apply_lut_t(chans, lut_packed, size), axis=-3)
 
 
-_GATHER_SPLITS = 2  # measured on v5e: 2 overlapped gathers run 1.33x one
-                    # (4-way is slightly slower than 2-way in-chain)
+_GATHER_SPLITS = 1  # measured on v5e (round 2, bf16 table, per-phase LUT):
+                    # the even/odd phases already give two independent
+                    # gather sites that overlap; further row-splitting is
+                    # slower (s1 232.7 fps vs s2 224.7 on config 3)
+_GATHER_FLAT = True  # flatten pixel dims to 1-D lane-dense indices before
+                     # the gather (measured 234 vs 228 fps on config 3; the
+                     # (24, n) -> (24, h, w) reshape is free when w % 128
+                     # == 0, and apply_lut_t falls back to shaped otherwise)
 
 
 def _gather_corners_t(lut_packed, cell):
@@ -313,13 +332,27 @@ def apply_lut_t(chans, lut_packed, size: int):
     # splits by IMAGE ROWS so each half and all weights keep (H, W) tiling.
     cell = (b0 * size + g0) * size + r0
     shape = r.shape
-    hdim = shape[-2]
+    if _GATHER_FLAT and shape[-1] % 128 == 0:
+        # flatten the pixel dims into one lane-dense axis; (24, n) and
+        # (24, h, w) share the same contiguous layout when w % 128 == 0 so
+        # the final reshape is free
+        flat = shape[:-2] + (shape[-2] * shape[-1],)
+        cell = cell.reshape(flat)
+        fr, fg, fb = (x.reshape(flat) for x in (fr, fg, fb))
+    flat_mode = cell.ndim < 2 or cell.shape != shape
+    hdim = cell.shape[-1] if flat_mode else cell.shape[-2]
     splits = (_GATHER_SPLITS
               if hdim % _GATHER_SPLITS == 0 and cell.size >= 1024 else 1)
     hq = hdim // splits
 
     def part(x, i):
+        if flat_mode:
+            return x[..., i * hq:(i + 1) * hq]
         return x[..., i * hq:(i + 1) * hq, :]
+
+    # integer (fixed-point) tables dequantize once on the accumulated sum
+    post_scale = (F32(1.0 / LUT_U16_SCALE)
+                  if lut_packed.dtype == jnp.uint16 else None)
 
     res = [[] for _ in range(3)]
     for i in range(splits):
@@ -336,11 +369,15 @@ def apply_lut_t(chans, lut_packed, size: int):
                 t = wk * corners[3 * k + c].astype(jnp.float32)
                 acc[c] = t if acc[c] is None else acc[c] + t
         for c in range(3):
-            res[c].append(acc[c])
+            res[c].append(acc[c] * post_scale if post_scale is not None
+                          else acc[c])
+    cat_axis = -1 if flat_mode else -2
     out = [
-        res[c][0] if splits == 1 else jnp.concatenate(res[c], axis=-2)
+        res[c][0] if splits == 1 else jnp.concatenate(res[c], axis=cat_axis)
         for c in range(3)
     ]
+    if flat_mode:
+        out = [x.reshape(shape) for x in out]
     return (out[0], out[1], out[2], alpha)
 
 
