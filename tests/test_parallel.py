@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from tpuvf.parallel import halo, mesh as pmesh
 
@@ -86,7 +87,9 @@ def test_driver_entry_compiles():
 
     fn, args = ge.entry()
     out, state = jax.jit(fn)(*args)
-    assert out["rgba"].shape == (4, 480, 640)
+    # packed16 edge layout: u16 words, two horizontal pixels per word
+    assert out["rgba"].shape == (4, 480, 320)
+    assert out["rgba"].dtype == jnp.uint16
 
 
 def test_pipeline_run_batched_on_mesh():

@@ -1,0 +1,168 @@
+"""Cross-element column-phase links + packed16 edge layout.
+
+The pipeline negotiates boundary layouts (core/element.py docs): split
+phase planes between phase-capable elements, u16-word packed planes at the
+sink edge (bytes identical to interleaved u8).  Everything here asserts
+BIT-equality against the same pipeline with links disabled — the layouts
+must never change values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tpuvf.cli.launch import parse_pipeline
+from tpuvf.kernels import convert
+from tpuvf.runtime.pipeline import Pipeline
+
+import jax.numpy as jnp
+
+
+def test_pack_words_u16_bytes_equal_interleave():
+    rng = np.random.default_rng(0)
+    e = rng.integers(0, 256, (4, 16, 64), np.uint8)
+    o = rng.integers(0, 256, (4, 16, 64), np.uint8)
+    inter = np.asarray(convert.interleave_cols_u8(jnp.asarray(e), jnp.asarray(o)))
+    words = np.asarray(convert.pack_words_u16(jnp.asarray(e), jnp.asarray(o)))
+    assert words.dtype == np.uint16 and words.shape == (4, 16, 64)
+    assert words.tobytes() == inter.tobytes()
+
+
+def _run(pipeline_str, disable_links=False, frames=2):
+    p = parse_pipeline(pipeline_str)
+    if disable_links:
+        p._link_plan = lambda: {}
+    p.negotiate()
+    p.build()
+    p.run()
+    return p
+
+
+CHAIN = (
+    "videotestsrc num-buffers=2 ! video/x-raw,format=NV12,width=192,height=108 "
+    "! vfmetalconvertscale ! video/x-raw,format=BGRA "
+    "! vfmetalvideofilter brightness=0.1 contrast=1.2 saturation=1.3 "
+    "! appsink"
+)
+
+
+def test_chain_link_plan_negotiated():
+    p = _run(CHAIN)
+    plan = p.link_plan
+    names = {e.ELEMENT_NAME: e.name for e in p.elements}
+    cs, vf = names["vfconvertscale"], names["vfvideofilter"]
+    assert plan[cs] == (False, "split")
+    assert plan[vf] == (True, "packed16")
+
+
+def test_chain_bit_exact_vs_unlinked():
+    linked = _run(CHAIN).sinks[0].frames
+    plain = _run(CHAIN, disable_links=True).sinks[0].frames
+    for a, b in zip(linked, plain):
+        assert a.dtype == np.uint8 and a.shape == b.shape
+        np.testing.assert_array_equal(a, b)
+
+
+def test_vf_to_vf_420_split_link_bit_exact():
+    s = (
+        "videotestsrc num-buffers=2 ! video/x-raw,format=NV12,width=128,height=64 "
+        "! vfmetalvideofilter brightness=0.05 "
+        "! vfmetalvideofilter contrast=1.3 vignette=0.4 "
+        "! appsink"
+    )
+    p = _run(s)
+    names = [e.name for e in p.elements if e.ELEMENT_NAME == "vfvideofilter"]
+    assert p.link_plan[names[0]] == (False, "split")
+    assert p.link_plan[names[1]] == (True, "packed16")
+    plain = _run(s, disable_links=True).sinks[0].frames
+    for a, b in zip(p.sinks[0].frames, plain):
+        np.testing.assert_array_equal(a["y"], b["y"])
+        np.testing.assert_array_equal(a["uv"], b["uv"])
+
+
+def test_packed16_edge_single_element():
+    s = (
+        "videotestsrc num-buffers=2 ! video/x-raw,format=NV12,width=128,height=64 "
+        "! vfmetalconvertscale ! video/x-raw,format=BGRA ! appsink"
+    )
+    p = _run(s)
+    cs = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfconvertscale")
+    assert p.link_plan[cs] == (False, "packed16")
+    plain = _run(s, disable_links=True).sinks[0].frames
+    for a, b in zip(p.sinks[0].frames, plain):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_sharpness_breaks_split_link():
+    s = CHAIN.replace("saturation=1.3", "saturation=1.3 sharpness=0.5")
+    p = _run(s)
+    vf = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfvideofilter")
+    assert p.link_plan.get(vf, (False, "full")) == (False, "full")
+    # convertscale's consumer can't take phases; its output reaches vf, not
+    # the sink, so it must stay canonical
+    cs = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfconvertscale")
+    assert p.link_plan.get(cs, (False, "full"))[1] == "full"
+    plain = _run(s, disable_links=True).sinks[0].frames
+    for a, b in zip(p.sinks[0].frames, plain):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_split_through_passthrough_elements():
+    s = (
+        "videotestsrc num-buffers=2 ! video/x-raw,format=NV12,width=128,height=64 "
+        "! vfmetalconvertscale ! video/x-raw,format=BGRA ! queue "
+        "! vfmetalvideofilter brightness=0.2 ! appsink"
+    )
+    p = _run(s)
+    cs = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfconvertscale")
+    vf = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfvideofilter")
+    assert p.link_plan[cs] == (False, "split")
+    assert p.link_plan[vf] == (True, "packed16")
+    plain = _run(s, disable_links=True).sinks[0].frames
+    for a, b in zip(p.sinks[0].frames, plain):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_lut_and_grain_through_split_link():
+    # grain varies by compiled program shape only across DIFFERENT programs;
+    # linked vs unlinked are different programs, so compare with the
+    # established tolerance-and-outliers rule for noise
+    lut = "/tmp/tpuvf-splitlink-lut.cube"
+    size = 9
+    with open(lut, "w") as fh:
+        fh.write(f"LUT_3D_SIZE {size}\n")
+        for b in range(size):
+            for g in range(size):
+                for r in range(size):
+                    fh.write(f"{(r/(size-1))**0.9:.5f} "
+                             f"{(g/(size-1))**0.9:.5f} "
+                             f"{(b/(size-1))**0.9:.5f}\n")
+    extra = f" lut-file={lut}"
+    s = (
+        "videotestsrc num-buffers=2 ! video/x-raw,format=NV12,width=128,height=64 "
+        f"! vfmetalconvertscale ! video/x-raw,format=BGRA "
+        f"! vfmetalvideofilter brightness=0.1 noise=0.3{extra} ! appsink"
+    )
+    linked = _run(s).sinks[0].frames
+    plain = _run(s, disable_links=True).sinks[0].frames
+    for a, b in zip(linked, plain):
+        diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        assert (diff > 2).mean() < 1e-3
+        assert np.median(diff) <= 1
+
+
+def test_codec_after_split_producer(tmp_path):
+    # pngenc is host-side: the packed16 edge plane must normalize to u8
+    # bytes before encoding
+    out = tmp_path / "frame.png"
+    s = (
+        "videotestsrc num-buffers=1 ! video/x-raw,format=NV12,width=64,height=32 "
+        "! vfmetalconvertscale ! video/x-raw,format=BGRA "
+        f"! pngenc ! filesink location={out}"
+    )
+    _run(s)
+    import tpuvf.io.png as pngio
+
+    img = pngio.read(str(out))
+    assert img.shape == (32, 64, 4)

@@ -122,6 +122,54 @@ class Element:
     ) -> ProcessFn:
         raise NotImplementedError
 
+    # -- even/odd column-phase links (cross-element dataflow) ---------------
+    #
+    # The u8 column interleave at element boundaries dominates fused 4:2:0
+    # chains at 4K: pure-u8 fusions run at ~284 GB/s on v5e (~3x below HBM)
+    # and the lane interleave itself at ~180 GB/s, ~0.74 ms of a 0.96 ms
+    # frame.  The pipeline therefore negotiates one of three boundary
+    # layouts per link (scripts/bench_interleave*.py for the measurements):
+    #
+    #   "full"     — canonical interleaved planes (default).
+    #   "split"    — even/odd column-phase planes as FLOAT32 carrying the
+    #                quantized values (color.quant_sim — bit-identical to
+    #                the u8 round trip, but u8 loads run at ~90 GB/s on v5e
+    #                while f32 chains fuse at full HBM bandwidth):
+    #                {"r_e","g_e","b_e","a_e","r_o",...} for RGB formats,
+    #                {"y_e","y_o","u","v"} for 4:2:0.  Used when the
+    #                downstream element can consume phases directly.
+    #   "packed16" — phase pairs combined into uint16 words
+    #                (even | odd << 8): byte layout IDENTICAL to the
+    #                interleaved u8 plane (little-endian), but the combine
+    #                fuses into the quantize at full HBM bandwidth instead
+    #                of a separate u8 interleave pass.  Used at the pipeline
+    #                edge; the host views the bytes as u8.
+    #
+    # Quantization still happens per phase at each boundary (same values as
+    # the interleaved RGBA8 texture write — bit-exact); only the layout
+    # differs.
+
+    def split_output_ok(self, in_spec: FrameSpec, out_spec: FrameSpec) -> bool:
+        """True if make_process_linked(out_mode="split"/"packed16") is
+        supported for this configuration."""
+        return False
+
+    def split_input_ok(self, in_spec: FrameSpec, out_spec: FrameSpec) -> bool:
+        """True if make_process_linked(in_split=True) is supported."""
+        return False
+
+    def make_process_linked(
+        self, in_spec: FrameSpec, out_spec: FrameSpec, static,
+        in_split: bool = False, out_mode: str = "full",
+    ) -> ProcessFn:
+        """make_process with negotiated boundary layouts.  The pipeline only
+        passes in_split=True / out_mode != "full" when split_input_ok /
+        split_output_ok agreed for the link."""
+        if in_split or out_mode != "full":
+            raise NotImplementedError(
+                f"{self.ELEMENT_NAME}: split links not supported")
+        return self.make_process(in_spec, out_spec, static)
+
     def __repr__(self):
         return f"<{type(self).__name__} {self.name!r}>"
 

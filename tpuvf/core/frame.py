@@ -156,9 +156,18 @@ def host_to_planes(data, spec: FrameSpec) -> Dict[str, np.ndarray]:
 
 
 def planes_to_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
-    """Convert canonical planes (numpy) back to the host byte layout."""
+    """Convert canonical planes (numpy) back to the host byte layout.
+
+    Accepts pipeline-edge "packed16" planes: a uint16 plane holds two
+    horizontally adjacent u8 samples per word (even | odd << 8), whose
+    little-endian bytes are identical to the interleaved u8 plane — the view
+    below is free (kernels.convert.pack_words_u16)."""
     fmt, w, h = spec.format, spec.width, spec.height
     planes = {k: np.asarray(v) for k, v in planes.items()}
+    for k, v in list(planes.items()):
+        if v.dtype == np.uint16:
+            v = np.ascontiguousarray(v)
+            planes[k] = v.view(np.uint8).reshape(v.shape[:-1] + (2 * v.shape[-1],))
     nat = _get_native()
     if fmt in RGB_FORMATS:
         if nat is not None:

@@ -86,7 +86,39 @@ class ConvertScale(Element):
             and in_spec.height == out_spec.height
         )
 
+    def _split_geometry(self, in_spec: FrameSpec, out_spec: FrameSpec):
+        """(scale_x, scale_y, border, filt) for the current props."""
+        method = self.props.get("method")
+        filt = NEAREST if method == METHOD_NEAREST else LINEAR
+        scale_x = scale_y = 1.0
+        border = None
+        if self.props.get("add-borders"):
+            scale_x, scale_y = letterbox_scales(
+                in_spec.width, in_spec.height, out_spec.width, out_spec.height
+            )
+            if scale_x != 1.0 or scale_y != 1.0:
+                border = argb_to_rgba_floats(self.props.get("border-color"))
+        return scale_x, scale_y, border, filt
+
+    def split_output_ok(self, in_spec, out_spec):
+        """Column-phase output: the 4:2:0 identity fast path, for RGB or
+        4:2:0 output formats (packed 4:2:2 keeps the canonical layout)."""
+        scale_x, scale_y, border, _ = self._split_geometry(in_spec, out_spec)
+        from tpuvf.core.formats import PACKED_YUV_FORMATS
+
+        return (convert.can_split_420(in_spec, out_spec.width,
+                                      out_spec.height, scale_x, scale_y,
+                                      border)
+                and out_spec.format not in PACKED_YUV_FORMATS)
+
     def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
+        return self.make_process_linked(in_spec, out_spec, static)
+
+    def make_process_linked(self, in_spec: FrameSpec, out_spec: FrameSpec,
+                            static, in_split: bool = False,
+                            out_mode: str = "full"):
+        if in_split:
+            raise NotImplementedError("convertscale does not consume split")
         cfg = dict(static)
         method = cfg["method"]
         add_borders = cfg["add-borders"]
@@ -112,14 +144,19 @@ class ConvertScale(Element):
             split_sampler = convert.plan_rgba_sampler_split(
                 in_spec, filter=filt, matrix_index=matrix_in)
             self._buffers = bufs.buffers
+            pack_mode = {"full": "interleave", "split": "split",
+                         "packed16": "packed16"}[out_mode]
 
             def process_split(planes, state, params):
                 ch_e, ch_o = split_sampler(planes, params)
                 out = convert.pack_rgba_split(
-                    ch_e, ch_o, out_spec.format, matrix_out)
+                    ch_e, ch_o, out_spec.format, matrix_out, mode=pack_mode)
                 return out, state
 
             return process_split
+        if out_mode != "full":
+            raise NotImplementedError(
+                "split/packed16 output requires the 4:2:0 identity fast path")
 
         sampler = convert.plan_rgba_sampler(
             in_spec, out_spec.width, out_spec.height, bufs,

@@ -182,7 +182,34 @@ class VideoFilter(Element):
         # frame counter for grain animation; reset on stop (m:372-381)
         return {"frame_index": np.uint32(0)}
 
+    # -- column-phase link capabilities (core.element docs) -----------------
+
+    def _phase_capable(self, in_spec, out_spec) -> bool:
+        """The phase-wise path applies when the blur (a column stencil that
+        mixes phases) is off and the format keeps columns independent."""
+        if abs(self.props.get("sharpness")) > 0.001:
+            return False
+        if out_spec.format != in_spec.format:
+            return False
+        from tpuvf.core.formats import RGB_FORMATS
+
+        if in_spec.format in RGB_FORMATS:
+            return in_spec.width % 2 == 0
+        return convert.can_split_420(
+            in_spec, in_spec.width, in_spec.height, 1.0, 1.0, None)
+
+    def split_input_ok(self, in_spec, out_spec):
+        return self._phase_capable(in_spec, out_spec)
+
+    def split_output_ok(self, in_spec, out_spec):
+        return self._phase_capable(in_spec, out_spec)
+
     def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
+        return self.make_process_linked(in_spec, out_spec, static)
+
+    def make_process_linked(self, in_spec: FrameSpec, out_spec: FrameSpec,
+                            static, in_split: bool = False,
+                            out_mode: str = "full"):
         cfg = dict(static)
         use_sharpness = cfg["use_sharpness"]
         lut_size = cfg["lut_size"]
@@ -190,26 +217,45 @@ class VideoFilter(Element):
         w, h = in_spec.width, in_spec.height
         matrix_in = in_spec.matrix_index
         matrix_out = out_spec.matrix_index
-
+        from tpuvf.core.formats import RGB_FORMATS
         from tpuvf.kernels.sample import WeightBuffers
 
         bufs = WeightBuffers(self.name)
-        # even/odd column-phase path for 4:2:0 inputs: the internal
-        # NV12/I420 -> RGBA sample and RGBA -> NV12/I420 pack both avoid f32
-        # lane interleaves (bit-exact; position-dependent effects get true x
-        # coordinates per phase).  The blur is a column stencil that mixes
-        # phases, so |sharpness| > 0 falls back to the interleaving path.
-        if (not use_sharpness and
-                convert.can_split_420(in_spec, w, h, 1.0, 1.0, None) and
-                out_spec.format == in_spec.format):
-            split_sampler = convert.plan_rgba_sampler_split(
-                in_spec, matrix_index=matrix_in)
+        phase_capable = self._phase_capable(in_spec, out_spec)
+        if (in_split or out_mode != "full") and not phase_capable:
+            raise NotImplementedError(
+                "split/packed16 links require the phase-wise path "
+                "(sharpness must be 0)")
+        # even/odd column-phase path: 4:2:0 inputs always take it (the
+        # NV12/I420 -> RGBA sample and pack avoid f32 lane interleaves);
+        # RGB inputs take it when the link layout asks for phases.
+        if phase_capable and (in_split or out_mode != "full"
+                              or in_spec.format not in RGB_FORMATS):
+            if in_spec.format in RGB_FORMATS:
+                if in_split:
+                    reader = lambda planes, params: \
+                        convert.split_rgb_chans(planes)
+                else:
+                    def reader(planes, params):
+                        x = planes["rgba"]
+                        p = x.reshape(x.shape[:-1] + (w // 2, 2))
+                        from tpuvf.kernels.color import dequant
+                        return (
+                            tuple(dequant(p[..., c, :, :, 0]) for c in range(4)),
+                            tuple(dequant(p[..., c, :, :, 1]) for c in range(4)),
+                        )
+            else:
+                split_sampler = convert.plan_rgba_sampler_split(
+                    in_spec, matrix_index=matrix_in, presplit=in_split)
+                reader = split_sampler
             self._buffers = bufs.buffers
             x_even = np.arange(w // 2, dtype=np.float32) * 2.0
             x_odd = x_even + 1.0
+            pack_mode = {"full": "interleave", "split": "split",
+                         "packed16": "packed16"}[out_mode]
 
             def process_split(planes, state, params):
-                ch_e, ch_o = split_sampler(planes, params)
+                ch_e, ch_o = reader(planes, params)
                 frame_index = state["frame_index"]
                 ch_e = kfilter.apply_color_adjustments_t(
                     ch_e, params, frame_index, w, h, gates=gates,
@@ -223,7 +269,7 @@ class VideoFilter(Element):
                     ch_e = kfilter.apply_lut_t(ch_e, params["lut"], lut_size)
                     ch_o = kfilter.apply_lut_t(ch_o, params["lut"], lut_size)
                 out = convert.pack_rgba_split(
-                    ch_e, ch_o, out_spec.format, matrix_out)
+                    ch_e, ch_o, out_spec.format, matrix_out, mode=pack_mode)
                 new_state = {
                     "frame_index":
                         (state["frame_index"] + np.uint32(1)).astype(jnp.uint32)

@@ -63,6 +63,26 @@ def quant(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
 
+def quant_sim(x: jnp.ndarray) -> jnp.ndarray:
+    """float -> float with the RGBA8 quantization APPLIED but the u8 dtype
+    elided: bit-identical to dequant(quant(x)) — round/clip are the same ops
+    and the u8->f32 convert is exact — without ever materializing uint8.
+
+    Used for fused element boundaries: u8 loads run at ~90 GB/s on v5e
+    (scripts/bench_interleave3.py) while f32 elementwise chains fuse at full
+    HBM bandwidth, so a split-linked boundary keeps the quantized VALUES in
+    f32 and XLA fuses straight through the element edge."""
+    return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0) * np.float32(1.0 / 255.0)
+
+
+def as_unit_float(x: jnp.ndarray) -> jnp.ndarray:
+    """uint8 planes -> dequantized floats; float planes (fused quant_sim
+    boundaries) pass through unchanged."""
+    if x.dtype == jnp.uint8:
+        return dequant(x)
+    return x
+
+
 def yuv_to_rgb(y, u, v, matrix_index: int):
     """Limited-range YUV -> RGB, clamped to [0,1] (yuvToRGB, m:71-79).
 

@@ -341,25 +341,36 @@ def can_split_420(in_spec: FrameSpec, out_w: int, out_h: int,
 
 
 def plan_rgba_sampler_split(in_spec: FrameSpec, filter: str = LINEAR,
-                            matrix_index: int | None = None):
+                            matrix_index: int | None = None,
+                            presplit: bool = False):
     """420 planes at identity size -> (even_chans, odd_chans), each a
     (r, g, b, a) tuple of (H, W/2) float planes holding the even/odd output
     COLUMNS.  Bit-exact vs plan_rgba_sampler: the luma deinterleave runs on
     uint8 (one strided read), the chroma column phases come straight off the
     half-width plane (taps 0.25/0.75 match _upsample2x_linear), and no f32
-    lane interleave ever happens."""
+    lane interleave ever happens.
+
+    presplit: the upstream link already delivers {"y_e","y_o","u","v"}
+    (a split-mode boundary: f32 quant_sim values) — skip the luma
+    deinterleave and the dequant."""
+    from tpuvf.kernels.color import as_unit_float
+
     if matrix_index is None:
         matrix_index = in_spec.matrix_index
 
     def run_split(planes, params):
-        y8 = planes["y"]
-        w = y8.shape[-1]
-        yp = y8.reshape(y8.shape[:-1] + (w // 2, 2))
-        y_e = dequant(yp[..., 0])
-        y_o = dequant(yp[..., 1])
+        if presplit:
+            y_e = as_unit_float(planes["y_e"])
+            y_o = as_unit_float(planes["y_o"])
+        else:
+            y8 = planes["y"]
+            w = y8.shape[-1]
+            yp = y8.reshape(y8.shape[:-1] + (w // 2, 2))
+            y_e = dequant(yp[..., 0])
+            y_o = dequant(yp[..., 1])
 
         def chroma(c8):
-            cf = dequant(c8)
+            cf = as_unit_float(c8)
             if filter == LINEAR:
                 cf = _upsample2x_linear(cf, -2)  # rows: sublane interleave ok
                 prev = _shift_edge(cf, -1, -1)
@@ -378,29 +389,89 @@ def plan_rgba_sampler_split(in_spec: FrameSpec, filter: str = LINEAR,
     return run_split
 
 
+def split_rgb_chans(planes: dict) -> tuple:
+    """Split-mode RGB boundary planes {"r_e","g_e",...,"a_o"} (f32 quant_sim
+    values, channels separate) -> (even_chans, odd_chans) float tuples."""
+    names = ("r", "g", "b", "a")
+    return (tuple(planes[f"{n}_e"] for n in names),
+            tuple(planes[f"{n}_o"] for n in names))
+
+
 def interleave_cols_u8(e: jnp.ndarray, o: jnp.ndarray) -> jnp.ndarray:
     """(.., H, W/2) x2 uint8 -> (.., H, W): THE one lane interleave, on u8."""
     return jnp.stack([e, o], axis=-1).reshape(e.shape[:-1] + (2 * e.shape[-1],))
 
 
+def pack_words_u16(e: jnp.ndarray, o: jnp.ndarray) -> jnp.ndarray:
+    """(.., H, W/2) x2 uint8 -> (.., H, W/2) uint16 words `even | odd << 8`.
+
+    Little-endian byte layout == the column-interleaved u8 plane, so this is
+    the pipeline-edge replacement for interleave_cols_u8: pure-u8 fusions run
+    at ~284 GB/s on v5e while the u16 combine fuses into the upstream f32
+    quantize at full HBM bandwidth (measured 770 GB/s,
+    scripts/bench_interleave2.py).  The host views the bytes as u8
+    (core.frame.planes_to_host)."""
+    return e.astype(jnp.uint16) | (o.astype(jnp.uint16) << 8)
+
+
+def _join_phases(e: jnp.ndarray, o: jnp.ndarray, mode: str) -> jnp.ndarray:
+    """Combine quantized column phases per the negotiated boundary layout."""
+    if mode == "packed16":
+        return pack_words_u16(e, o)
+    return interleave_cols_u8(e, o)
+
+
 def pack_rgba_split(chans_e, chans_o, out_format: VideoFormat,
-                    matrix_index: int) -> dict:
+                    matrix_index: int, mode: str = "interleave") -> dict:
     """pack_rgba_t from column-phase planes.  Quantization happens per phase
     (identical values); for 4:2:0 outputs the 2x2 box average consumes the
     phases directly — the same float ops in the same order as
     rgb_to_chroma_downsampled's row-pairs-then-lane-pairs, so outputs are
-    bit-identical — and only the Y plane interleaves (on uint8)."""
+    bit-identical — and only the Y plane interleaves (on uint8).
+
+    mode: "interleave" (canonical u8 planes), "packed16" (u16 words with
+    identical bytes, for the pipeline edge), or "split" (keep phases as
+    separate per-channel planes for a split-linked consumer — FLOAT32 with
+    color.quant_sim applied: the quantized values without the u8 dtype, so
+    XLA fuses straight through the element boundary; u8 loads run at ~90
+    GB/s on v5e while f32 chains fuse at full HBM bandwidth).  Split RGB
+    layout: {"r_e","g_e","b_e","a_e","r_o",...}; split 4:2:0:
+    {"y_e","y_o","u","v"} (all f32 quantized values)."""
+    if mode == "split":
+        from tpuvf.kernels.color import quant_sim
+
+        fe = tuple(quant_sim(c) for c in chans_e)
+        fo = tuple(quant_sim(c) for c in chans_o)
+        if out_format in RGB_FORMATS:
+            names = ("r", "g", "b", "a")
+            out = {f"{n}_e": v for n, v in zip(names, fe)}
+            out.update({f"{n}_o": v for n, v in zip(names, fo)})
+            return out
+        if out_format in (VideoFormat.NV12, VideoFormat.I420):
+            ye, _, _ = color.rgb_to_yuv(*fe[:3], matrix_index)
+            yo, _, _ = color.rgb_to_yuv(*fo[:3], matrix_index)
+            half = np.float32(0.5)
+
+            def avg_phase(x):
+                return (x[..., 0::2, :] + x[..., 1::2, :]) * half
+
+            ra = (avg_phase(fe[0]) + avg_phase(fo[0])) * half
+            ga = (avg_phase(fe[1]) + avg_phase(fo[1])) * half
+            ba = (avg_phase(fe[2]) + avg_phase(fo[2])) * half
+            _, u, v = color.rgb_to_yuv(ra, ga, ba, matrix_index)
+            return {"y_e": quant_sim(ye), "y_o": quant_sim(yo),
+                    "u": quant_sim(u), "v": quant_sim(v)}
+        raise ValueError("split links not supported for packed 4:2:2")
     qe = tuple(quant(c) for c in chans_e)
     qo = tuple(quant(c) for c in chans_o)
     if out_format in RGB_FORMATS:
         rgba = jnp.stack(
-            [interleave_cols_u8(a, b) for a, b in zip(qe, qo)], axis=-3)
+            [_join_phases(a, b, mode) for a, b in zip(qe, qo)], axis=-3)
         return {"rgba": rgba}
     de = tuple(dequant(q) for q in qe[:3])
     do = tuple(dequant(q) for q in qo[:3])
     ye, _, _ = color.rgb_to_yuv(*de, matrix_index)
     yo, _, _ = color.rgb_to_yuv(*do, matrix_index)
-    y_q = interleave_cols_u8(quant(ye), quant(yo))
     if out_format in (VideoFormat.NV12, VideoFormat.I420):
         half = np.float32(0.5)
 
@@ -411,7 +482,8 @@ def pack_rgba_split(chans_e, chans_o, out_format: VideoFormat,
         ga = (avg_phase(de[1]) + avg_phase(do[1])) * half
         ba = (avg_phase(de[2]) + avg_phase(do[2])) * half
         _, u, v = color.rgb_to_yuv(ra, ga, ba, matrix_index)
-        return {"y": y_q, "u": quant(u), "v": quant(v)}
+        return {"y": _join_phases(quant(ye), quant(yo), mode),
+                "u": quant(u), "v": quant(v)}
     if out_format in PACKED_YUV_FORMATS:
         # 4:2:2: chroma = mean of the two pixels of each macro-pixel, i.e.
         # exactly mean(even_phase, odd_phase) after the RGB->YUV matrix
@@ -419,7 +491,9 @@ def pack_rgba_split(chans_e, chans_o, out_format: VideoFormat,
         _, uo, vo = color.rgb_to_yuv(*do, matrix_index)
         half = np.float32(0.5)
         return {
-            "y": y_q,
+            # the 4:2:2 y plane rides full-width through pack_422 on the
+            # host, so the edge packing applies to it as well
+            "y": _join_phases(quant(ye), quant(yo), mode),
             "u": quant((ue + uo) * half),
             "v": quant((ve + vo) * half),
         }
