@@ -390,11 +390,13 @@ def plan_rgba_sampler_split(in_spec: FrameSpec, filter: str = LINEAR,
 
 
 def split_rgb_chans(planes: dict) -> tuple:
-    """Split-mode RGB boundary planes {"r_e","g_e",...,"a_o"} (f32 quant_sim
-    values, channels separate) -> (even_chans, odd_chans) float tuples."""
+    """Split-mode RGB boundary planes {"r_e","g_e",...,"a_o"} (bf16
+    quant_units, channels separate) -> (even_chans, odd_chans) f32 tuples."""
+    from tpuvf.kernels.color import as_unit_float
+
     names = ("r", "g", "b", "a")
-    return (tuple(planes[f"{n}_e"] for n in names),
-            tuple(planes[f"{n}_o"] for n in names))
+    return (tuple(as_unit_float(planes[f"{n}_e"]) for n in names),
+            tuple(as_unit_float(planes[f"{n}_o"]) for n in names))
 
 
 def interleave_cols_u8(e: jnp.ndarray, o: jnp.ndarray) -> jnp.ndarray:
@@ -438,6 +440,10 @@ def pack_rgba_split(chans_e, chans_o, out_format: VideoFormat,
     layout: {"r_e","g_e","b_e","a_e","r_o",...}; split 4:2:0:
     {"y_e","y_o","u","v"} (all f32 quantized values)."""
     if mode == "split":
+        # boundary storage is f32 quant_sim: bf16 quant_units (half the
+        # bytes, still bit-exact) measured SLOWER end to end on v5e
+        # (headline 1709 vs 2028 fps — the bf16 store's tile repack breaks
+        # the producer fusion)
         from tpuvf.kernels.color import quant_sim
 
         fe = tuple(quant_sim(c) for c in chans_e)
