@@ -100,7 +100,6 @@ def config_compositor():
     b3 = comp.get_pad("sink_3"); b3.set("xpos", 1920); b3.set("ypos", 1080)
     b3.set("operator", 2)
     out_spec = comp.aggregate_spec(pad_specs, CapsFilter(format=VideoFormat.BGRA))
-    agg = comp.make_aggregate(pad_specs, out_spec)
 
     # plus PNG overlay on the composite (BASELINE config 5)
     ov = make("vfoverlay")
@@ -113,8 +112,16 @@ def config_compositor():
     ov.set_property("location", "/tmp/tpuvf-bench-ov.png")
     ov.set_property("x", 128)
     ov.set_property("y", 128)
-    ov_proc = ov.make_process(out_spec, out_spec,
-                              ov.static_config(out_spec, out_spec))
+
+    # mirror Pipeline._link_plan: compositor -> split -> overlay -> packed16
+    link_split = (comp.aggregate_split_ok(pad_specs, out_spec)
+                  and ov.split_input_ok(out_spec, out_spec))
+    agg = comp.make_aggregate(pad_specs, out_spec,
+                              out_mode="split" if link_split else "full")
+    edge = "packed16" if ov.split_output_ok(out_spec, out_spec) else "full"
+    ov_proc = ov.make_process_linked(
+        out_spec, out_spec, ov.static_config(out_spec, out_spec),
+        in_split=link_split, out_mode=edge)
     params = {"comp": comp.traced_params(), "ov": ov.traced_params()}
 
     def step(pad_planes, state, params):

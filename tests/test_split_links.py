@@ -166,3 +166,96 @@ def test_codec_after_split_producer(tmp_path):
 
     img = pngio.read(str(out))
     assert img.shape == (32, 64, 4)
+
+
+COMP_CHAIN = (
+    "vfmetalcompositor name=c background=black "
+    "sink_1::xpos={x1} sink_1::ypos=32 sink_1::alpha=0.7 sink_2::operator=2 "
+    "sink_2::xpos=33 sink_2::ypos=1 "
+    "! video/x-raw,format=BGRA ! vfmetaloverlay location={ov} x=37 y=11 "
+    "! appsink  "
+    "videotestsrc num-buffers=2 ! video/x-raw,format=BGRA,width=192,height=108 ! c.sink_0  "
+    "videotestsrc num-buffers=2 pattern=ball ! video/x-raw,format=NV12,width=64,height=32 ! c.sink_1  "
+    "videotestsrc num-buffers=2 pattern=snow ! video/x-raw,format=RGBA,width=48,height=24 ! c.sink_2"
+)
+
+
+def _overlay_png(tmp_path):
+    import tpuvf.io.png as pngio
+
+    img = np.zeros((16, 20, 4), np.uint8)
+    img[..., 1] = 200
+    img[..., 3] = 128
+    p = str(tmp_path / "ov.png")
+    pngio.write(p, img)
+    return p
+
+
+@pytest.mark.parametrize("x1", [96, 33])  # even and ODD xpos (phase swap)
+def test_compositor_overlay_split_chain(tmp_path, x1):
+    s = COMP_CHAIN.format(x1=x1, ov=_overlay_png(tmp_path))
+    p = _run(s)
+    comp = next(e.name for e in p.elements
+                if e.ELEMENT_NAME == "vfcompositor")
+    ov = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfoverlay")
+    assert p.link_plan[comp] == (False, "split")
+    assert p.link_plan[ov] == (True, "packed16")
+    plain = _run(s, disable_links=True).sinks[0].frames
+    for a, b in zip(p.sinks[0].frames, plain):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_compositor_packed16_edge():
+    s = (
+        "vfmetalcompositor name=c sink_1::xpos=17 ! video/x-raw,format=BGRA "
+        "! appsink  "
+        "videotestsrc num-buffers=2 ! video/x-raw,format=BGRA,width=128,height=64 ! c.sink_0  "
+        "videotestsrc num-buffers=2 pattern=ball ! video/x-raw,format=NV12,width=32,height=16 ! c.sink_1"
+    )
+    p = _run(s)
+    comp = next(e.name for e in p.elements
+                if e.ELEMENT_NAME == "vfcompositor")
+    assert p.link_plan[comp] == (False, "packed16")
+    plain = _run(s, disable_links=True).sinks[0].frames
+    for a, b in zip(p.sinks[0].frames, plain):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_compositor_split_animated_general_branch(tmp_path):
+    # animate xpos mid-run: frames off the baked geometry run the general
+    # branch, whose split emission must still match the unlinked pipeline
+    s = COMP_CHAIN.format(x1=96, ov=_overlay_png(tmp_path))
+
+    def run(disable):
+        p = parse_pipeline(s)
+        if disable:
+            p._link_plan = lambda: {}
+        p.negotiate()
+        p.build()
+        comp = next(e for e in p.elements
+                    if e.ELEMENT_NAME == "vfcompositor")
+        frames = []
+        p.run(num_frames=1)
+        frames.append(p.sinks[0].frames[-1])
+        comp.get_pad("sink_1").set("xpos", 41)  # odd, off-baked
+        p.run(num_frames=1)
+        frames.append(p.sinks[0].frames[-1])
+        return frames
+
+    linked = run(False)
+    plain = run(True)
+    for a, b in zip(linked, plain):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_compositor_scaled_pad_disables_split(tmp_path):
+    # a pad drawn at non-native size keeps canonical layouts
+    s = (
+        "vfmetalcompositor name=c sink_0::width=100 sink_0::height=50 "
+        "! video/x-raw,format=BGRA ! appsink  "
+        "videotestsrc num-buffers=1 ! video/x-raw,format=BGRA,width=128,height=64 ! c.sink_0"
+    )
+    p = _run(s)
+    comp = next(e.name for e in p.elements
+                if e.ELEMENT_NAME == "vfcompositor")
+    assert p.link_plan.get(comp, (False, "full"))[1] == "full"

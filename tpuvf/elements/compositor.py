@@ -269,7 +269,45 @@ class Compositor(Element):
 
     # -- compilation ------------------------------------------------------
 
-    def make_aggregate(self, pad_specs: Dict[str, FrameSpec], out_spec: FrameSpec):
+    def _draw_geometry(self, pad_specs, out_spec):
+        """(pad, spec, w, h, x_off, y_off) per drawn pad, zorder order."""
+        out_par = out_spec.par
+        out = []
+        for pad in self._sorted_pads(pad_specs):
+            w, h, x_off, y_off = pad.output_size(self, out_par)
+            if w == 0 or h == 0:
+                continue
+            out.append((pad, pad.spec, w, h, x_off, y_off))
+        return out
+
+    def aggregate_split_ok(self, pad_specs: Dict[str, FrameSpec],
+                           out_spec: FrameSpec) -> bool:
+        """Column-phase output is available when every drawn pad renders at
+        its native size (identity sampling keeps columns phase-separable;
+        y-scaling would still be fine but isn't planned yet) and the output
+        format has a split layout."""
+        from tpuvf.core.formats import PACKED_YUV_FORMATS
+
+        if out_spec.width % 2 or out_spec.format in PACKED_YUV_FORMATS:
+            return False
+        draws = self._draw_geometry(pad_specs, out_spec)
+        for pad, spec, w, h, _, _ in draws:
+            if (w, h) != (spec.width, spec.height):
+                return False
+            if spec.format in RGB_FORMATS:
+                if spec.width % 2:
+                    return False
+            elif not convert.can_split_420(spec, w, h, 1.0, 1.0, None):
+                return False
+        return True
+
+    def split_output_ok(self, in_spec, out_spec):  # pragma: no cover
+        """Linear-element API stub: the pipeline consults
+        aggregate_split_ok with pad specs instead."""
+        return False
+
+    def make_aggregate(self, pad_specs: Dict[str, FrameSpec],
+                       out_spec: FrameSpec, out_mode: str = "full"):
         """Compile the aggregate.  Pad GEOMETRY is traced: xpos/ypos/alpha/
         operator enter as per-frame params (GST_PARAM_CONTROLLABLE,
         gstvfmetalcompositorpad.m:282-315), placement uses dynamic slices at
@@ -306,8 +344,18 @@ class Compositor(Element):
 
         from tpuvf.kernels.sample import WeightBuffers
 
+        split_out = out_mode != "full"
+        if split_out and not self.aggregate_split_ok(pad_specs, out_spec):
+            raise NotImplementedError(
+                "split/packed16 output requires full-identity pad draws")
+
         bufs = WeightBuffers(self.name)
         fetch_bg = bufs.add(bg_q, "bg")
+        if split_out:
+            fetch_bg_e = bufs.add(
+                np.ascontiguousarray(bg_q[..., 0::2]), "bg_e")
+            fetch_bg_o = bufs.add(
+                np.ascontiguousarray(bg_q[..., 1::2]), "bg_o")
 
         # Per-draw plan.  Rect SIZE (w, h) and centering offsets are static
         # (width/height/sizing-policy props); each draw resamples the input
@@ -333,6 +381,10 @@ class Compositor(Element):
                     "c": convert.plan_plane_sampler(
                         cw, ch2, w, h, sample.LINEAR, 1.0, 1.0, bufs),
                 }
+            split_reader = None
+            if split_out and spec.format not in RGB_FORMATS:
+                split_reader = convert.plan_rgba_sampler_split(
+                    spec, matrix_index=spec.matrix_index)
             compiled_draws.append(
                 dict(
                     pad=pad,
@@ -340,6 +392,7 @@ class Compositor(Element):
                     offsets=(x_off, y_off),
                     window=(min(h, out_h), min(w, out_w)),
                     samplers=samplers,
+                    split_reader=split_reader,
                     matrix=spec.matrix_index,
                     fmt=spec.format,
                     # obscuring requires an opaque format (no alpha channel),
@@ -474,44 +527,136 @@ class Compositor(Element):
                 )
 
             def make_dst():
+                """Per-channel UINT8 canvas planes — literally the RGBA8
+                render target between draws.  XLA materializes the canvas at
+                every draw of the fold (measured ~0.32 ms/draw at 4K for a
+                f32 canvas regardless of at[].set vs where-fold form), so
+                the inter-draw storage dtype is the traffic knob: u8 cuts it
+                4x, and the quantize-per-draw is the reference's semantics
+                anyway."""
                 bg = jnp.asarray(fetch_bg(params))
-                # per-channel canvas planes (tuple dataflow, no (4,H,W) stack)
-                return [dequant(bg[c]) * bg_drawn for c in range(4)]
+                zero = jnp.zeros((), jnp.uint8)
+                return [jnp.where(bg_drawn > 0, bg[c], zero)
+                        for c in range(4)]
+
+            def _baked_rect(p):
+                """Static clamped rect at baked geometry, or None."""
+                d = p["d"]
+                w, h = d["size"]
+                x, y = d["baked_x"], d["baked_y"]
+                vx0, vy0 = min(max(x, 0), out_w), min(max(y, 0), out_h)
+                vx1 = min(max(x + w, 0), out_w)
+                vy1 = min(max(y + h, 0), out_h)
+                if vx1 - vx0 == 0 or vy1 - vy0 == 0:
+                    return None
+                return x, y, vx0, vy0, vx1, vy1
+
+            def _blend_static(op, draw, src_v, dst_v, a_v):
+                if op == OP_SOURCE:
+                    return jnp.where(draw > 0, src_v, dst_v)
+                if op == OP_ADD:
+                    return src_v + dst_v  # skipped: src == 0
+                return src_v + dst_v * (1.0 - a_v)
 
             def render_fast(_):
-                """Static-slicing body specialized to the BAKED positions and
+                """Static body specialized to the BAKED positions and
                 operators (the cond guarantees they equal the traced values
-                at runtime).  Full XLA fusion: sampler -> premultiply ->
-                blend -> quantize in one pass per visible rect."""
+                at runtime).  Rect-sliced updates on the u8 canvas:
+                zero-padding sources to the canvas materializes ~5
+                full-frame f32 pads PER DRAW (measured ~0.4 ms/draw at 4K),
+                while the functional u8 canvas copy is ~0.1 ms.  The RGBA8
+                render-target write quantizes each drawn rect."""
                 dst = make_dst()
                 for p in prep:
-                    d = p["d"]
-                    w, h = d["size"]
-                    x, y = d["baked_x"], d["baked_y"]
-                    vx0, vy0 = min(max(x, 0), out_w), min(max(y, 0), out_h)
-                    vx1 = min(max(x + w, 0), out_w)
-                    vy1 = min(max(y + h, 0), out_h)
-                    if vx1 - vx0 == 0 or vy1 - vy0 == 0:
+                    r = _baked_rect(p)
+                    if r is None:
                         continue  # statically offscreen at baked geometry
+                    x, y, vx0, vy0, vx1, vy1 = r
                     src_p = sample_draw(p)
                     ry = slice(vy0 - y, vy1 - y)
                     rx = slice(vx0 - x, vx1 - x)
                     a_v = src_p[3][ry, rx]
-                    draw = p["draw"]
                     for c in range(4):
                         src_v = src_p[c][ry, rx]
-                        dst_v = dst[c][vy0:vy1, vx0:vx1]
-                        if d["baked_op"] == OP_SOURCE:
-                            blended = jnp.where(draw > 0, src_v, dst_v)
-                        elif d["baked_op"] == OP_ADD:
-                            blended = src_v + dst_v  # skipped: src == 0
-                        else:
-                            blended = src_v + dst_v * (1.0 - a_v)
-                        # RGBA8 render-target write quantizes the drawn rect
-                        blended = dequant(quant(blended))
-                        dst[c] = dst[c].at[vy0:vy1, vx0:vx1].set(blended)
-                return convert.pack_rgba_t(tuple(dst), out_spec.format,
-                                           matrix_out)
+                        dst_v = dequant(dst[c][vy0:vy1, vx0:vx1])
+                        blended = _blend_static(
+                            p["d"]["baked_op"], p["draw"], src_v, dst_v, a_v)
+                        dst[c] = dst[c].at[vy0:vy1, vx0:vx1].set(
+                            quant(blended))
+                return dst
+
+            def sample_draw_split(p):
+                """(even_chans, odd_chans) premultiplied column-phase source
+                planes at pad size (full-identity draws only)."""
+                d = p["d"]
+                planes = pad_inputs[d["pad"].name]
+                if d["fmt"] in RGB_FORMATS:
+                    x8 = planes["rgba"]
+                    wp = x8.shape[-1]
+                    rp = x8.reshape(x8.shape[:-1] + (wp // 2, 2))
+                    ch_e = tuple(dequant(rp[..., c, :, :, 0])
+                                 for c in range(4))
+                    ch_o = tuple(dequant(rp[..., c, :, :, 1])
+                                 for c in range(4))
+                else:
+                    ch_e, ch_o = d["split_reader"](planes, params)
+                k = p["alpha"] * p["draw"]
+
+                def prem(ch):
+                    a = ch[3] * k
+                    return [ch[0] * a, ch[1] * a, ch[2] * a, a]
+
+                return prem(ch_e), prem(ch_o)
+
+            def make_dst_split():
+                zero = jnp.zeros((), jnp.uint8)
+                bg_e = jnp.asarray(fetch_bg_e(params))
+                bg_o = jnp.asarray(fetch_bg_o(params))
+                return ([jnp.where(bg_drawn > 0, bg_e[c], zero)
+                         for c in range(4)],
+                        [jnp.where(bg_drawn > 0, bg_o[c], zero)
+                         for c in range(4)])
+
+            def render_fast_split(_):
+                """Column-phase variant of render_fast: the canvas is a pair
+                of half-width u8 phase planes per channel, pad sources come
+                from the split samplers (no f32 lane interleave — a 1080p
+                NV12 draw source measured 0.207 ms interleaved vs 0.048
+                split, scripts/bench_nv12draw.py), and the x parity of each
+                draw statically maps source phases onto canvas phases."""
+                dst_e, dst_o = make_dst_split()
+                for p in prep:
+                    r = _baked_rect(p)
+                    if r is None:
+                        continue
+                    x, y, vx0, vy0, vx1, vy1 = r
+                    se, so = sample_draw_split(p)
+                    ry = slice(vy0 - y, vy1 - y)
+                    # canvas-even cols 2k, k in [ce0, ce1): source col 2k-x
+                    # -> phase e (x even) / o (x odd) at index k - ceil(x/2);
+                    # canvas-odd cols 2k+1: phase o/e at index k - floor(x/2)
+                    ce0, ce1 = (vx0 + 1) // 2, (vx1 + 1) // 2
+                    co0, co1 = vx0 // 2, vx1 // 2
+                    off_ceil = (x + (x & 1)) // 2
+                    off_floor = x // 2
+                    phases = (
+                        (dst_e, se if x % 2 == 0 else so, ce0, ce1, off_ceil),
+                        (dst_o, so if x % 2 == 0 else se, co0, co1, off_floor),
+                    )
+                    op = p["d"]["baked_op"]
+                    for dstl, src_ph, c0, c1, off in phases:
+                        if c1 - c0 <= 0:
+                            continue
+                        sx = slice(c0 - off, c1 - off)
+                        a_v = src_ph[3][ry, sx]
+                        for c in range(4):
+                            src_v = src_ph[c][ry, sx]
+                            dst_v = dequant(dstl[c][vy0:vy1, c0:c1])
+                            blended = _blend_static(
+                                op, p["draw"], src_v, dst_v, a_v)
+                            dstl[c] = dstl[c].at[vy0:vy1, c0:c1].set(
+                                quant(blended))
+                return dst_e, dst_o
 
             def render_general(_):
                 """Traced placement: clamp position, then shift the source
@@ -548,20 +693,54 @@ class Compositor(Element):
                         pad_param(params, d["pad"].name, "operator"), 0, 2)
                     draw = p["draw"]
                     for c in range(4):
-                        dst_v = jax.lax.dynamic_slice(
-                            dst[c], (syr, sxr), (wh, ww))
+                        dst_v = dequant(jax.lax.dynamic_slice(
+                            dst[c], (syr, sxr), (wh, ww)))
                         blended = blend(op, mask, win_p[c], dst_v, a_v, draw)
-                        blended = dequant(quant(blended))
                         dst[c] = jax.lax.dynamic_update_slice(
-                            dst[c], blended, (syr, sxr))
-                return convert.pack_rgba_t(tuple(dst), out_spec.format,
-                                           matrix_out)
+                            dst[c], quant(blended), (syr, sxr))
+                return dst
+
+            def _pack_canvas(dst):
+                """u8 canvas -> output planes (values already quantized, so
+                this matches pack_rgba_t on the float canvas exactly)."""
+                if out_spec.format in RGB_FORMATS:
+                    return {"rgba": jnp.stack(dst, axis=-3)}
+                return convert._pack_yuv_channels(
+                    dequant(dst[0]), dequant(dst[1]), dequant(dst[2]),
+                    out_spec.format, matrix_out)
+
+            def emit_phases(dst_e, dst_o):
+                """u8 phase canvases -> the negotiated output layout."""
+                if out_spec.format in RGB_FORMATS:
+                    if out_mode == "split":
+                        names = ("r", "g", "b", "a")
+                        out = {f"{n}_e": v for n, v in zip(names, dst_e)}
+                        out.update(
+                            {f"{n}_o": v for n, v in zip(names, dst_o)})
+                        return out
+                    return {"rgba": jnp.stack(
+                        [convert.pack_words_u16(e, o)
+                         for e, o in zip(dst_e, dst_o)], axis=-3)}
+                return convert.pack_rgba_split(
+                    tuple(dequant(c) for c in dst_e),
+                    tuple(dequant(c) for c in dst_o),
+                    out_spec.format, matrix_out,
+                    mode="split" if out_mode == "split" else "packed16")
+
+            def emit_full(dst):
+                """u8 interleaved canvas -> the negotiated output layout
+                (the general/animated branch deinterleaves on u8 first)."""
+                if out_mode == "full":
+                    return _pack_canvas(dst)
+                rp = [d.reshape(d.shape[:-1] + (out_w // 2, 2)) for d in dst]
+                return emit_phases([r[..., 0] for r in rp],
+                                   [r[..., 1] for r in rp])
 
             # -- render ---------------------------------------------------
             if not prep:
-                return convert.pack_rgba_t(tuple(make_dst()),
-                                           out_spec.format,
-                                           matrix_out), state
+                if split_out:
+                    return emit_phases(*make_dst_split()), state
+                return _pack_canvas(make_dst()), state
             at_baked = jnp.bool_(True)
             for p in prep:
                 d = p["d"]
@@ -571,8 +750,12 @@ class Compositor(Element):
                             & (p["y"] == d["baked_y"])
                             & (pad_param(params, d["pad"].name, "operator")
                                == d["baked_op"]))
+            if split_out:
+                fast = lambda _: emit_phases(*render_fast_split(0))
+            else:
+                fast = lambda _: emit_full(render_fast(0))
             out = jax.lax.cond(
-                at_baked, render_fast, render_general, 0)
+                at_baked, fast, lambda _: emit_full(render_general(0)), 0)
             return out, state
 
         return process

@@ -126,7 +126,28 @@ class Overlay(Element):
     def traced_params(self):
         return {"alpha": np.float32(self.props.get("alpha")), **self._buffers}
 
+    # -- column-phase links (core.element docs) -----------------------------
+
+    def _phase_capable(self, in_spec, out_spec) -> bool:
+        """The rect blend is per-pixel, so phases split freely; the overlay
+        rect's column parity is static."""
+        self._sync_image()
+        return (self._image is not None
+                and in_spec.format == out_spec.format
+                and in_spec.width % 2 == 0)
+
+    def split_input_ok(self, in_spec, out_spec):
+        return self._phase_capable(in_spec, out_spec)
+
+    def split_output_ok(self, in_spec, out_spec):
+        return self._phase_capable(in_spec, out_spec)
+
     def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
+        return self.make_process_linked(in_spec, out_spec, static)
+
+    def make_process_linked(self, in_spec: FrameSpec, out_spec: FrameSpec,
+                            static, in_split: bool = False,
+                            out_mode: str = "full"):
         w, h = in_spec.width, in_spec.height
         img = self._image
         img_h, img_w = img.shape[:2]
@@ -167,24 +188,96 @@ class Overlay(Element):
             (wy @ chans) @ wx.T
         ).astype(np.float32)  # (4, h, w), premultiplied rgb
 
+        from tpuvf.core.formats import RGB_FORMATS
+        from tpuvf.kernels.color import dequant as _dq
         from tpuvf.kernels.sample import WeightBuffers
 
         bufs = WeightBuffers(self.name)
+        matrix_out = out_spec.matrix_index
+        phase_mode = in_split or out_mode != "full"
+        if phase_mode and not self._phase_capable(in_spec, out_spec):
+            raise NotImplementedError(
+                "overlay split links require even width")
+
+        if phase_mode:
+            # column-phase path: the rect blend partitions freely into
+            # even/odd canvas columns; the overlay rect's phase slices are
+            # sliced host-side (parity static per build)
+            rx0, rx1 = rx.start, rx.stop
+            ry0, ry1 = ry.start, ry.stop
+            pe0, pe1 = (rx0 + 1) // 2, (rx1 + 1) // 2
+            po0, po1 = rx0 // 2, rx1 // 2
+            ov_rect = np.ascontiguousarray(ov_np[:, ry, rx])
+            fetches = {}
+            if pe1 > pe0:
+                fetches["e"] = (bufs.add(np.ascontiguousarray(
+                    ov_rect[:, :, (2 * pe0 - rx0)::2]), "overlay_e"),
+                    ((ry0, h - ry1), (pe0, w // 2 - pe1)))
+            if po1 > po0:
+                fetches["o"] = (bufs.add(np.ascontiguousarray(
+                    ov_rect[:, :, (2 * po0 + 1 - rx0)::2]), "overlay_o"),
+                    ((ry0, h - ry1), (po0, w // 2 - po1)))
+
+            if in_split:
+                if in_spec.format in RGB_FORMATS:
+                    reader = lambda planes, params: \
+                        convert.split_rgb_chans(planes)
+                else:
+                    reader = convert.plan_rgba_sampler_split(
+                        in_spec, matrix_index=in_spec.matrix_index,
+                        presplit=True)
+            elif in_spec.format in RGB_FORMATS:
+                def reader(planes, params):
+                    x8 = planes["rgba"]
+                    rp = x8.reshape(x8.shape[:-1] + (w // 2, 2))
+                    return (
+                        tuple(_dq(rp[..., c, :, :, 0]) for c in range(4)),
+                        tuple(_dq(rp[..., c, :, :, 1]) for c in range(4)),
+                    )
+            else:
+                reader = convert.plan_rgba_sampler_split(
+                    in_spec, matrix_index=in_spec.matrix_index)
+            self._buffers = bufs.buffers
+            pack_mode = {"full": "interleave", "split": "split",
+                         "packed16": "packed16"}[out_mode]
+
+            def process_split(planes, state, params):
+                ch_e, ch_o = reader(planes, params)
+                chans = {"e": list(ch_e), "o": list(ch_o)}
+                for ph, (fetch, pad_hw) in fetches.items():
+                    ov = jnp.asarray(fetch(params))
+                    a = jnp.pad(ov[3] * params["alpha"], pad_hw)
+                    for c in range(3):
+                        chans[ph][c] = (chans[ph][c] * (1.0 - a)
+                                        + jnp.pad(ov[c], pad_hw) * a)
+                out = convert.pack_rgba_split(
+                    tuple(chans["e"]), tuple(chans["o"]),
+                    out_spec.format, matrix_out, mode=pack_mode)
+                return out, state
+
+            return process_split
+
         video_sampler = convert.plan_rgba_sampler(
             in_spec, w, h, bufs, matrix_index=in_spec.matrix_index)
         # only the covered rect of the resampled overlay is needed
         fetch_ov = bufs.add(np.ascontiguousarray(ov_np[:, ry, rx]), "overlay")
         self._buffers = bufs.buffers
-        matrix_out = out_spec.matrix_index
+
+        # zero-pad the overlay to frame size inside the graph: outside the
+        # rect alpha == 0 makes the blend an EXACT identity
+        # (region * 1.0 + 0.0 == region for unit floats), so the whole blend
+        # is one fused elementwise pass — the previous rect .at[].set wrote
+        # a full-frame copy per channel (measured 2.12 ms for a 256x256
+        # overlay on 4K; ~0.2 ms this way).
+        pad_hw = ((ry.start, h - ry.stop), (rx.start, w - rx.stop))
 
         def process(planes, state, params):
             chans = list(video_sampler.tuple(planes, params))
             ov = jnp.asarray(fetch_ov(params))
-            a = ov[3] * params["alpha"]
+            a = jnp.pad(ov[3] * params["alpha"], pad_hw)
             for c in range(3):
-                region = chans[c][..., ry, rx]
-                blended = region * (1.0 - a) + ov[c] * a
-                chans[c] = chans[c].at[..., ry, rx].set(blended)
+                ovc = jnp.pad(ov[c], pad_hw)
+                chans[c] = chans[c] * (1.0 - a) + ovc * a
             return convert.pack_rgba_t(tuple(chans), out_spec.format,
                                        matrix_out), state
 

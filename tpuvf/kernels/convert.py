@@ -327,6 +327,9 @@ def plan_rgba_sampler(
 # ---------------------------------------------------------------------------
 
 
+_DEINT_U16 = False  # measured slower on v5e unless noted; kept as a knob
+
+
 def can_split_420(in_spec: FrameSpec, out_w: int, out_h: int,
                   scale_x: float, scale_y: float, border) -> bool:
     """The column-phase fast path applies to 4:2:0 inputs sampled at
@@ -362,6 +365,19 @@ def plan_rgba_sampler_split(in_spec: FrameSpec, filter: str = LINEAR,
         if presplit:
             y_e = as_unit_float(planes["y_e"])
             y_o = as_unit_float(planes["y_o"])
+        elif _DEINT_U16:
+            # u16-view deinterleave: one aligned u16 load + mask/shift per
+            # column pair instead of two strided u8 loads; the f32 converts
+            # are exact so values match dequant(u8) bit-for-bit
+            import jax
+
+            y8 = planes["y"]
+            w = y8.shape[-1]
+            yp = y8.reshape(y8.shape[:-1] + (w // 2, 2))
+            x = jax.lax.bitcast_convert_type(yp, jnp.uint16)
+            inv = np.float32(1.0 / 255.0)
+            y_e = (x & 0xFF).astype(jnp.float32) * inv
+            y_o = (x >> 8).astype(jnp.float32) * inv
         else:
             y8 = planes["y"]
             w = y8.shape[-1]

@@ -215,8 +215,10 @@ class Pipeline:
                     self._incoming(e), key=lambda l: l.sink_pad or ""
                 )
                 out_spec = self._outgoing(e)[0].spec
+                _, comp_mode = link_plan.get(e.name, (False, "full"))
                 process = e.make_aggregate(
-                    {l.sink_pad: l.spec for l in pad_links}, out_spec
+                    {l.sink_pad: l.spec for l in pad_links}, out_spec,
+                    out_mode=comp_mode,
                 )
                 st = CompiledStage(e, None, out_spec, False, process)
                 stages.append(st)
@@ -471,10 +473,23 @@ class Pipeline:
         from tpuvf.elements.compositor import Compositor
 
         info = {}
+        producers = []  # (element, can_split_out)
         for e in self.elements:
-            if isinstance(e, (SourceElement, SinkElement, Compositor)):
+            if isinstance(e, (SourceElement, SinkElement)):
                 continue
             ins, outs = self._incoming(e), self._outgoing(e)
+            if isinstance(e, Compositor):
+                # aggregators are split PRODUCERS only (pads stay canonical)
+                if len(outs) == 1 and outs[0].spec is not None:
+                    pad_specs = {
+                        l.sink_pad: l.spec for l in ins
+                        if l.spec is not None
+                    }
+                    if pad_specs and len(pad_specs) == len(ins):
+                        producers.append(
+                            (e, e.aggregate_split_ok(pad_specs,
+                                                     outs[0].spec)))
+                continue
             if (len(ins) != 1 or len(outs) != 1
                     or ins[0].spec is None or outs[0].spec is None):
                 continue
@@ -489,7 +504,11 @@ class Pipeline:
             return plan.setdefault(name, [False, "full"])
 
         for e, i_s, o_s, pt in info.values():
-            if pt or not e.split_output_ok(i_s, o_s):
+            if not pt and e.split_output_ok(i_s, o_s):
+                producers.append((e, True))
+
+        for e, ok in producers:
+            if not ok:
                 continue
             node, consumer = e, None
             while True:
