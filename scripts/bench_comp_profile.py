@@ -72,8 +72,9 @@ def comp_step(n_pads, with_overlay):
             in_split=link, out_mode=edge)
         params["ov"] = ov.traced_params()
     else:
-        agg = comp.make_aggregate(pad_specs, out_spec,
-                                  out_mode="packed16" if split_ok else "full")
+        # compositor at the sink edge keeps the canonical layout
+        # (edge_packed16_ok is False: u8 phases -> u16 is a pure relayout)
+        agg = comp.make_aggregate(pad_specs, out_spec)
     params["comp"] = comp.traced_params()
 
     def step(pad_planes, state, p):

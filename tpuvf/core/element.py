@@ -158,6 +158,14 @@ class Element:
         """True if make_process_linked(in_split=True) is supported."""
         return False
 
+    def edge_packed16_ok(self) -> bool:
+        """Whether the sink-edge packed16 layout pays off for this element.
+        True when the u16-word combine fuses into an f32 quantize (cs, vf,
+        overlay); elements whose phases already live as u8 (the compositor's
+        canvas) would pay a pure u8->u16 relayout instead — they keep the
+        canonical edge layout."""
+        return True
+
     def make_process_linked(
         self, in_spec: FrameSpec, out_spec: FrameSpec, static,
         in_split: bool = False, out_mode: str = "full",

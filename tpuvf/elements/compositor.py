@@ -306,6 +306,11 @@ class Compositor(Element):
         aggregate_split_ok with pad specs instead."""
         return False
 
+    def edge_packed16_ok(self) -> bool:
+        """The canvas is u8 phases; a u16-word edge would be a pure
+        u8->u16 relayout (the slow path) — keep the canonical edge."""
+        return False
+
     def make_aggregate(self, pad_specs: Dict[str, FrameSpec],
                        out_spec: FrameSpec, out_mode: str = "full"):
         """Compile the aggregate.  Pad GEOMETRY is traced: xpos/ypos/alpha/

@@ -528,7 +528,8 @@ class Pipeline:
             if consumer is None:
                 continue
             if isinstance(consumer, SinkElement):
-                entry(e.name)[1] = "packed16"
+                if e.edge_packed16_ok():
+                    entry(e.name)[1] = "packed16"
             else:
                 ce, ci, co, _ = consumer
                 if ce.split_input_ok(ci, co):
