@@ -140,10 +140,23 @@ def config_compositor():
             make_planes)
 
 
+def config_chain8k():
+    """Beyond-BASELINE: the headline chain at 8K (7680x4320)."""
+    from __graft_entry__ import _build_chain, _specs
+
+    in_spec, mid_spec, out_spec = _specs(7680, 4320, 7680, 4320)
+    step, state0, params = _build_chain(
+        in_spec, mid_spec, out_spec,
+        {"brightness": 0.05, "contrast": 1.1, "saturation": 1.2})
+    return ("8K NV12 convertscale+videofilter chain", step, state0, params,
+            in_spec)
+
+
 ALL = {
     "convertscale": config_convertscale,
     "transform": config_transform,
     "videofilter": config_videofilter,
     "deinterlace": config_deinterlace,
     "compositor": config_compositor,
+    "chain8k": config_chain8k,
 }

@@ -2,7 +2,8 @@
 
 Usage: python -m bench.run_all [config ...]
 Realtime baselines: configs 1-4 are 1080p60 streams, config 5 is 4K60 —
-vs_realtime reports fps/60.
+vs_realtime reports fps/60.  `chain8k` is an extra beyond-BASELINE config
+(the headline chain at 7680x4320).
 """
 
 from __future__ import annotations
@@ -30,6 +31,7 @@ def run(name: str) -> dict:
     # tunnel's per-call jitter (sub-ms frames are invisible at delta=12)
     sizes = {
         "compositor": (2, 8),
+        "chain8k": (2, 8),
         "transform": (16, 128),
         "convertscale": (8, 64),
         "deinterlace": (8, 32),

@@ -261,3 +261,20 @@ def test_compositor_scaled_pad_disables_split(tmp_path):
     comp = next(e.name for e in p.elements
                 if e.ELEMENT_NAME == "vfcompositor")
     assert p.link_plan.get(comp, (False, "full"))[1] == "full"
+
+
+def test_quant_sim_and_units_match_u8_roundtrip():
+    from tpuvf.kernels.color import (
+        as_unit_float, dequant, quant, quant_sim, quant_units)
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((64, 128)).astype(np.float32) * 1.4 - 0.2)
+    ref = dequant(quant(x))
+    np.testing.assert_array_equal(np.asarray(quant_sim(x)), np.asarray(ref))
+    np.testing.assert_array_equal(
+        np.asarray(as_unit_float(quant_units(x))), np.asarray(ref))
+    np.testing.assert_array_equal(
+        np.asarray(as_unit_float(quant(x))), np.asarray(ref))
+    # f32 passthrough
+    np.testing.assert_array_equal(
+        np.asarray(as_unit_float(ref)), np.asarray(ref))
