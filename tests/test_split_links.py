@@ -278,3 +278,32 @@ def test_quant_sim_and_units_match_u8_roundtrip():
     # f32 passthrough
     np.testing.assert_array_equal(
         np.asarray(as_unit_float(ref)), np.asarray(ref))
+
+
+@pytest.mark.parametrize("method,fmt", [
+    ("bob", "NV12"), ("weave", "NV12"), ("greedyh", "I420"),
+    ("linear", "BGRA"),
+])
+def test_deinterlace_split_chain_bit_exact(method, fmt):
+    # deinterlace (stateful: prev-frame phases) -> videofilter, linked
+    s = (
+        f"videotestsrc num-buffers=3 pattern=ball "
+        f"! video/x-raw,format={fmt},width=128,height=64 "
+        f"! vfmetaldeinterlace method={method} "
+        f"! vfmetalvideofilter contrast=1.2 ! appsink"
+    )
+    p = _run(s)
+    di = next(e.name for e in p.elements
+              if e.ELEMENT_NAME == "vfdeinterlace")
+    vf = next(e.name for e in p.elements
+              if e.ELEMENT_NAME == "vfvideofilter")
+    assert p.link_plan[di] == (False, "split")
+    assert p.link_plan[vf] == (True, "packed16")
+    plain = _run(s, disable_links=True).sinks[0].frames
+    assert len(p.sinks[0].frames) == 3
+    for a, b in zip(p.sinks[0].frames, plain):
+        if isinstance(a, dict):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+        else:
+            np.testing.assert_array_equal(a, b)

@@ -67,13 +67,137 @@ class Deinterlace(Element):
         # deinterlaced output is progressive
         return out.with_(interlaced=False)
 
+    # -- column-phase links: every method is a pure ROW stencil, so the
+    # even/odd column phases process independently; the prev-frame state
+    # splits with them (core/element.py docs) -----------------------------
+
+    def _phase_capable(self, in_spec, out_spec) -> bool:
+        from tpuvf.core.formats import RGB_FORMATS
+
+        if out_spec.format != in_spec.format:
+            return False
+        if in_spec.format in RGB_FORMATS:
+            return in_spec.width % 2 == 0
+        return convert.can_split_420(
+            in_spec, in_spec.width, in_spec.height, 1.0, 1.0, None)
+
+    def split_input_ok(self, in_spec, out_spec):
+        return self._phase_capable(in_spec, out_spec)
+
+    def split_output_ok(self, in_spec, out_spec):
+        return self._phase_capable(in_spec, out_spec)
+
     def init_state(self, in_spec, out_spec):
+        if getattr(self, "_linked_phase", False):
+            half = np.zeros(
+                (4, in_spec.height, in_spec.width // 2), np.uint8)
+            return {"prev_e": half, "prev_o": half.copy(),
+                    "has_prev": np.bool_(False)}
         return {
             "prev": np.zeros((4, in_spec.height, in_spec.width), np.uint8),
             "has_prev": np.bool_(False),
         }
 
     def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
+        return self.make_process_linked(in_spec, out_spec, static)
+
+    def make_process_linked(self, in_spec: FrameSpec, out_spec: FrameSpec,
+                            static, in_split: bool = False,
+                            out_mode: str = "full"):
+        self._linked_phase = in_split or out_mode != "full"
+        if self._linked_phase:
+            if not self._phase_capable(in_spec, out_spec):
+                raise NotImplementedError(
+                    "deinterlace split links require even width")
+            return self._make_process_split(in_spec, out_spec, static,
+                                            in_split, out_mode)
+        return self._make_process_full(in_spec, out_spec, static)
+
+    def _make_process_split(self, in_spec, out_spec, static, in_split,
+                            out_mode):
+        from tpuvf.core.formats import RGB_FORMATS
+
+        cfg = dict(static)
+        method = cfg["method"]
+        layout = cfg["field-layout"]
+        w = in_spec.width
+        static_tff = in_spec.tff if layout == FIELD_AUTO else (
+            layout == FIELD_TFF)
+
+        def resolve_tff(params):
+            if layout != FIELD_AUTO:
+                return static_tff
+            meta = params.get("__meta__") or {}
+            tff_flag = meta.get("tff")
+            return static_tff if tff_flag is None else (tff_flag != 0)
+
+        matrix_in = in_spec.matrix_index
+        matrix_out = out_spec.matrix_index
+        if in_split:
+            if in_spec.format in RGB_FORMATS:
+                reader = lambda planes, params: \
+                    convert.split_rgb_chans(planes)
+            else:
+                reader = convert.plan_rgba_sampler_split(
+                    in_spec, filter=NEAREST, matrix_index=matrix_in,
+                    presplit=True)
+        elif in_spec.format in RGB_FORMATS:
+            def reader(planes, params):
+                x8 = planes["rgba"]
+                rp = x8.reshape(x8.shape[:-1] + (w // 2, 2))
+                return (
+                    tuple(dequant(rp[..., c, :, :, 0]) for c in range(4)),
+                    tuple(dequant(rp[..., c, :, :, 1]) for c in range(4)),
+                )
+        else:
+            reader = convert.plan_rgba_sampler_split(
+                in_spec, filter=NEAREST, matrix_index=matrix_in)
+        self._buffers = {}
+        pack_mode = {"full": "interleave", "split": "split",
+                     "packed16": "packed16"}[out_mode]
+
+        def run_method(cur_t, prev_t, has_prev, tff, params):
+            if method in (METHOD_BOB, METHOD_LINEAR):
+                return kdeint.bob_t(cur_t, tff)
+            if method == METHOD_WEAVE:
+                woven = kdeint.weave_t(cur_t, prev_t, tff)
+                fallback = kdeint.bob_t(cur_t, tff)
+                return tuple(jnp.where(has_prev, wv, fb)
+                             for wv, fb in zip(woven, fallback))
+            gh = kdeint.greedyh_t(cur_t, prev_t, tff,
+                                  params["motion-threshold"])
+            fallback = kdeint.bob_t(cur_t, tff)
+            return tuple(jnp.where(has_prev, g, fb)
+                         for g, fb in zip(gh, fallback))
+
+        def process(planes, state, params):
+            tff = resolve_tff(params)
+            ch_e, ch_o = reader(planes, params)
+            # RGBA8 texture boundary per phase (m:204-293)
+            cur_q_e = tuple(quant(c) for c in ch_e)
+            cur_q_o = tuple(quant(c) for c in ch_o)
+            cur_e = tuple(dequant(c) for c in cur_q_e)
+            cur_o = tuple(dequant(c) for c in cur_q_o)
+            prev_e = tuple(dequant(state["prev_e"][..., c, :, :])
+                           for c in range(4))
+            prev_o = tuple(dequant(state["prev_o"][..., c, :, :])
+                           for c in range(4))
+            has_prev = state["has_prev"]
+            out_e = run_method(cur_e, prev_e, has_prev, tff, params)
+            out_o = run_method(cur_o, prev_o, has_prev, tff, params)
+            out = convert.pack_rgba_split(
+                out_e, out_o, out_spec.format, matrix_out, mode=pack_mode)
+            new_state = {
+                "prev_e": jnp.stack(cur_q_e, axis=-3),
+                "prev_o": jnp.stack(cur_q_o, axis=-3),
+                "has_prev": jnp.asarray(True),
+            }
+            return out, new_state
+
+        return process
+
+    def _make_process_full(self, in_spec: FrameSpec, out_spec: FrameSpec,
+                           static):
         cfg = dict(static)
         method = cfg["method"]
         layout = cfg["field-layout"]

@@ -238,9 +238,21 @@ class Pipeline:
             state[e.name] = e.init_state(in_spec, out_spec)
 
         # preserve per-element carried state across reconfiguration rebuilds
+        # (only when the state pytree still has the same structure+shapes —
+        # a boundary-layout change can re-shape e.g. the deinterlacer's
+        # prev-frame phases, and stale carry must then reset)
+        def _same_shape(a, b):
+            ta, tb = jax.tree_util.tree_structure(a), \
+                jax.tree_util.tree_structure(b)
+            if ta != tb:
+                return False
+            la = jax.tree_util.tree_leaves(a)
+            lb = jax.tree_util.tree_leaves(b)
+            return all(np.shape(x) == np.shape(y) for x, y in zip(la, lb))
+
         old_state = getattr(self, "_state", None) or {}
         for name, st in old_state.items():
-            if name in state:
+            if name in state and _same_shape(st, state[name]):
                 state[name] = st
 
         self._stages = stages
