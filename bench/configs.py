@@ -118,6 +118,10 @@ def config_compositor():
                   and ov.split_input_ok(out_spec, out_spec))
     agg = comp.make_aggregate(pad_specs, out_spec,
                               out_mode="split" if link_split else "full")
+    # static geometry at the baked values: run the fast-only variant (the
+    # pipeline's host-side per-frame pick does the same)
+    if agg.variant_select(comp.traced_params()) == "fast":
+        agg = agg.variants["fast"]
     edge = "packed16" if ov.split_output_ok(out_spec, out_spec) else "full"
     ov_proc = ov.make_process_linked(
         out_spec, out_spec, ov.static_config(out_spec, out_spec),

@@ -307,3 +307,18 @@ def test_deinterlace_split_chain_bit_exact(method, fmt):
                 np.testing.assert_array_equal(a[k], b[k])
         else:
             np.testing.assert_array_equal(a, b)
+
+
+def test_compositor_variant_selection(tmp_path):
+    s = COMP_CHAIN.format(x1=96, ov=_overlay_png(tmp_path))
+    p = parse_pipeline(s)
+    p.negotiate()
+    p.build()
+    assert p._variant_stage is not None and p._step_fast is not None
+    comp = next(e for e in p.elements if e.ELEMENT_NAME == "vfcompositor")
+    proc = p._variant_stage.process
+    assert proc.variant_select(comp.traced_params()) == "fast"
+    comp.get_pad("sink_1").set("xpos", 97)
+    assert proc.variant_select(comp.traced_params()) == "general"
+    comp.get_pad("sink_1").set("xpos", 96)
+    assert proc.variant_select(comp.traced_params()) == "fast"

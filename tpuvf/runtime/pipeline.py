@@ -272,7 +272,17 @@ class Pipeline:
         stage_by_elem = {id(s.element): s for s in stages}
         sink = self.sinks[0] if self.sinks else None
 
-        def step(inputs: Dict[str, Dict], state: Dict, params: Dict):
+        def make_step(proc_overrides: Dict[str, callable]):
+            """Compose the chain step; proc_overrides swaps an element's
+            process fn (used for host-selected program variants, e.g. the
+            compositor's fast/general render bodies)."""
+
+            def step(inputs: Dict[str, Dict], state: Dict, params: Dict):
+                return _run_step(inputs, state, params, proc_overrides)
+
+            return step
+
+        def _run_step(inputs, state, params, proc_overrides):
             produced: Dict[int, Dict] = {}
 
             def value_of(elem) -> Dict:
@@ -286,6 +296,7 @@ class Pipeline:
                 if st.passthrough:
                     produced[id(e)] = value_of(incoming[id(e)][0].upstream)
                     continue
+                proc = proc_overrides.get(e.name, st.process)
                 try:
                     if isinstance(e, Compositor):
                         # per-pad buffer metadata rides the frame dicts (the
@@ -301,7 +312,7 @@ class Pipeline:
                             }
                         prm = dict(params.get(e.name, {}))
                         prm["__pad_meta__"] = pad_meta
-                        out, new_state[e.name] = st.process(
+                        out, new_state[e.name] = proc(
                             pad_inputs, state.get(e.name, ()), prm
                         )
                         out = dict(out)
@@ -316,7 +327,7 @@ class Pipeline:
                         if meta is not None:
                             prm = dict(prm)
                             prm["__meta__"] = meta
-                        out, new_state[e.name] = st.process(
+                        out, new_state[e.name] = proc(
                             planes, state.get(e.name, ()), prm
                         )
                         if meta is not None:
@@ -338,8 +349,24 @@ class Pipeline:
             out = {k: v for k, v in out.items() if k != "__meta__"}
             return out, new_state
 
-        self._step_py = step  # eager variant for failure bisection
-        self._step = jax.jit(step, donate_argnums=(1,))
+        self._step_py = make_step({})  # eager variant for failure bisection
+        self._step = jax.jit(make_step({}), donate_argnums=(1,))
+        # host-selected program variants: an element's process may expose
+        # .variants + .variant_select (the compositor's fast/general render
+        # bodies) — both compile ONCE; run() picks per frame on the host,
+        # so steady-state frames skip the lax.cond whose branch-output
+        # copies cost ~0.3 ms at 4K while animation still recompiles
+        # nothing
+        self._variant_stage = next(
+            (st for st in stages
+             if not st.passthrough and hasattr(st.process, "variants")),
+            None)
+        self._step_fast = None
+        if self._variant_stage is not None:
+            vs = self._variant_stage
+            self._step_fast = jax.jit(
+                make_step({vs.element.name: vs.process.variants["fast"]}),
+                donate_argnums=(1,))
         self._codec_chain = self._collect_codec_chain(stage_by_elem)
         self._wire_navigation()
 
@@ -592,6 +619,8 @@ class Pipeline:
         self._stages = []
         self._step = None
         self._step_py = None
+        self._step_fast = None
+        self._variant_stage = None
         self._codec_chain = []
         self._state = None
         self._negotiated = False
@@ -720,8 +749,9 @@ class Pipeline:
                     dev_params = self._stage_params()
                     codecs = self._codec_chain
                 frame_params = self._frame_params(dev_params)
+                step_fn = self._select_step(frame_params)
                 with trace(f"tpuvf.step[{i}]"):
-                    out, state = self._step(inputs, state, frame_params)
+                    out, state = step_fn(inputs, state, frame_params)
                 # overlap: consume frame i-1 while frame i computes (jax
                 # dispatch is async; the device round trip of the previous
                 # frame's readback hides behind this frame's compute)
@@ -754,6 +784,20 @@ class Pipeline:
         if sink is not None:
             sink.finalize()
         return count
+
+    def _select_step(self, frame_params):
+        """Pick the jitted program variant for this frame's params (host
+        check; both variants are already compiled)."""
+        vs = getattr(self, "_variant_stage", None)
+        if vs is None or self._step_fast is None:
+            return self._step
+        elem_params = frame_params.get(vs.element.name, {})
+        try:
+            if vs.process.variant_select(elem_params) == "fast":
+                return self._step_fast
+        except (KeyError, TypeError):  # pragma: no cover
+            pass
+        return self._step
 
     def _locate_failure(self, inputs=None, params=None) -> str:
         """Attribute a runtime failure inside the fused program by re-running
@@ -809,6 +853,13 @@ class Pipeline:
         num_frames = self._clock_num_frames(out_fps, clock_infos, num_frames)
 
         step = self._step  # already jitted; wrap with scan
+        vs = getattr(self, "_variant_stage", None)
+        if vs is not None and self._step_fast is not None:
+            # geometry is fixed across a batch (params staged per run)
+            if vs.process.variant_select(
+                    self.params().get(vs.element.name, {})) == "fast":
+                step = self._step_fast
+
         def batch_step(inputs, state, params):
             def body(st, frame_inputs):
                 out, st2 = step(frame_inputs, st, params)
