@@ -46,9 +46,16 @@ def main():
     def make_planes(batch):
         return random_planes_for_spec(in_spec, batch)
 
-    res = measure_fps(step, make_planes, state0, params,
-                      batch_small=4, batch_large=16)
-    fps = res["fps"]
+    # the axon tunnel adds up to ~3x noise per slope measurement (and can
+    # inflate as well as deflate — a slow small-batch rep shrinks the
+    # slope), so report the MEDIAN of three measurements
+    import statistics
+
+    fps = statistics.median(
+        measure_fps(step, make_planes, state0, params,
+                    batch_small=4, batch_large=16)["fps"]
+        for _ in range(3)
+    )
     print(json.dumps({
         "metric": "4K NV12 convertscale+videofilter chain fps/chip (HBM-resident)",
         "value": round(fps, 2),

@@ -55,6 +55,27 @@ def t_filter():
     assert_planes_close(got, want, tol=2, context="tpu filter")
 check("videofilter combo NV12", t_filter)
 
+# convertscale: NV12 -> BGRA identity (the split-phase + banded-chroma
+# fast path; 96-wide so the chroma plane is lane-UNALIGNED at 48)
+def t_convert():
+    spec = FrameSpec(VideoFormat("NV12"), 96, 64)
+    host = random_host_frame(RNG, spec)
+    planes = host_to_planes(host, spec)
+    elem = make("vfconvertscale")
+    out_spec = FrameSpec(VideoFormat("BGRA"), 96, 64, matrix=spec.matrix)
+    proc = elem.make_process_linked(
+        spec, out_spec, elem.static_config(spec, out_spec),
+        out_mode="packed16")
+    dev = {k: jnp.asarray(v) for k, v in planes.items()}
+    out, _ = proc(dev, (), elem.traced_params())
+    got16 = np.ascontiguousarray(np.asarray(out["rgba"]))  # u16 words
+    got = {"rgba": got16.view(np.uint8).reshape(4, 64, 96)}
+    rgba = metal_ref.sample_rgba(planes, "NV12", spec.matrix_index, 96, 64)
+    want = metal_ref.pack_rgba(
+        metal_ref.quant(rgba).transpose(2, 0, 1), "RGBA", spec.matrix_index)
+    assert_planes_close(got, want, tol=2, context="tpu convertscale")
+check("convertscale NV12->BGRA split+packed16", t_convert)
+
 # transform rotate+crop
 def t_transform():
     got, planes, spec = run_elem("vftransform", "RGBA", 48, 32,

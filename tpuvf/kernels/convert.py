@@ -327,7 +327,9 @@ def plan_rgba_sampler(
 # ---------------------------------------------------------------------------
 
 
-_DEINT_U16 = False  # measured slower on v5e unless noted; kept as a knob
+_DEINT_U16 = False  # u16-view y deinterleave: measured NO better than the
+                    # u8 reshape on v5e (median-of-5 A/B,
+                    # scripts/bench_chain_ab.py); kept as a knob
 
 
 def can_split_420(in_spec: FrameSpec, out_w: int, out_h: int,
@@ -388,7 +390,19 @@ def plan_rgba_sampler_split(in_spec: FrameSpec, filter: str = LINEAR,
         def chroma(c8):
             cf = as_unit_float(c8)
             if filter == LINEAR:
-                cf = _upsample2x_linear(cf, -2)  # rows: sublane interleave ok
+                # rows: the stack+reshape sublane interleave costs a real
+                # relayout copy (~65 us per 4K chroma plane in the device
+                # trace); the Pallas banded resampler computes the same
+                # 0.25/0.75 taps bit-exactly without one
+                ch = cf.shape[-2]
+                if (cf.ndim == 2 and ch % 8 == 0
+                        and _use_pallas_banded(ch, -2, LINEAR, 1.0)):
+                    from tpuvf.kernels.pallas import resample as pres
+
+                    t = sample.texcoords(2 * ch, 1.0)
+                    cf = pres.banded_resample_rows(cf, t)
+                else:
+                    cf = _upsample2x_linear(cf, -2)
                 prev = _shift_edge(cf, -1, -1)
                 nxt = _shift_edge(cf, -1, +1)
                 return 0.25 * prev + 0.75 * cf, 0.75 * cf + 0.25 * nxt

@@ -105,6 +105,13 @@ def banded_resample_rows(img: jnp.ndarray, t: np.ndarray, interpret=False):
     if in_h % 8 != 0:
         raise ValueError("banded_resample_rows needs in_h % 8 == 0 "
                          "(Mosaic sublane alignment); use the dense sampler")
+    # the manual HBM band slice requires lane (width) alignment to the
+    # 128-lane tiling — pad narrow images and slice the result back
+    pad_w = (-w) % 128
+    if pad_w:
+        out = banded_resample_rows(
+            jnp.pad(img, ((0, 0), (0, pad_w))), t, interpret)
+        return out[:, :w]
     i0, w0 = plan_rows(np.asarray(t, np.float64), in_h)
     pad_out = (-out_h) % TILE_OUT
     if pad_out:
