@@ -44,7 +44,8 @@ def main():
     )
 
     def make_planes(batch):
-        return random_planes_for_spec(in_spec, batch)
+        return random_planes_for_spec(
+            in_spec, batch, split=getattr(step, "source_split", False))
 
     # the axon tunnel adds up to ~3x noise per slope measurement (and can
     # inflate as well as deflate — a slow small-batch rep shrinks the

@@ -153,7 +153,9 @@ def config_chain8k():
         in_spec, mid_spec, out_spec,
         {"brightness": 0.05, "contrast": 1.1, "saturation": 1.2})
     return ("8K NV12 convertscale+videofilter chain", step, state0, params,
-            in_spec)
+            lambda b: __import__("tpuvf.runtime.benchmark", fromlist=["x"])
+            .random_planes_for_spec(
+                in_spec, b, split=getattr(step, "source_split", False)))
 
 
 ALL = {

@@ -52,7 +52,8 @@ def test_chain_link_plan_negotiated():
     plan = p.link_plan
     names = {e.ELEMENT_NAME: e.name for e in p.elements}
     cs, vf = names["vfconvertscale"], names["vfvideofilter"]
-    assert plan[cs] == (False, "split")
+    # cs consumes split from the SOURCE (host-provisioned upload) too
+    assert plan[cs] == (True, "split")
     assert plan[vf] == (True, "packed16")
 
 
@@ -73,7 +74,7 @@ def test_vf_to_vf_420_split_link_bit_exact():
     )
     p = _run(s)
     names = [e.name for e in p.elements if e.ELEMENT_NAME == "vfvideofilter"]
-    assert p.link_plan[names[0]] == (False, "split")
+    assert p.link_plan[names[0]] == (True, "split")
     assert p.link_plan[names[1]] == (True, "packed16")
     plain = _run(s, disable_links=True).sinks[0].frames
     for a, b in zip(p.sinks[0].frames, plain):
@@ -88,7 +89,7 @@ def test_packed16_edge_single_element():
     )
     p = _run(s)
     cs = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfconvertscale")
-    assert p.link_plan[cs] == (False, "packed16")
+    assert p.link_plan[cs] == (True, "packed16")
     plain = _run(s, disable_links=True).sinks[0].frames
     for a, b in zip(p.sinks[0].frames, plain):
         np.testing.assert_array_equal(a, b)
@@ -100,7 +101,8 @@ def test_sharpness_breaks_split_link():
     vf = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfvideofilter")
     assert p.link_plan.get(vf, (False, "full")) == (False, "full")
     # convertscale's consumer can't take phases; its output reaches vf, not
-    # the sink, so it must stay canonical
+    # the sink, so it must stay canonical (it still consumes a split
+    # source upload)
     cs = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfconvertscale")
     assert p.link_plan.get(cs, (False, "full"))[1] == "full"
     plain = _run(s, disable_links=True).sinks[0].frames
@@ -117,7 +119,7 @@ def test_split_through_passthrough_elements():
     p = _run(s)
     cs = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfconvertscale")
     vf = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfvideofilter")
-    assert p.link_plan[cs] == (False, "split")
+    assert p.link_plan[cs] == (True, "split")
     assert p.link_plan[vf] == (True, "packed16")
     plain = _run(s, disable_links=True).sinks[0].frames
     for a, b in zip(p.sinks[0].frames, plain):
@@ -297,7 +299,7 @@ def test_deinterlace_split_chain_bit_exact(method, fmt):
               if e.ELEMENT_NAME == "vfdeinterlace")
     vf = next(e.name for e in p.elements
               if e.ELEMENT_NAME == "vfvideofilter")
-    assert p.link_plan[di] == (False, "split")
+    assert p.link_plan[di] == (True, "split")
     assert p.link_plan[vf] == (True, "packed16")
     plain = _run(s, disable_links=True).sinks[0].frames
     assert len(p.sinks[0].frames) == 3
@@ -322,3 +324,24 @@ def test_compositor_variant_selection(tmp_path):
     assert proc.variant_select(comp.traced_params()) == "general"
     comp.get_pad("sink_1").set("xpos", 96)
     assert proc.variant_select(comp.traced_params()) == "fast"
+
+
+def test_source_split_provisioning_bit_exact(tmp_path):
+    # sources feeding split-capable consumers upload pre-split planes (no
+    # device-side u8 deinterleave); compositor pads too
+    s = COMP_CHAIN.format(x1=96, ov=_overlay_png(tmp_path))
+    p = _run(s)
+    assert p._source_split, "expected split-provisioned sources"
+    comp = next(e.name for e in p.elements
+                if e.ELEMENT_NAME == "vfcompositor")
+    assert p._comp_split_pads.get(comp), "expected split pads"
+    plain = _run(s, disable_links=True).sinks[0].frames
+    for a, b in zip(p.sinks[0].frames, plain):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_source_split_linear_chain():
+    p = _run(CHAIN)
+    src = next(e.name for e in p.elements if "testsrc" in e.ELEMENT_NAME)
+    assert src in p._source_split
+    # outputs already asserted bit-exact in test_chain_bit_exact_vs_unlinked

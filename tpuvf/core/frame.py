@@ -206,6 +206,33 @@ def planes_to_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
     raise ValueError(f"unknown format {fmt}")
 
 
+def split_planes_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
+    """Canonical planes -> column-phase SPLIT planes, on the host.
+
+    Device-side u8 deinterleaves cost full-plane relayout copies (~150 us
+    per 33 MB at 4K in the device trace); the host repack — the analog of
+    the reference's texture-cache upload (vfmetaltextureutil.m:108-111) —
+    does the same strided copy at memcpy speed during the transfer that
+    happens anyway.  Layouts match the "split" link convention
+    (core/element.py): RGB -> {"r_e","g_e","b_e","a_e","r_o",...} u8;
+    4:2:0 -> {"y_e","y_o","u","v"} u8."""
+    if spec.format in RGB_FORMATS:
+        rgba = planes["rgba"]
+        names = ("r", "g", "b", "a")
+        out = {}
+        for c, n in enumerate(names):
+            out[f"{n}_e"] = np.ascontiguousarray(rgba[c, :, 0::2])
+            out[f"{n}_o"] = np.ascontiguousarray(rgba[c, :, 1::2])
+        return out
+    y = planes["y"]
+    return {
+        "y_e": np.ascontiguousarray(y[:, 0::2]),
+        "y_o": np.ascontiguousarray(y[:, 1::2]),
+        "u": planes["u"],
+        "v": planes["v"],
+    }
+
+
 def frame_from_host(data, spec: FrameSpec, device=None) -> Frame:
     planes = host_to_planes(data, spec)
     put = (lambda a: jax.device_put(a, device)) if device else jax.device_put

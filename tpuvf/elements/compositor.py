@@ -312,7 +312,8 @@ class Compositor(Element):
         return False
 
     def make_aggregate(self, pad_specs: Dict[str, FrameSpec],
-                       out_spec: FrameSpec, out_mode: str = "full"):
+                       out_spec: FrameSpec, out_mode: str = "full",
+                       split_pads: frozenset = frozenset()):
         """Compile the aggregate.  Pad GEOMETRY is traced: xpos/ypos/alpha/
         operator enter as per-frame params (GST_PARAM_CONTROLLABLE,
         gstvfmetalcompositorpad.m:282-315), placement uses dynamic slices at
@@ -389,7 +390,8 @@ class Compositor(Element):
             split_reader = None
             if split_out and spec.format not in RGB_FORMATS:
                 split_reader = convert.plan_rgba_sampler_split(
-                    spec, matrix_index=spec.matrix_index)
+                    spec, matrix_index=spec.matrix_index,
+                    presplit=pad.name in split_pads)
             compiled_draws.append(
                 dict(
                     pad=pad,
@@ -493,6 +495,19 @@ class Compositor(Element):
                 """Premultiplied (r, g, b, a) source planes at pad size."""
                 d = p["d"]
                 planes = pad_inputs[d["pad"].name]
+                if d["pad"].name in split_pads:
+                    # animated/general branch with a split-provisioned
+                    # upload: re-interleave on u8 (rare frames only)
+                    if d["fmt"] in RGB_FORMATS:
+                        names = ("r", "g", "b", "a")
+                        planes = {"rgba": jnp.stack(
+                            [convert.interleave_cols_u8(
+                                planes[f"{n}_e"], planes[f"{n}_o"])
+                             for n in names], axis=-3)}
+                    else:
+                        planes = dict(planes)
+                        planes["y"] = convert.interleave_cols_u8(
+                            planes.pop("y_e"), planes.pop("y_o"))
                 if d["fmt"] in RGB_FORMATS:
                     rgba8 = planes["rgba"]
                     srcs = [
@@ -595,7 +610,13 @@ class Compositor(Element):
                 planes at pad size (full-identity draws only)."""
                 d = p["d"]
                 planes = pad_inputs[d["pad"].name]
-                if d["fmt"] in RGB_FORMATS:
+                if d["pad"].name in split_pads:
+                    # source-provisioned split upload (no device relayout)
+                    if d["fmt"] in RGB_FORMATS:
+                        ch_e, ch_o = convert.split_rgb_chans(planes)
+                    else:
+                        ch_e, ch_o = d["split_reader"](planes, params)
+                elif d["fmt"] in RGB_FORMATS:
                     x8 = planes["rgba"]
                     wp = x8.shape[-1]
                     rp = x8.reshape(x8.shape[:-1] + (wp // 2, 2))

@@ -17,7 +17,7 @@ quantize to the RGBA8 intermediate -> pack to the output format.  Packed
 from __future__ import annotations
 
 from tpuvf.core.element import Element
-from tpuvf.core.formats import ALL_FORMATS
+from tpuvf.core.formats import ALL_FORMATS, RGB_FORMATS
 from tpuvf.core.properties import PropertyDescriptor, argb_to_rgba_floats
 from tpuvf.core.registry import register
 from tpuvf.core.spec import CapsFilter, Fraction, FrameSpec
@@ -114,11 +114,22 @@ class ConvertScale(Element):
     def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
         return self.make_process_linked(in_spec, out_spec, static)
 
+    def split_input_ok(self, in_spec, out_spec):
+        """Consume pre-split 4:2:0 planes (e.g. a split-provisioned source
+        upload) on the identity fast path."""
+        scale_x, scale_y, border, _ = self._split_geometry(in_spec, out_spec)
+        return (convert.can_split_420(in_spec, out_spec.width,
+                                      out_spec.height, scale_x, scale_y,
+                                      border)
+                and in_spec.format not in RGB_FORMATS)
+
     def make_process_linked(self, in_spec: FrameSpec, out_spec: FrameSpec,
                             static, in_split: bool = False,
                             out_mode: str = "full"):
-        if in_split:
-            raise NotImplementedError("convertscale does not consume split")
+        if in_split and not self.split_input_ok(in_spec, out_spec):
+            raise NotImplementedError(
+                "convertscale consumes split input only on the 4:2:0 "
+                "identity fast path")
         cfg = dict(static)
         method = cfg["method"]
         add_borders = cfg["add-borders"]
@@ -142,7 +153,8 @@ class ConvertScale(Element):
             # even/odd column-phase dataflow: no f32 lane interleave (the 2x
             # chroma upsample happens per phase); bit-exact, ~1.34x at 4K
             split_sampler = convert.plan_rgba_sampler_split(
-                in_spec, filter=filt, matrix_index=matrix_in)
+                in_spec, filter=filt, matrix_index=matrix_in,
+                presplit=in_split)
             self._buffers = bufs.buffers
             pack_mode = {"full": "interleave", "split": "split",
                          "packed16": "packed16"}[out_mode]

@@ -86,8 +86,12 @@ def measure_fps(
     }
 
 
-def random_planes_for_spec(spec, batch, rng=None):
-    """Random device-resident canonical planes with a leading batch axis."""
+def random_planes_for_spec(spec, batch, rng=None, split=False):
+    """Random device-resident canonical planes with a leading batch axis.
+
+    split=True produces the column-phase SPLIT upload layout
+    (core.frame.split_planes_host): what the pipeline feeds a chain whose
+    first element consumes split-provisioned sources."""
     import jax.numpy as jnp
 
     rng = rng or np.random.default_rng(0)
@@ -95,5 +99,17 @@ def random_planes_for_spec(spec, batch, rng=None):
     for p in spec.planes:
         shape = (batch,) + ((p.channels,) if p.channels > 1 else ()) + (
             p.height, p.width)
-        out[p.name] = jnp.asarray(rng.integers(0, 256, shape, dtype=np.uint8))
-    return out
+        out[p.name] = rng.integers(0, 256, shape, dtype=np.uint8)
+    if split:
+        from tpuvf.core.formats import RGB_FORMATS
+
+        if spec.format in RGB_FORMATS:
+            rgba = out.pop("rgba")
+            for c, n in enumerate(("r", "g", "b", "a")):
+                out[f"{n}_e"] = np.ascontiguousarray(rgba[:, c, :, 0::2])
+                out[f"{n}_o"] = np.ascontiguousarray(rgba[:, c, :, 1::2])
+        else:
+            y = out.pop("y")
+            out["y_e"] = np.ascontiguousarray(y[..., 0::2])
+            out["y_o"] = np.ascontiguousarray(y[..., 1::2])
+    return {k: jnp.asarray(v) for k, v in out.items()}

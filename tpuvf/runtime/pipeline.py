@@ -76,6 +76,8 @@ class Pipeline:
         self._step = None
         self._state = None
         self._negotiated = False
+        self._source_split = set()
+        self._comp_split_pads = {}
 
     # -- construction ------------------------------------------------------
 
@@ -219,6 +221,7 @@ class Pipeline:
                 process = e.make_aggregate(
                     {l.sink_pad: l.spec for l in pad_links}, out_spec,
                     out_mode=comp_mode,
+                    split_pads=self._comp_split_pads.get(e.name, frozenset()),
                 )
                 st = CompiledStage(e, None, out_spec, False, process)
                 stages.append(st)
@@ -574,6 +577,57 @@ class Pipeline:
                 if ce.split_input_ok(ci, co):
                     entry(e.name)[1] = "split"
                     entry(ce.name)[0] = True
+
+        # -- source provisioning: device-side u8 deinterleaves cost full-
+        # plane relayout copies, so when a split-capable consumer's REAL
+        # upstream is a source, the host repack splits the planes during
+        # upload instead (core.frame.split_planes_host) ------------------
+        self._source_split = set()
+        self._comp_split_pads = {}
+
+        def real_upstream(e):
+            node = e
+            while True:
+                ins = self._incoming(node)
+                if not ins:
+                    return node
+                node = ins[0].upstream
+                d = info.get(id(node))
+                if d is None:
+                    return node
+                if not d[3]:
+                    return node  # a real producer element
+
+        for e, i_s, o_s, pt in info.values():
+            if pt or not e.split_input_ok(i_s, o_s):
+                continue
+            up = real_upstream(e)
+            if (isinstance(up, SourceElement)
+                    and len(self._outgoing(up)) == 1):
+                entry(e.name)[0] = True
+                self._source_split.add(up.name)
+        # compositor pads: the split fast branch reads pad phases directly,
+        # so source-fed full-identity pads upload pre-split (the general/
+        # animated branch re-interleaves on u8)
+        for e in self.elements:
+            if not isinstance(e, Compositor):
+                continue
+            mode = plan.get(e.name, [False, "full"])[1]
+            if mode == "full":
+                continue
+            pads = set()
+            for ln in self._incoming(e):
+                if ln.spec is None or ln.sink_pad is None:
+                    continue
+                up = real_upstream(ln.upstream) \
+                    if info.get(id(ln.upstream), (None,) * 4)[3] \
+                    else ln.upstream
+                if (isinstance(up, SourceElement)
+                        and len(self._outgoing(up)) == 1):
+                    pads.add(ln.sink_pad)
+                    self._source_split.add(up.name)
+            if pads:
+                self._comp_split_pads[e.name] = frozenset(pads)
         return {k: (v[0], v[1]) for k, v in plan.items()}
 
     def _static_signature(self):
@@ -599,7 +653,10 @@ class Pipeline:
             except NotImplementedError:  # pragma: no cover
                 continue
         # boundary-layout decisions are part of the compiled structure
-        sig.append(("__links__", tuple(sorted(self._link_plan().items()))))
+        sig.append(("__links__", tuple(sorted(self._link_plan().items())),
+                    tuple(sorted(self._source_split)),
+                    tuple(sorted((k, tuple(sorted(v)))
+                                 for k, v in self._comp_split_pads.items()))))
         return tuple(sig)
 
     def _maybe_rebuild(self):
@@ -621,6 +678,8 @@ class Pipeline:
         self._step_py = None
         self._step_fast = None
         self._variant_stage = None
+        self._source_split = set()
+        self._comp_split_pads = {}
         self._codec_chain = []
         self._state = None
         self._negotiated = False
@@ -725,6 +784,16 @@ class Pipeline:
         t_run = time.perf_counter()
         gen_cache = {}  # (source, index) -> device planes; reuses repeats
         for i in range(num_frames):
+            # reconfigure BEFORE building this frame's inputs: a rebuild can
+            # change source-split provisioning, which changes the upload
+            # layout
+            self._state = state  # publish the live scan-carried state so a
+            # structural rebuild merges the CURRENT carry, not run-start
+            if self._maybe_rebuild():
+                state = self._state
+                dev_params = self._stage_params()
+                codecs = self._codec_chain
+                gen_cache.clear()
             selection = self._select_buffers(i, out_fps, clock_infos)
             inputs = {}
             for s in sources:
@@ -734,6 +803,10 @@ class Pipeline:
                 if cached is None or cached[0] != gen_j:
                     host = s.generate(gen_j, spec)
                     planes = host_to_planes(host, spec)
+                    if s.name in self._source_split:
+                        from tpuvf.core.frame import split_planes_host
+
+                        planes = split_planes_host(planes, spec)
                     dev = {k: jax.device_put(v) for k, v in planes.items()}
                     gen_cache[s.name] = (gen_j, dev)
                 else:
@@ -741,13 +814,6 @@ class Pipeline:
                 inputs[s.name] = dict(dev)
                 inputs[s.name]["__meta__"] = meta
             try:
-                # publish the live scan-carried state so a structural
-                # rebuild merges the CURRENT carry, not the run-start one
-                self._state = state
-                if self._maybe_rebuild():
-                    state = self._state
-                    dev_params = self._stage_params()
-                    codecs = self._codec_chain
                 frame_params = self._frame_params(dev_params)
                 step_fn = self._select_step(frame_params)
                 with trace(f"tpuvf.step[{i}]"):
@@ -904,10 +970,12 @@ class Pipeline:
                 for i in range(n):
                     gen_j, meta = selections[i][s.name]
                     if gen_cache[0] != gen_j:
-                        gen_cache = (
-                            gen_j,
-                            host_to_planes(s.generate(gen_j, spec), spec),
-                        )
+                        hp = host_to_planes(s.generate(gen_j, spec), spec)
+                        if s.name in self._source_split:
+                            from tpuvf.core.frame import split_planes_host
+
+                            hp = split_planes_host(hp, spec)
+                        gen_cache = (gen_j, hp)
                     frames.append(gen_cache[1])
                     metas.append(meta)
                 stacked[s.name] = {
