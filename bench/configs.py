@@ -26,9 +26,13 @@ def _element_step(elem, in_spec, out_spec=None):
     out_spec = out_spec or elem.transform_spec(in_spec)
     static = elem.static_config(in_spec, out_spec)
     # mirror Pipeline._link_plan: a single element feeding the sink gets the
-    # packed16 (u16-word, byte-identical) edge layout when it supports it
+    # packed16 (u16-word, byte-identical) edge layout when it supports it,
+    # and a split-capable consumer gets a split-provisioned source upload
     edge = "packed16" if elem.split_output_ok(in_spec, out_spec) else "full"
-    proc = elem.make_process_linked(in_spec, out_spec, static, out_mode=edge)
+    src_split = elem.split_input_ok(in_spec, out_spec)
+    proc = elem.make_process_linked(in_spec, out_spec, static,
+                                    in_split=src_split, out_mode=edge)
+    proc.source_split = src_split
     state0 = elem.init_state(in_spec, out_spec)
     return proc, state0, elem.traced_params()
 

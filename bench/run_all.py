@@ -23,9 +23,10 @@ def run(name: str) -> dict:
         make_planes = spec_or_maker
     else:
         spec = spec_or_maker
+        src_split = getattr(step, "source_split", False)
 
         def make_planes(batch):
-            return random_planes_for_spec(spec, batch)
+            return random_planes_for_spec(spec, batch, split=src_split)
 
     # fast configs need a larger batch delta so per-frame time clears the
     # tunnel's per-call jitter (sub-ms frames are invisible at delta=12)
