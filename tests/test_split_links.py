@@ -345,3 +345,46 @@ def test_source_split_linear_chain():
     src = next(e.name for e in p.elements if "testsrc" in e.ELEMENT_NAME)
     assert src in p._source_split
     # outputs already asserted bit-exact in test_chain_bit_exact_vs_unlinked
+
+
+def test_odd_width_falls_back_to_canonical():
+    s = (
+        "videotestsrc num-buffers=1 ! video/x-raw,format=NV12,width=129,height=64 "
+        "! vfmetalvideofilter brightness=0.2 ! appsink"
+    )
+    # NV12 needs even dims; use 130x64 with odd-width BGRA instead
+    s = (
+        "videotestsrc num-buffers=1 ! video/x-raw,format=BGRA,width=129,height=64 "
+        "! vfmetalvideofilter brightness=0.2 ! appsink"
+    )
+    p = _run(s)
+    vf = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfvideofilter")
+    assert p.link_plan.get(vf, (False, "full")) == (False, "full")
+    assert not p._source_split
+
+
+def test_packed_422_output_stays_canonical():
+    s = (
+        "videotestsrc num-buffers=1 ! video/x-raw,format=NV12,width=128,height=64 "
+        "! vfmetalconvertscale ! video/x-raw,format=UYVY ! appsink"
+    )
+    p = _run(s)
+    cs = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfconvertscale")
+    # split INPUT from the source is fine; packed 4:2:2 output keeps the
+    # canonical layout
+    assert p.link_plan.get(cs, (False, "full"))[1] == "full"
+    plain = _run(s, disable_links=True).sinks[0].frames
+    for a, b in zip(p.sinks[0].frames, plain):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_scaling_chain_stays_canonical():
+    s = (
+        "videotestsrc num-buffers=1 ! video/x-raw,format=NV12,width=128,height=64 "
+        "! vfmetalconvertscale ! video/x-raw,format=BGRA,width=64,height=32 "
+        "! appsink"
+    )
+    p = _run(s)
+    cs = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfconvertscale")
+    assert p.link_plan.get(cs, (False, "full")) == (False, "full")
+    assert not p._source_split
