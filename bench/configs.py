@@ -117,11 +117,14 @@ def config_compositor():
     ov.set_property("x", 128)
     ov.set_property("y", 128)
 
-    # mirror Pipeline._link_plan: compositor -> split -> overlay -> packed16
+    # mirror Pipeline._link_plan: compositor -> split -> overlay -> packed16,
+    # with source-fed pads provisioned as split uploads
     link_split = (comp.aggregate_split_ok(pad_specs, out_spec)
                   and ov.split_input_ok(out_spec, out_spec))
+    split_pads = frozenset(pad_specs) if link_split else frozenset()
     agg = comp.make_aggregate(pad_specs, out_spec,
-                              out_mode="split" if link_split else "full")
+                              out_mode="split" if link_split else "full",
+                              split_pads=split_pads)
     # static geometry at the baked values: run the fast-only variant (the
     # pipeline's host-side per-frame pick does the same)
     if agg.variant_select(comp.traced_params()) == "fast":
@@ -140,7 +143,8 @@ def config_compositor():
     def make_planes(batch):
         rng = np.random.default_rng(0)
         return {
-            name: random_planes_for_spec(spec, batch, rng)
+            name: random_planes_for_spec(spec, batch, rng,
+                                         split=name in split_pads)
             for name, spec in pad_specs.items()
         }
 

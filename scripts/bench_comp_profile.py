@@ -63,8 +63,10 @@ def comp_step(n_pads, with_overlay):
         ov.set_property("x", 128)
         ov.set_property("y", 128)
         link = split_ok and ov.split_input_ok(out_spec, out_spec)
+        split_pads = frozenset(pad_specs) if link else frozenset()
         agg = comp.make_aggregate(pad_specs, out_spec,
-                                  out_mode="split" if link else "full")
+                                  out_mode="split" if link else "full",
+                                  split_pads=split_pads)
         edge = ("packed16" if ov.split_output_ok(out_spec, out_spec)
                 else "full")
         ov_proc = ov.make_process_linked(
