@@ -388,3 +388,30 @@ def test_scaling_chain_stays_canonical():
     cs = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfconvertscale")
     assert p.link_plan.get(cs, (False, "full")) == (False, "full")
     assert not p._source_split
+
+
+def test_layout_flip_mid_run_resets_stateful_carry():
+    # toggling a downstream structural prop (sharpness) mid-run flips the
+    # deinterlacer's boundary layout; its prev-frame carry re-shapes, so it
+    # resets (weave falls back to bob for one frame — the same behavior as
+    # a caps renegotiation in the reference, which rebuilds the renderer
+    # and clears prevFrame).  The pipeline must keep running.
+    s = (
+        "videotestsrc num-buffers=6 pattern=ball "
+        "! video/x-raw,format=NV12,width=64,height=32 "
+        "! vfmetaldeinterlace method=weave "
+        "! vfmetalvideofilter contrast=1.1 ! appsink"
+    )
+    p = parse_pipeline(s)
+    p.negotiate()
+    p.build()
+    vf = next(e for e in p.elements if e.ELEMENT_NAME == "vfvideofilter")
+    p.run(num_frames=2)
+    vf.set_property("sharpness", 0.5)   # breaks the split link -> rebuild
+    p.run(num_frames=2)
+    vf.set_property("sharpness", 0.0)   # back to split -> rebuild again
+    p.run(num_frames=2)
+    frames = p.sinks[0].frames
+    assert len(frames) == 6
+    for f in frames:
+        assert f["y"].shape == (32, 64)
