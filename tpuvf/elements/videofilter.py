@@ -101,16 +101,15 @@ class VideoFilter(Element):
             self._lut = None
             self._lut_path_loaded = None
             return
-        # corner-packed (S^3, 24); the gather is partly bandwidth-bound on
-        # its corner output, so in-range tables store as bfloat16 (half the
-        # payload bytes; the widening convert fuses into the trilinear
-        # reduce, unlike u16's integer convert — measured 233 vs 213 fps on
-        # config 3).  Max corner error 2^-9 ~ 0.5 of one 8-bit LSB, within
-        # the 2-LSB parity tolerance.  Out-of-range .cube values (legal: the
-        # reference stores raw floats in an RGBA32Float texture) keep f32
-        # so the relative bf16 error can't scale with the value.
-        import jax.numpy as jnp
-        dtype = (jnp.bfloat16 if table.min() >= 0.0 and table.max() <= 1.0
+        # corner-packed (S^3, 24); the gather's (n, 24) output costs a
+        # transpose copy whose bandwidth scales with the table dtype (the
+        # device trace showed 0.84 ms/frame of copies at bf16), so in-range
+        # tables store as UINT8 fixed point — max corner error 0.5/255
+        # (~0.46 LSB measured on random tables), within the 2-LSB parity
+        # tolerance, and the config-3 frame drops 4.56 -> 4.0-4.4 ms
+        # (219 -> 227-251 fps).  Out-of-range .cube values (legal: the
+        # reference stores raw floats in an RGBA32Float texture) keep f32.
+        dtype = (np.uint8 if table.min() >= 0.0 and table.max() <= 1.0
                  else np.float32)
         self._lut = kfilter.pack_lut_corners(table, dtype=dtype)
         self._lut_size = table.shape[0]

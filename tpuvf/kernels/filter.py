@@ -236,6 +236,7 @@ def apply_color_adjustments_t(chans, p, frame_index, width, height,
 
 
 LUT_U16_SCALE = 65535.0
+LUT_U8_SCALE = 255.0
 
 
 def pack_lut_corners(lut: np.ndarray, dtype=np.float32) -> np.ndarray:
@@ -268,6 +269,9 @@ def pack_lut_corners(lut: np.ndarray, dtype=np.float32) -> np.ndarray:
     if np.dtype(dtype) == np.uint16:
         return np.round(
             np.clip(packed, 0.0, 1.0) * LUT_U16_SCALE).astype(np.uint16)
+    if np.dtype(dtype) == np.uint8:
+        return np.round(
+            np.clip(packed, 0.0, 1.0) * LUT_U8_SCALE).astype(np.uint8)
     return packed.astype(dtype)
 
 
@@ -351,8 +355,12 @@ def apply_lut_t(chans, lut_packed, size: int):
         return x[..., i * hq:(i + 1) * hq, :]
 
     # integer (fixed-point) tables dequantize once on the accumulated sum
-    post_scale = (F32(1.0 / LUT_U16_SCALE)
-                  if lut_packed.dtype == jnp.uint16 else None)
+    if lut_packed.dtype == jnp.uint16:
+        post_scale = F32(1.0 / LUT_U16_SCALE)
+    elif lut_packed.dtype == jnp.uint8:
+        post_scale = F32(1.0 / LUT_U8_SCALE)
+    else:
+        post_scale = None
 
     res = [[] for _ in range(3)]
     for i in range(splits):
