@@ -216,21 +216,22 @@ def split_planes_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
     happens anyway.  Layouts match the "split" link convention
     (core/element.py): RGB -> {"r_e","g_e","b_e","a_e","r_o",...} u8;
     4:2:0 -> {"y_e","y_o","u","v"} u8."""
+    nat = _get_native()
+
+    def deint(plane):
+        if nat is not None:
+            return nat.deinterleave2(plane)
+        return (np.ascontiguousarray(plane[:, 0::2]),
+                np.ascontiguousarray(plane[:, 1::2]))
+
     if spec.format in RGB_FORMATS:
         rgba = planes["rgba"]
-        names = ("r", "g", "b", "a")
         out = {}
-        for c, n in enumerate(names):
-            out[f"{n}_e"] = np.ascontiguousarray(rgba[c, :, 0::2])
-            out[f"{n}_o"] = np.ascontiguousarray(rgba[c, :, 1::2])
+        for c, n in enumerate(("r", "g", "b", "a")):
+            out[f"{n}_e"], out[f"{n}_o"] = deint(rgba[c])
         return out
-    y = planes["y"]
-    return {
-        "y_e": np.ascontiguousarray(y[:, 0::2]),
-        "y_o": np.ascontiguousarray(y[:, 1::2]),
-        "u": planes["u"],
-        "v": planes["v"],
-    }
+    y_e, y_o = deint(planes["y"])
+    return {"y_e": y_e, "y_o": y_o, "u": planes["u"], "v": planes["v"]}
 
 
 def frame_from_host(data, spec: FrameSpec, device=None) -> Frame:
