@@ -76,6 +76,7 @@ def comp_step(n_pads, with_overlay):
     else:
         # compositor at the sink edge keeps the canonical layout
         # (edge_packed16_ok is False: u8 phases -> u16 is a pure relayout)
+        split_pads = frozenset()
         agg = comp.make_aggregate(pad_specs, out_spec)
     params["comp"] = comp.traced_params()
 
@@ -88,7 +89,8 @@ def comp_step(n_pads, with_overlay):
     def make_planes(batch):
         rng = np.random.default_rng(0)
         return {
-            name: random_planes_for_spec(spec, batch, rng)
+            name: random_planes_for_spec(spec, batch, rng,
+                                         split=name in split_pads)
             for name, spec in pad_specs.items()
         }
 
