@@ -95,18 +95,24 @@ def test_packed16_edge_single_element():
         np.testing.assert_array_equal(a, b)
 
 
-def test_sharpness_breaks_split_link():
+def test_sharpness_chain_still_links():
+    # the horizontal blur decomposes into phase-local stencils
+    # (blur9_h_split, bit-exact incl. cross-phase edge clamps), so
+    # sharpened chains keep the split links
     s = CHAIN.replace("saturation=1.3", "saturation=1.3 sharpness=0.5")
     p = _run(s)
     vf = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfvideofilter")
-    assert p.link_plan.get(vf, (False, "full")) == (False, "full")
-    # convertscale's consumer can't take phases; its output reaches vf, not
-    # the sink, so it must stay canonical (it still consumes a split
-    # source upload)
-    cs = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfconvertscale")
-    assert p.link_plan.get(cs, (False, "full"))[1] == "full"
+    assert p.link_plan[vf] == (True, "packed16")
     plain = _run(s, disable_links=True).sinks[0].frames
     for a, b in zip(p.sinks[0].frames, plain):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_blur_split_negative_sharpness_bit_exact():
+    s = CHAIN.replace("saturation=1.3", "saturation=1.3 sharpness=-0.7")
+    linked = _run(s).sinks[0].frames
+    plain = _run(s, disable_links=True).sinks[0].frames
+    for a, b in zip(linked, plain):
         np.testing.assert_array_equal(a, b)
 
 

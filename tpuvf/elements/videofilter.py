@@ -184,10 +184,10 @@ class VideoFilter(Element):
     # -- column-phase link capabilities (core.element docs) -----------------
 
     def _phase_capable(self, in_spec, out_spec) -> bool:
-        """The phase-wise path applies when the blur (a column stencil that
-        mixes phases) is off and the format keeps columns independent."""
-        if abs(self.props.get("sharpness")) > 0.001:
-            return False
+        """The phase-wise path applies whenever the format keeps columns
+        phase-separable; the horizontal blur decomposes into phase-local
+        stencils (kfilter.blur9_h_split, bit-exact incl. the cross-phase
+        edge clamps), so sharpness no longer forces the interleaved path."""
         if out_spec.format != in_spec.format:
             return False
         from tpuvf.core.formats import RGB_FORMATS
@@ -223,8 +223,7 @@ class VideoFilter(Element):
         phase_capable = self._phase_capable(in_spec, out_spec)
         if (in_split or out_mode != "full") and not phase_capable:
             raise NotImplementedError(
-                "split/packed16 links require the phase-wise path "
-                "(sharpness must be 0)")
+                "split/packed16 links require the phase-wise path")
         # even/odd column-phase path: 4:2:0 inputs always take it (the
         # NV12/I420 -> RGBA sample and pack avoid f32 lane interleaves);
         # RGB inputs take it when the link layout asks for phases.
@@ -267,6 +266,34 @@ class VideoFilter(Element):
                     # gather site costs more than it saves)
                     ch_e = kfilter.apply_lut_t(ch_e, params["lut"], lut_size)
                     ch_o = kfilter.apply_lut_t(ch_o, params["lut"], lut_size)
+                if use_sharpness:
+                    # RGBA8 boundaries between the blur phases, per phase
+                    # (the reference renders each pass to an RGBA8 texture)
+                    q1_e = tuple(quant(c) for c in ch_e)
+                    q1_o = tuple(quant(c) for c in ch_o)
+                    bh = [kfilter.blur9_h_split(dequant(qe), dequant(qo))
+                          for qe, qo in zip(q1_e, q1_o)]
+                    bh_e = tuple(quant(b[0]) for b in bh)
+                    bh_o = tuple(quant(b[1]) for b in bh)
+                    bv_e = tuple(quant(kfilter.blur9(dequant(q), axis=-2))
+                                 for q in bh_e)
+                    bv_o = tuple(quant(kfilter.blur9(dequant(q), axis=-2))
+                                 for q in bh_o)
+                    amount = params["sharpness"]
+
+                    def unsharp_phase(orig_q, blur_q):
+                        res = []
+                        for c in range(3):
+                            o = dequant(orig_q[c])
+                            bl = dequant(blur_q[c])
+                            sharp = jnp.clip(o + (o - bl) * amount, 0.0, 1.0)
+                            mixed = o + (bl - o) * jnp.abs(amount)
+                            res.append(jnp.where(amount > 0, sharp, mixed))
+                        res.append(dequant(orig_q[3]))  # alpha preserved
+                        return tuple(res)
+
+                    ch_e = unsharp_phase(q1_e, bv_e)
+                    ch_o = unsharp_phase(q1_o, bv_o)
                 out = convert.pack_rgba_split(
                     ch_e, ch_o, out_spec.format, matrix_out, mode=pack_mode)
                 new_state = {

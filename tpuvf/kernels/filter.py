@@ -389,6 +389,55 @@ def apply_lut_t(chans, lut_packed, size: int):
     return (out[0], out[1], out[2], alpha)
 
 
+def blur9_h_split(e: jnp.ndarray, o: jnp.ndarray):
+    """Horizontal 9-tap blur on even/odd column-phase planes -> (be, bo).
+
+    BIT-exact vs blur9(interleaved, axis=-1): tap i of output column c
+    reads clip(c-4+i, 0, W-1); for even output columns 2k the even-i taps
+    live on the e phase at j = k-2+i/2 and odd-i taps on the o phase at
+    j = k + (i-5)//2 (odd outputs symmetrically).  The accumulation runs
+    in the same i order, and edge clamping CROSSES phases: a tap clipped
+    to column 0 reads e[0] regardless of its natural phase, and one
+    clipped to W-1 (odd, W even) reads o[W/2-1] — handled with lane-iota
+    selects on the border columns."""
+    import jax
+
+    from tpuvf.kernels.convert import _shift_edge
+
+    half = e.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, e.shape[-2:], 1)
+    lane = jnp.broadcast_to(lane, e.shape)
+    first_e = jax.lax.slice_in_dim(e, 0, 1, axis=-1)
+    last_o = jax.lax.slice_in_dim(o, half - 1, half, axis=-1)
+
+    def tap(base, j_off):
+        """base phase plane shifted so lane k reads base[k + j_off], with
+        cross-phase edge clamping to column 0 (e[0]) / column W-1
+        (o[half-1])."""
+        shifted = _shift_edge(base, -1, j_off)
+        if j_off < 0:
+            # lanes k < -j_off have k+j_off < 0: true clipped value e[0]
+            shifted = jnp.where(lane < -j_off, first_e, shifted)
+        elif j_off > 0:
+            # lanes k >= half - j_off run past the end: clipped to o[-1]
+            shifted = jnp.where(lane >= half - j_off, last_o, shifted)
+        return shifted
+
+    be = None
+    bo = None
+    for i, w in enumerate(BLUR_WEIGHTS):
+        wf = F32(w)
+        if i % 2 == 0:
+            te = tap(e, i // 2 - 2)          # col 2(k-2+i/2)
+            to = tap(o, i // 2 - 2)          # col 2(k-2+i/2)+1
+        else:
+            te = tap(o, (i - 5) // 2)        # col 2k-4+i (odd)
+            to = tap(e, (i - 3) // 2)        # col 2k+1-4+i (even)
+        be = te * wf if be is None else be + te * wf
+        bo = to * wf if bo is None else bo + to * wf
+    return be, bo
+
+
 def blur9(img, axis: int):
     """9-tap Gaussian along one axis with edge clamping (blurHorizontal /
     blurVertical, h:265-299).  img: (..., 4, H, W) float32.
