@@ -369,6 +369,22 @@ def test_odd_width_falls_back_to_canonical():
     assert not p._source_split
 
 
+def test_odd_height_overlay_falls_back_to_canonical(tmp_path):
+    # regression (round-3 advisor): overlay's phase gate must match
+    # videofilter/deinterlace (can_split_420) — an odd-height I420 input
+    # previously negotiated a split link whose chroma row-upsample produced
+    # H+1 rows and crashed at run
+    s = (
+        "videotestsrc num-buffers=1 "
+        "! video/x-raw,format=I420,width=64,height=33 "
+        f"! vfmetaloverlay location={_overlay_png(tmp_path)} ! appsink"
+    )
+    p = _run(s)
+    ov = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfoverlay")
+    assert p.link_plan.get(ov, (False, "full")) == (False, "full")
+    assert len(p.sinks[0].frames) == 1
+
+
 def test_packed_422_output_stays_canonical():
     s = (
         "videotestsrc num-buffers=1 ! video/x-raw,format=NV12,width=128,height=64 "

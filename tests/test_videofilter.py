@@ -241,6 +241,23 @@ def test_png_lut(tmp_path):
     assert abs(table[0, 0, 7][0] - 1.0) < 0.01
 
 
+def test_lut_f32_exactness_knob(tmp_path, monkeypatch):
+    # TPUVF_LUT_F32=1 keeps the corner table f32 (exact vs the reference's
+    # RGBA32Float storage); default packs in-range tables to u8 fixed point
+    # (<=0.5/255 per corner, inside the 2-LSB parity budget)
+    from tpuvf.core.registry import make
+
+    p = str(tmp_path / "t.cube")
+    _write_cube(p, 9, lambda r, g, b: (b, r, g))
+    vf = make("vfvideofilter")
+    vf.set_property("lut-file", p)
+    assert vf._lut.dtype == np.uint8
+    monkeypatch.setenv("TPUVF_LUT_F32", "1")
+    vf2 = make("vfvideofilter")
+    vf2.set_property("lut-file", p)
+    assert vf2._lut.dtype == np.float32
+
+
 def test_bad_lut_is_soft_failure(tmp_path):
     p = str(tmp_path / "bad.cube")
     with open(p, "w") as fh:

@@ -130,11 +130,18 @@ class Overlay(Element):
 
     def _phase_capable(self, in_spec, out_spec) -> bool:
         """The rect blend is per-pixel, so phases split freely; the overlay
-        rect's column parity is static."""
+        rect's column parity is static.  Non-RGB formats additionally gate on
+        can_split_420 (even height, 4:2:0) like videofilter/deinterlace do —
+        the split sampler's chroma row upsample needs even plane heights."""
+        from tpuvf.core.formats import RGB_FORMATS
+
         self._sync_image()
-        return (self._image is not None
-                and in_spec.format == out_spec.format
-                and in_spec.width % 2 == 0)
+        if self._image is None or in_spec.format != out_spec.format:
+            return False
+        if in_spec.format in RGB_FORMATS:
+            return in_spec.width % 2 == 0
+        return convert.can_split_420(
+            in_spec, in_spec.width, in_spec.height, 1.0, 1.0, None)
 
     def split_input_ok(self, in_spec, out_spec):
         return self._phase_capable(in_spec, out_spec)

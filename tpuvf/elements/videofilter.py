@@ -108,8 +108,14 @@ class VideoFilter(Element):
         # (~0.46 LSB measured on random tables), within the 2-LSB parity
         # tolerance, and the config-3 frame drops 4.56 -> 4.0-4.4 ms
         # (219 -> 227-251 fps).  Out-of-range .cube values (legal: the
-        # reference stores raw floats in an RGBA32Float texture) keep f32.
-        dtype = (np.uint8 if table.min() >= 0.0 and table.max() <= 1.0
+        # reference stores raw floats in an RGBA32Float texture) keep f32,
+        # as does every table when TPUVF_LUT_F32=1 — the exact-parity knob
+        # matching the reference's RGBA32Float storage bit-for-bit.
+        import os
+
+        exact = os.environ.get("TPUVF_LUT_F32", "") not in ("", "0")
+        dtype = (np.uint8 if not exact
+                 and table.min() >= 0.0 and table.max() <= 1.0
                  else np.float32)
         self._lut = kfilter.pack_lut_corners(table, dtype=dtype)
         self._lut_size = table.shape[0]

@@ -420,8 +420,11 @@ def plan_rgba_sampler_split(in_spec: FrameSpec, filter: str = LINEAR,
 
 
 def split_rgb_chans(planes: dict) -> tuple:
-    """Split-mode RGB boundary planes {"r_e","g_e",...,"a_o"} (bf16
-    quant_units, channels separate) -> (even_chans, odd_chans) f32 tuples."""
+    """Split-mode RGB boundary planes {"r_e","g_e",...,"a_o"} -> (even_chans,
+    odd_chans) f32 tuples.  Boundary planes are f32 quant_sim values from
+    pack_rgba_split(mode="split") (bf16 quant_units were measured slower and
+    dropped), or u8 for host-provisioned source uploads; as_unit_float
+    normalizes either."""
     from tpuvf.kernels.color import as_unit_float
 
     names = ("r", "g", "b", "a")

@@ -918,13 +918,9 @@ class Pipeline:
         out_fps, clock_infos = self._clock()
         num_frames = self._clock_num_frames(out_fps, clock_infos, num_frames)
 
-        step = self._step  # already jitted; wrap with scan
-        vs = getattr(self, "_variant_stage", None)
-        if vs is not None and self._step_fast is not None:
-            # geometry is fixed across a batch (params staged per run)
-            if vs.process.variant_select(
-                    self.params().get(vs.element.name, {})) == "fast":
-                step = self._step_fast
+        # geometry is fixed across a batch (params staged per run);
+        # _select_step applies the same mismatch-fallback guard as run()
+        step = self._select_step(self.params())
 
         def batch_step(inputs, state, params):
             def body(st, frame_inputs):
