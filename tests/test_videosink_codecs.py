@@ -184,7 +184,9 @@ def test_pngenc_in_run_batched(tmp_path):
     assert img.shape == (24, 32, 4)
 
 
-def test_multiple_sinks_rejected():
+def test_src_pad_fanout_without_tee_rejected():
+    # a src pad links exactly once (GStreamer semantics); fan-out to
+    # multiple sinks goes through `tee` (tests/test_tee.py)
     from tpuvf.core.registry import make
     from tpuvf.runtime.pipeline import Pipeline
 
@@ -195,7 +197,7 @@ def test_multiple_sinks_rejected():
     s2 = p.add(make("fakesink", "s2"))
     p.link(src, s1)
     p.link(src, s2)
-    with pytest.raises(ValueError, match="sink"):
+    with pytest.raises(ValueError, match="tee"):
         p.negotiate()
 
 

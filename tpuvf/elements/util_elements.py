@@ -45,3 +45,21 @@ class Identity(_Passthrough):
     PROPERTIES = (
         PropertyDescriptor("silent", "bool", True, "ignored"),
     )
+
+
+@register
+class Tee(_Passthrough):
+    """1-to-N stream fan-out (`tee name=t t. ! ... t. ! ...`).
+
+    GStreamer's tee pushes each buffer to every src pad from its streaming
+    thread; here every branch reads the same HBM-resident value inside the
+    one fused program (XLA dedups the shared subgraph), and each sink gets
+    its own host readback.  Branch caps filters are constraints only — tee
+    never converts (same as GStreamer)."""
+
+    ELEMENT_NAME = "tee"
+    DESCRIPTION = "1-to-N stream fan-out"
+    FAN_OUT = True
+    PROPERTIES = (
+        PropertyDescriptor("allow-not-linked", "bool", False, "ignored"),
+    )

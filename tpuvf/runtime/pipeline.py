@@ -132,16 +132,15 @@ class Pipeline:
     def negotiate(self) -> None:
         from tpuvf.elements.compositor import Compositor  # circular-safe
 
-        if len(self.sinks) > 1:
-            raise ValueError(
-                f"pipeline has {len(self.sinks)} sinks "
-                f"({[s.name for s in self.sinks]}); only one sink per "
-                f"pipeline is supported")
         for e in self.elements:
             ins, outs = self._incoming(e), self._outgoing(e)
             if isinstance(e, SourceElement):
                 if ins:
                     raise ValueError(f"source {e.name} has inputs")
+                if len(outs) > 1:
+                    raise ValueError(
+                        f"source {e.name} has {len(outs)} downstream links; "
+                        f"a src pad links once — use a tee to fan out")
             elif isinstance(e, SinkElement):
                 if len(ins) != 1:
                     raise ValueError(f"sink {e.name} needs exactly 1 input")
@@ -150,6 +149,12 @@ class Pipeline:
             elif isinstance(e, Compositor):
                 if not ins:
                     raise ValueError(f"{e.name} has no inputs")
+            elif getattr(e, "FAN_OUT", False):
+                # tee: one input, any number of output branches
+                if len(ins) != 1 or not outs:
+                    raise ValueError(
+                        f"tee {e.name} needs exactly one input and at "
+                        f"least one output branch")
             else:
                 if len(ins) != 1 or len(outs) != 1:
                     raise ValueError(
@@ -181,6 +186,17 @@ class Pipeline:
                 out_caps = outs[0].caps if outs else None
                 spec = e.aggregate_spec(pad_specs, out_caps)
                 for ln in outs:
+                    ln.spec = spec
+            elif getattr(e, "FAN_OUT", False):
+                # tee never converts: every branch carries the input spec;
+                # branch caps filters are pure constraints
+                spec = self._incoming(e)[0].spec
+                for ln in outs:
+                    if ln.caps is not None and not ln.caps.accepts(spec):
+                        raise ValueError(
+                            f"tee {e.name}: branch caps {ln.caps} reject "
+                            f"the stream spec {spec} (tee cannot convert; "
+                            f"put a convertscale on the branch)")
                     ln.spec = spec
             else:
                 in_spec = self._incoming(e)[0].spec
@@ -273,7 +289,7 @@ class Pipeline:
         # Build a closure evaluating the DAG on device values.
         incoming = {id(e): self._incoming(e) for e in self.elements}
         stage_by_elem = {id(s.element): s for s in stages}
-        sink = self.sinks[0] if self.sinks else None
+        sinks = self.sinks  # tee fan-out: every sink reads its branch tail
 
         def make_step(proc_overrides: Dict[str, callable]):
             """Compose the chain step; proc_overrides swaps an element's
@@ -343,13 +359,23 @@ class Pipeline:
                     # (post-compile) failures are bisected in _locate_failure
                     raise _StageFailure(e.name, exc) from exc
                 produced[id(e)] = out
-            if sink is not None:
-                out = value_of(incoming[id(sink)][0].upstream)
+            # buffer metadata stops at the host boundary
+            def strip_meta(d):
+                return {k: v for k, v in d.items() if k != "__meta__"}
+
+            if len(sinks) > 1:
+                # multi-sink (tee fan-out): one output pytree keyed by sink
+                # name; shared subgraphs are deduped by XLA, each sink gets
+                # its own host readback
+                out = {
+                    sk.name: strip_meta(value_of(incoming[id(sk)][0].upstream))
+                    for sk in sinks
+                }
+            elif sinks:
+                out = strip_meta(value_of(incoming[id(sinks[0])][0].upstream))
             else:
                 last = stages[-1].element if stages else self.sources[0]
-                out = value_of(last)
-            # buffer metadata stops at the host boundary
-            out = {k: v for k, v in out.items() if k != "__meta__"}
+                out = strip_meta(value_of(last))
             return out, new_state
 
         self._step_py = make_step({})  # eager variant for failure bisection
@@ -386,8 +412,8 @@ class Pipeline:
         from tpuvf.elements.videosink import VideoSink
 
         self.navigation_events: List[Dict] = []
-        sink = self.sinks[0] if self.sinks else None
-        if not isinstance(sink, VideoSink):
+        sink = next((s for s in self.sinks if isinstance(s, VideoSink)), None)
+        if sink is None:
             return
 
         def route(ev: Dict) -> None:
@@ -432,34 +458,42 @@ class Pipeline:
 
         sink.navigation_callback = route
 
-    def _collect_codec_chain(self, stage_by_elem) -> List[Element]:
-        """Host-side encoder chain at the sink edge, walking upstream through
-        passthrough-elided elements (so `pngenc ! queue ! filesink` encodes).
-        Any HOST_CODEC element NOT reachable this way would silently write
+    def _collect_codec_chain(self, stage_by_elem) -> Dict[str, List[Element]]:
+        """Host-side encoder chains at each sink edge, walking upstream
+        through passthrough-elided elements (so `pngenc ! queue ! filesink`
+        encodes).  Multi-sink graphs get one chain per sink; a tee ends the
+        walk (codecs upstream of a fan-out would encode every branch).  Any
+        HOST_CODEC element NOT reachable this way would silently write
         unencoded bytes — reject the graph instead."""
-        codecs: List[Element] = []
-        sink = self.sinks[0] if self.sinks else None
-        node = self._incoming(sink)[0].upstream if sink is not None else None
-        while node is not None:
-            if getattr(node, "HOST_CODEC", False):
-                codecs.append(node)
-            else:
-                st = stage_by_elem.get(id(node))
-                if st is None or not st.passthrough:
-                    break
-            ins = self._incoming(node)
-            node = ins[0].upstream if ins else None
-        codecs.reverse()
+        chains: Dict[str, List[Element]] = {}
+        reachable: set = set()
+        for sink in self.sinks:
+            codecs: List[Element] = []
+            node = self._incoming(sink)[0].upstream
+            while node is not None:
+                if getattr(node, "FAN_OUT", False):
+                    break  # branch-local chains only
+                if getattr(node, "HOST_CODEC", False):
+                    codecs.append(node)
+                else:
+                    st = stage_by_elem.get(id(node))
+                    if st is None or not st.passthrough:
+                        break
+                ins = self._incoming(node)
+                node = ins[0].upstream if ins else None
+            codecs.reverse()
+            chains[sink.name] = codecs
+            reachable.update(id(c) for c in codecs)
         stray = [
             e.name for e in self.elements
-            if getattr(e, "HOST_CODEC", False) and e not in codecs
+            if getattr(e, "HOST_CODEC", False) and id(e) not in reachable
         ]
         if stray:
             raise ValueError(
                 f"host-codec element(s) {stray} must form a contiguous chain "
-                f"directly upstream of the sink (only passthrough elements "
+                f"directly upstream of a sink (only passthrough elements "
                 f"in between)")
-        return codecs
+        return chains
 
     # -- execution ---------------------------------------------------------
 
@@ -680,7 +714,7 @@ class Pipeline:
         self._variant_stage = None
         self._source_split = set()
         self._comp_split_pads = {}
-        self._codec_chain = []
+        self._codec_chain = {}
         self._state = None
         self._negotiated = False
 
@@ -690,9 +724,10 @@ class Pipeline:
         """Output timeline rate (the aggregator's srcpad clock; fixate picks
         max input fps, gstvfmetalcompositor.m:460-540 — already folded into
         the negotiated tail spec) plus per-source timing info."""
-        sink = self.sinks[0] if self.sinks else None
-        if sink is not None:
-            tail_spec = self._incoming(sink)[0].spec
+        if self.sinks:
+            # multi-sink: the output clock runs at the fastest branch tail
+            tail_specs = [self._incoming(s)[0].spec for s in self.sinks]
+            tail_spec = max(tail_specs, key=lambda sp: float(sp.fps))
         elif self._stages:
             tail_spec = self._stages[-1].out_spec
         else:
@@ -756,12 +791,12 @@ class Pipeline:
         return sel
 
     def run(self, num_frames: Optional[int] = None, progress=False) -> int:
-        """Frame loop: generate -> device -> step -> host -> sink."""
+        """Frame loop: generate -> device -> step -> host -> sink(s)."""
         if self._step is None:
             self.build()
         sources = self.sources
-        sink = self.sinks[0] if self.sinks else None
-        sink_spec = self._incoming(sink)[0].spec if sink else None
+        sinks = self.sinks
+        sink_specs = {s.name: self._incoming(s)[0].spec for s in sinks}
 
         out_fps, clock_infos = self._clock()
         num_frames = self._clock_num_frames(out_fps, clock_infos, num_frames)
@@ -822,8 +857,8 @@ class Pipeline:
                 # dispatch is async; the device round trip of the previous
                 # frame's readback hides behind this frame's compute)
                 if pending is not None:
-                    self._consume(sink, codecs, sink_spec, *pending)
-                pending = (out, i) if sink is not None else None
+                    self._consume_all(sinks, codecs, sink_specs, *pending)
+                pending = (out, i) if sinks else None
             except PipelineError:
                 raise
             except _StageFailure as sf:
@@ -838,17 +873,17 @@ class Pipeline:
             count += 1
         if pending is not None:
             try:
-                self._consume(sink, codecs, sink_spec, *pending)
+                self._consume_all(sinks, codecs, sink_specs, *pending)
             except Exception as exc:
                 raise PipelineError(
-                    sink.name if sink is not None else "<pipeline>",
+                    sinks[0].name if sinks else "<pipeline>",
                     pending[1], exc) from exc
         self._state = state
         self.stats.frames += count
         self.stats.wall_seconds += time.perf_counter() - t_run
         _log.info("run complete: %s", self.stats.summary())
-        if sink is not None:
-            sink.finalize()
+        for s in sinks:
+            s.finalize()
         return count
 
     def _select_step(self, frame_params):
@@ -892,6 +927,15 @@ class Pipeline:
             payload = codec.encode(payload, sink_spec)
         sink.consume(payload, sink_spec, index)
 
+    def _consume_all(self, sinks, codec_map, sink_specs, out, index) -> None:
+        """Deliver one step output to every sink (multi-sink steps return a
+        {sink_name: planes} pytree; single-sink steps return planes)."""
+        multi = len(sinks) > 1
+        for sk in sinks:
+            planes = out[sk.name] if multi else out
+            self._consume(sk, codec_map.get(sk.name, ()),
+                          sink_specs[sk.name], planes, index)
+
     def run_batched(self, num_frames: int, batch_size: int = 8,
                     mesh=None, sp_axis: Optional[str] = None) -> int:
         """Throughput mode: lax.scan over `batch_size` frames inside ONE
@@ -909,8 +953,8 @@ class Pipeline:
         if self._step is None:
             self.build()
         sources = self.sources
-        sink = self.sinks[0] if self.sinks else None
-        sink_spec = self._incoming(sink)[0].spec if sink else None
+        sinks = self.sinks
+        sink_specs = {s.name: self._incoming(s)[0].spec for s in sinks}
         codecs = self._codec_chain
         src_specs = {
             s.name: self._outgoing(s)[0].spec for s in sources
@@ -988,18 +1032,17 @@ class Pipeline:
             else:
                 stacked = jax.device_put(stacked)
                 outs, state = batch_fn(stacked, state, dev_params)
-            if sink is not None:
-                host = {k: np.asarray(v) for k, v in outs.items()}
+            if sinks:
+                host = jax.tree_util.tree_map(np.asarray, outs)
                 for i in range(n):
-                    payload = planes_to_host(
-                        {k: v[i] for k, v in host.items()}, sink_spec)
-                    for codec in codecs:
-                        payload = codec.encode(payload, sink_spec)
-                    sink.consume(payload, sink_spec, done + i)
+                    frame_out = jax.tree_util.tree_map(
+                        lambda v: v[i], host)
+                    self._consume_all(sinks, codecs, sink_specs,
+                                      frame_out, done + i)
             done += n
         self._state = state
         self.stats.frames += done
         self.stats.wall_seconds += time.perf_counter() - t_run
-        if sink is not None:
-            sink.finalize()
+        for s in sinks:
+            s.finalize()
         return done
