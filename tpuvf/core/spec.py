@@ -117,18 +117,113 @@ class FrameSpec:
 
 
 @dataclass(frozen=True)
+class Range:
+    """Inclusive value range (``width=[320,1280]``,
+    ``framerate=[25/1,30/1]``) — the GST_TYPE_INT_RANGE /
+    GST_TYPE_FRACTION_RANGE analog."""
+
+    lo: object
+    hi: object
+
+    def __post_init__(self):
+        if float(self.lo) > float(self.hi):
+            raise ValueError(f"empty range [{self.lo},{self.hi}]")
+
+    def contains(self, v) -> bool:
+        return float(self.lo) <= float(v) <= float(self.hi)
+
+    def nearest(self, target):
+        """Clamp — gst_structure_fixate_field_nearest_int semantics."""
+        if float(target) < float(self.lo):
+            return self.lo
+        if float(target) > float(self.hi):
+            return self.hi
+        return target
+
+    def __str__(self) -> str:
+        return f"[{self.lo},{self.hi}]"
+
+
+@dataclass(frozen=True)
+class ValueList:
+    """Finite set of allowed values (``format={BGRA,NV12}``) — the
+    GST_TYPE_LIST analog.  Order matters: the first entry is the preferred
+    fixation when the target is not in the list (gst list fixation keeps
+    the first subset entry)."""
+
+    values: tuple
+
+    def __post_init__(self):
+        if not self.values:
+            raise ValueError("empty value list")
+
+    def contains(self, v) -> bool:
+        return v in self.values
+
+    def nearest(self, target):
+        if target in self.values:
+            return target
+        try:
+            t = float(target)
+            return min(self.values, key=lambda v: abs(float(v) - t))
+        except (TypeError, ValueError):
+            return self.values[0]
+
+    def __str__(self) -> str:
+        return "{" + ",".join(str(v) for v in self.values) + "}"
+
+
+def _contains(constraint, v) -> bool:
+    if constraint is None:
+        return True
+    if isinstance(constraint, (Range, ValueList)):
+        return constraint.contains(v)
+    return v == constraint
+
+
+def _fixate(constraint, target):
+    """None -> None (unconstrained); exact -> itself; range/list -> the
+    member nearest to `target`."""
+    if constraint is None:
+        return None
+    if isinstance(constraint, (Range, ValueList)):
+        return constraint.nearest(target)
+    return constraint
+
+
+def _split_caps_fields(text: str):
+    """Split a caps string on commas at bracket depth 0 — range/list values
+    (``width=[320,1280]``, ``format={BGRA,NV12}``) contain commas."""
+    parts, depth, cur = [], 0, []
+    for ch in text:
+        if ch in "[{":
+            depth += 1
+        elif ch in "]}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts]
+
+
+@dataclass(frozen=True)
 class CapsFilter:
     """Partial constraints on a FrameSpec — the analog of a caps filter
     string between two elements (``video/x-raw,format=NV12,width=320``).
 
-    Any field left None is unconstrained.
-    """
+    Any field left None is unconstrained.  format/width/height/fps/par can
+    be an exact value, a Range (``[lo,hi]``) or a ValueList (``{a,b}``);
+    elements fixate non-exact constraints nearest to their preferred value
+    (gst_caps_fixate semantics — see gstvfmetalconvertscale.m:160-248)."""
 
-    format: VideoFormat | None = None
-    width: int | None = None
-    height: int | None = None
-    fps: Fraction | None = None
-    par: Fraction | None = None
+    format: object | None = None  # VideoFormat | Range | ValueList
+    width: object | None = None  # int | Range | ValueList
+    height: object | None = None
+    fps: object | None = None  # Fraction | Range | ValueList
+    par: object | None = None
     interlaced: bool | None = None
     matrix: str | None = None  # explicit colorimetry constraint
 
@@ -137,11 +232,21 @@ class CapsFilter:
         """Parse a gst-launch style caps string.
 
         Accepts 'video/x-raw' with comma-separated fields; typed values like
-        '(fraction)30/1' or '(string)NV12' have their type tags stripped.
+        '(fraction)30/1' or '(string)NV12' have their type tags stripped;
+        ranges ``[lo,hi]`` and lists ``{a,b,c}`` follow gst grammar.
         """
+
+        def parse_value(val, scalar):
+            if val.startswith("[") and val.endswith("]"):
+                lo, _, hi = val[1:-1].partition(",")
+                return Range(scalar(lo.strip()), scalar(hi.strip()))
+            if val.startswith("{") and val.endswith("}"):
+                return ValueList(tuple(
+                    scalar(v.strip()) for v in val[1:-1].split(",")))
+            return scalar(val)
+
         fields: dict = {}
-        parts = [p.strip() for p in text.split(",")]
-        for part in parts:
+        for part in _split_caps_fields(text):
             if part in ("video/x-raw", ""):
                 continue
             if "=" not in part:
@@ -152,15 +257,15 @@ class CapsFilter:
             if val.startswith("("):  # strip type annotation e.g. (fraction)
                 val = val.split(")", 1)[1]
             if key == "format":
-                fields["format"] = parse_format(val)
+                fields["format"] = parse_value(val, parse_format)
             elif key == "width":
-                fields["width"] = int(val)
+                fields["width"] = parse_value(val, int)
             elif key == "height":
-                fields["height"] = int(val)
+                fields["height"] = parse_value(val, int)
             elif key == "framerate":
-                fields["fps"] = Fraction.parse(val)
+                fields["fps"] = parse_value(val, Fraction.parse)
             elif key == "pixel-aspect-ratio":
-                fields["par"] = Fraction.parse(val)
+                fields["par"] = parse_value(val, Fraction.parse)
             elif key == "interlace-mode":
                 fields["interlaced"] = val == "interleaved"
             elif key == "colorimetry":
@@ -174,16 +279,28 @@ class CapsFilter:
                 raise ValueError(f"unsupported caps field {key!r}")
         return cls(**fields)
 
+    # -- constraint accessors (fixation helpers for elements) --------------
+
+    def is_fixed(self, field: str) -> bool:
+        """True when `field` carries an EXACT value (not a range/list)."""
+        v = getattr(self, field)
+        return v is not None and not isinstance(v, (Range, ValueList))
+
+    def fixate(self, field: str, target):
+        """Resolve `field`'s constraint nearest to `target`; None if the
+        field is unconstrained."""
+        return _fixate(getattr(self, field), target)
+
     def accepts(self, spec: FrameSpec) -> bool:
-        if self.format is not None and spec.format != self.format:
+        if not _contains(self.format, spec.format):
             return False
-        if self.width is not None and spec.width != self.width:
+        if not _contains(self.width, spec.width):
             return False
-        if self.height is not None and spec.height != self.height:
+        if not _contains(self.height, spec.height):
             return False
-        if self.fps is not None and spec.fps != self.fps:
+        if not _contains(self.fps, spec.fps):
             return False
-        if self.par is not None and spec.par != self.par:
+        if not _contains(self.par, spec.par):
             return False
         if self.interlaced is not None and spec.interlaced != self.interlaced:
             return False
@@ -192,23 +309,25 @@ class CapsFilter:
         return True
 
     def apply(self, spec: FrameSpec) -> FrameSpec:
-        """Constrain `spec` to this filter (fields set here win)."""
+        """Constrain `spec` to this filter (fields set here win); range/list
+        constraints fixate nearest to the spec's current value."""
         kw = {}
         if self.format is not None:
-            kw["format"] = self.format
+            kw["format"] = _fixate(self.format, spec.format)
         if self.width is not None:
-            kw["width"] = self.width
+            kw["width"] = _fixate(self.width, spec.width)
         if self.height is not None:
-            kw["height"] = self.height
+            kw["height"] = _fixate(self.height, spec.height)
         if self.fps is not None:
-            kw["fps"] = self.fps
+            kw["fps"] = _fixate(self.fps, spec.fps)
         if self.par is not None:
-            kw["par"] = self.par
+            kw["par"] = _fixate(self.par, spec.par)
         if self.interlaced is not None:
             kw["interlaced"] = self.interlaced
         if self.matrix is not None:
             kw["matrix"] = self.matrix
-        elif "width" in kw or "height" in kw:
+        elif ("width" in kw and kw["width"] != spec.width) or (
+                "height" in kw and kw["height"] != spec.height):
             # size change re-derives the default colorimetry (HD -> BT.709,
             # SD -> BT.601), like caps renegotiation would; a spec whose
             # matrix was derived from its old size must not leak it

@@ -187,8 +187,8 @@ class Compositor(Element):
         for spec in pad_specs.values():
             if spec.format not in self.IN_FORMATS:
                 raise ValueError(f"unsupported input format {spec.format}")
-        out_par = (out_filter.par if out_filter and out_filter.par
-                   else Fraction(1, 1))
+        out_par = ((out_filter.fixate("par", Fraction(1, 1)) if out_filter
+                    else None) or Fraction(1, 1))
         best_w = best_h = -1
         best_fps = None
         for pad in self._sorted_pads(pad_specs):
@@ -206,11 +206,13 @@ class Compositor(Element):
             raise ValueError("compositor could not determine output size")
         if best_fps is None or float(best_fps) == 0.0:
             best_fps = Fraction(25, 1)
-        fmt = (out_filter.format if out_filter and out_filter.format
-               else VideoFormat.BGRA)  # BGRA preferred (m:533)
-        w = out_filter.width if out_filter and out_filter.width else best_w
-        h = out_filter.height if out_filter and out_filter.height else best_h
-        fps = out_filter.fps if out_filter and out_filter.fps else best_fps
+        # fixate against the offered constraints: format prefers BGRA
+        # (m:533), dims/fps prefer the bounding-box/max-fps picks
+        filt = out_filter or CapsFilter()
+        fmt = filt.fixate("format", VideoFormat.BGRA) or VideoFormat.BGRA
+        w = filt.fixate("width", best_w) or best_w
+        h = filt.fixate("height", best_h) or best_h
+        fps = filt.fixate("fps", best_fps) or best_fps
         return FrameSpec(format=fmt, width=w, height=h, fps=fps, par=out_par)
 
     # -- static config covers the STRUCTURAL pad props only ---------------

@@ -55,25 +55,43 @@ class ConvertScale(Element):
 
     def transform_spec(self, in_spec: FrameSpec, out_filter=None) -> FrameSpec:
         """transform_caps offers any format/size (m:105-158); fixate preserves
-        format and DAR (m:160-248)."""
+        input format and fixes output dims preserving display aspect ratio
+        given the output PAR, nearest against offered ranges/lists
+        (m:160-248: gst_structure_fixate_field_string for format,
+        fixate_field_nearest_int for the DAR-derived dimension)."""
         if not self.accepts_format(in_spec.format):
             raise ValueError(f"unsupported input format {in_spec.format}")
         filt = out_filter or CapsFilter()
-        fmt = filt.format or in_spec.format
-        par = filt.par or Fraction(1, 1)
-        w, h = filt.width, filt.height
+        # preserve input format when the offer allows it, else nearest/first
+        fmt = filt.fixate("format", in_spec.format) or in_spec.format
+        par = filt.fixate("par", Fraction(1, 1)) or Fraction(1, 1)
         # input DAR = from_w*par_n / from_h*par_d
         dar = Fraction(in_spec.width, in_spec.height) * in_spec.par
-        if w is None and h is None:
-            w = in_spec.width
-            h = max(1, (w * dar.den * par.num) // (dar.num * par.den))
-        elif w is not None and h is None:
-            h = max(1, (w * dar.den * par.num) // (dar.num * par.den))
-        elif w is None and h is not None:
-            w = max(1, (h * dar.num * par.den) // (dar.den * par.num))
+
+        def dar_h(w):
+            return max(1, (w * dar.den * par.num) // (dar.num * par.den))
+
+        def dar_w(h):
+            return max(1, (h * dar.num * par.den) // (dar.den * par.num))
+
+        w_fixed, h_fixed = filt.is_fixed("width"), filt.is_fixed("height")
+        if w_fixed and h_fixed:
+            w, h = filt.width, filt.height
+        elif w_fixed:
+            w = filt.width
+            h = filt.fixate("height", dar_h(w)) or dar_h(w)
+        elif h_fixed:
+            h = filt.height
+            w = filt.fixate("width", dar_w(h)) or dar_w(h)
+        else:
+            # neither fixed: keep input width (nearest in the offered
+            # range), DAR-derive the height
+            w = filt.fixate("width", in_spec.width) or in_spec.width
+            h = filt.fixate("height", dar_h(w)) or dar_h(w)
+        fps = filt.fixate("fps", in_spec.fps) or in_spec.fps
         return FrameSpec(
             format=fmt, width=w, height=h,
-            fps=filt.fps or in_spec.fps, par=par,
+            fps=fps, par=par,
             matrix=in_spec.matrix,
             interlaced=in_spec.interlaced, tff=in_spec.tff,
         )
