@@ -1,0 +1,241 @@
+"""Pipeline-integrated spatial (row) sharding — run_batched(mesh, sp_axis).
+
+The VERDICT round-2 gap: sp_axis was a dead parameter.  These tests run
+FULL pipelines with plane rows sharded over an 'sp' mesh axis on the
+8-device virtual CPU mesh and assert BIT-equality against the unsharded
+run — both stencil classes (the videofilter's 4-row blur halo and the
+deinterlacers' ±1-row reach), the 4:2:0 chroma row-upsample halo, and the
+global-row coordinate fields (vignette falloff).
+
+Two semantics notes baked into the tests:
+- dp shards carry independent state, so stateful chains (weave/greedyh,
+  grain) are compared on dp=1 meshes; dp>1 with such elements requires
+  independent_streams=True (guard tested below).
+- the grain hash is FMA-chaotic across compiled program shapes
+  (CLAUDE.md), so the noise test uses the repo's tolerance-with-outliers
+  convention instead of bit equality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+
+from tpuvf.cli.launch import parse_pipeline
+from tpuvf.parallel import mesh as pmesh
+
+
+def require_devices(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
+
+
+def assert_frames_equal(a, b):
+    if isinstance(a, dict):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+    else:
+        np.testing.assert_array_equal(a, b)
+
+
+def _run_plain(desc, n, batch_size=None):
+    p = parse_pipeline(desc)
+    p.negotiate()
+    p.build()
+    p.run_batched(n, batch_size=batch_size or n)
+    return p.sinks[0].frames
+
+
+def _run_sp(desc, n, axes, sp_axis="sp", batch_size=None, **kw):
+    p = parse_pipeline(desc)
+    p.negotiate()
+    p.build()
+    m = pmesh.make_mesh(axes)
+    p.run_batched(n, batch_size=batch_size or n, mesh=m, sp_axis=sp_axis,
+                  **kw)
+    return p.sinks[0].frames
+
+
+@pytest.mark.parametrize("method", ["bob", "linear"])
+def test_sp_dp_full_pipeline_bit_exact(method):
+    """The VERDICT done-criterion: an sp=2 x dp=4 full pipeline with both
+    stencil classes (filter sharpness != 0 + deinterlace) bit-matches the
+    single-device output.  Methods here are the dp-safe ones (no
+    cross-frame state feeding the output); the stateful methods bit-match
+    on dp=1 below and are guarded at dp>1."""
+    require_devices(8)
+    desc = (
+        "videotestsrc num-buffers=4 pattern=ball "
+        "! video/x-raw,format=NV12,width=64,height=48 "
+        f"! vfmetaldeinterlace method={method} "
+        "! vfmetalvideofilter sharpness=0.5 contrast=1.2 vignette=0.4 "
+        "! appsink"
+    )
+    plain = _run_plain(desc, 4)
+    sp = _run_sp(desc, 4, {"dp": 4, "sp": 2})
+    assert len(sp) == len(plain) == 4
+    for a, b in zip(sp, plain):
+        assert_frames_equal(a, b)
+
+
+@pytest.mark.parametrize("method", ["greedyh", "weave"])
+def test_sp_stateful_full_chain_bit_exact(method):
+    """Stateful deinterlace + blur, rows sharded sp=8, TWO batches on dp=1
+    so one stream's history is continuous — the sharded prev-frame carry
+    round-trips through the tiled+row-sharded state."""
+    require_devices(8)
+    desc = (
+        "videotestsrc num-buffers=6 pattern=ball "
+        "! video/x-raw,format=NV12,width=64,height=48 "
+        f"! vfmetaldeinterlace method={method} "
+        "! vfmetalvideofilter sharpness=0.5 contrast=1.2 ! appsink"
+    )
+    plain = _run_plain(desc, 6, batch_size=3)
+    sp = _run_sp(desc, 6, {"dp": 1, "sp": 8}, batch_size=3)
+    assert len(sp) == len(plain) == 6
+    for a, b in zip(sp, plain):
+        assert_frames_equal(a, b)
+
+
+def test_sp_only_deep_sharding_bit_exact():
+    require_devices(8)
+    desc = (
+        "videotestsrc num-buffers=2 pattern=smpte "
+        "! video/x-raw,format=NV12,width=64,height=128 "
+        "! vfmetalvideofilter sharpness=-0.6 brightness=0.1 vignette=0.2 "
+        "! appsink"
+    )
+    plain = _run_plain(desc, 2)
+    sp = _run_sp(desc, 2, {"dp": 1, "sp": 8})
+    for a, b in zip(sp, plain):
+        assert_frames_equal(a, b)
+
+
+def test_sp_rgb_chain_bit_exact():
+    require_devices(8)
+    desc = (
+        "videotestsrc num-buffers=2 pattern=ball "
+        "! video/x-raw,format=BGRA,width=64,height=64 "
+        "! vfmetalvideofilter sharpness=0.7 saturation=1.4 vignette=0.3 "
+        "! appsink"
+    )
+    plain = _run_plain(desc, 2)
+    sp = _run_sp(desc, 2, {"dp": 2, "sp": 4})
+    for a, b in zip(sp, plain):
+        assert_frames_equal(a, b)
+
+
+def test_sp_convertscale_identity_conversion_bit_exact():
+    """NV12 -> BGRA at identity size (the 4:2:0 fast path's chroma
+    row-upsample halo) sharded over rows."""
+    require_devices(8)
+    desc = (
+        "videotestsrc num-buffers=2 "
+        "! video/x-raw,format=NV12,width=64,height=64 "
+        "! vfmetalconvertscale ! video/x-raw,format=BGRA "
+        "! vfmetalvideofilter contrast=1.1 ! appsink"
+    )
+    plain = _run_plain(desc, 2)
+    sp = _run_sp(desc, 2, {"dp": 2, "sp": 4})
+    for a, b in zip(sp, plain):
+        assert_frames_equal(a, b)
+
+
+def test_sp_grain_within_tolerance():
+    """The grain hash is FMA-chaotic across program shapes (CLAUDE.md):
+    compare with the repo's tolerance + outlier allowance, not equality."""
+    require_devices(8)
+    desc = (
+        "videotestsrc num-buffers=2 pattern=ball "
+        "! video/x-raw,format=NV12,width=64,height=48 "
+        "! vfmetalvideofilter noise=0.4 contrast=1.1 ! appsink"
+    )
+    plain = _run_plain(desc, 2)
+    sp = _run_sp(desc, 2, {"dp": 1, "sp": 8})
+    for a, b in zip(sp, plain):
+        for k in a:
+            d = np.abs(a[k].astype(int) - b[k].astype(int))
+            assert d.max() <= 4
+            assert (d > 0).mean() < 0.01  # <1% grain-hash outliers
+
+
+# -- guards ------------------------------------------------------------------
+
+def test_dp_single_stream_stateful_guarded():
+    """VERDICT item 5: batch-splitting ONE stream across dp shards with a
+    stateful element raises unless the caller asserts independent
+    streams."""
+    require_devices(8)
+    p = parse_pipeline(
+        "videotestsrc num-buffers=4 "
+        "! video/x-raw,format=NV12,width=64,height=48 "
+        "! vfmetaldeinterlace method=greedyh ! appsink"
+    )
+    p.negotiate()
+    p.build()
+    m = pmesh.make_mesh({"dp": 4})
+    with pytest.raises(ValueError, match="independent_streams"):
+        p.run_batched(4, batch_size=4, mesh=m)
+    # the explicit opt-in runs (per-shard histories by design)
+    assert p.run_batched(4, batch_size=4, mesh=m,
+                         independent_streams=True) == 4
+
+
+def test_dp_stateless_chain_needs_no_optin():
+    require_devices(8)
+    p = parse_pipeline(
+        "videotestsrc num-buffers=4 "
+        "! video/x-raw,format=NV12,width=64,height=48 "
+        "! vfmetaldeinterlace method=bob "
+        "! vfmetalvideofilter contrast=1.2 ! appsink"
+    )
+    p.negotiate()
+    p.build()
+    m = pmesh.make_mesh({"dp": 4})
+    assert p.run_batched(4, batch_size=4, mesh=m) == 4
+
+
+def test_sp_rejects_scaling_chain():
+    require_devices(8)
+    p = parse_pipeline(
+        "videotestsrc num-buffers=2 "
+        "! video/x-raw,format=NV12,width=64,height=48 "
+        "! vfmetalconvertscale ! video/x-raw,format=BGRA,width=32,height=24 "
+        "! appsink"
+    )
+    p.negotiate()
+    p.build()
+    m = pmesh.make_mesh({"dp": 2, "sp": 2})
+    with pytest.raises(ValueError, match="spatial row sharding"):
+        p.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")
+
+
+def test_sp_rejects_bad_height():
+    require_devices(8)
+    p = parse_pipeline(
+        "videotestsrc num-buffers=2 "
+        "! video/x-raw,format=NV12,width=64,height=36 "
+        "! vfmetalvideofilter contrast=1.2 ! appsink"
+    )
+    p.negotiate()
+    p.build()
+    m = pmesh.make_mesh({"dp": 1, "sp": 8})  # 36 % 8 != 0
+    with pytest.raises(ValueError, match="height"):
+        p.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")
+
+
+def test_sp_axis_unknown_rejected():
+    require_devices(8)
+    p = parse_pipeline(
+        "videotestsrc num-buffers=8 "
+        "! video/x-raw,format=NV12,width=64,height=64 "
+        "! vfmetalvideofilter contrast=1.2 ! appsink"
+    )
+    p.negotiate()
+    p.build()
+    m = pmesh.make_mesh({"dp": 8})
+    with pytest.raises(ValueError, match="sp_axis"):
+        p.run_batched(8, batch_size=8, mesh=m, sp_axis="sp")

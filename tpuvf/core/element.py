@@ -154,6 +154,33 @@ class Element:
         supported for this configuration."""
         return False
 
+    # -- data-parallel stream semantics ------------------------------------
+
+    def dp_shard_safe(self, in_spec: FrameSpec, out_spec: FrameSpec) -> bool:
+        """True when this element's output does NOT depend on cross-frame
+        state, so a single stream may be batch-split across dp shards
+        without changing results.  Elements whose carried state feeds the
+        output (deinterlace weave/greedyh prev-frame, grain frame counter)
+        return False: each dp shard would see its own history, which is
+        correct ONLY when shards map to independent streams —
+        run_batched(mesh=...) then requires independent_streams=True
+        (prev-frame semantics anchor:
+        /root/reference/src/deinterlace/metaldeinterlacerenderer.m:394-405)."""
+        return True
+
+    # -- spatial (row) sharding capability ---------------------------------
+
+    def sp_row_shardable(self, in_spec: FrameSpec,
+                         out_spec: FrameSpec) -> bool:
+        """True when this element's compiled process is correct on a ROW
+        SHARD of its planes under `Pipeline.run_batched(mesh, sp_axis=...)`:
+        every op is row-local, a halo-aware stencil (parallel.spctx), or a
+        global-row-indexed coordinate field.  Elements with frame-global
+        row structure (resampling matmuls over H, host-precomputed row
+        masks/pads) return False and run_batched rejects the sp request
+        with a clear error."""
+        return False
+
     def split_input_ok(self, in_spec: FrameSpec, out_spec: FrameSpec) -> bool:
         """True if make_process_linked(in_split=True) is supported."""
         return False

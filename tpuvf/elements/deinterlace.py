@@ -87,6 +87,23 @@ class Deinterlace(Element):
     def split_output_ok(self, in_spec, out_spec):
         return self._phase_capable(in_spec, out_spec)
 
+    def dp_shard_safe(self, in_spec, out_spec):
+        """bob/linear ignore the prev-frame carry; weave/greedyh read it, so
+        batch-splitting ONE stream across dp shards would give each shard
+        its own history (first frames fall back to bob,
+        metaldeinterlacerenderer.m:329-338 analog at every shard seam)."""
+        return self.props.get("method") in (METHOD_BOB, METHOD_LINEAR)
+
+    def sp_row_shardable(self, in_spec, out_spec):
+        """All four methods are ±1-row stencils (halo-aware via
+        spctx.pad_rows_edge) over the kept-field parity mask; local parity
+        equals global parity because the sp gate enforces even rows per
+        shard.  The prev-frame state shards with the planes."""
+        from tpuvf.core.formats import RGB_FORMATS
+
+        return (in_spec.format in RGB_FORMATS
+                or self._phase_capable(in_spec, out_spec))
+
     def init_state(self, in_spec, out_spec):
         if getattr(self, "_linked_phase", False):
             half = np.zeros(

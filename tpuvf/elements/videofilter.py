@@ -209,6 +209,22 @@ class VideoFilter(Element):
     def split_output_ok(self, in_spec, out_spec):
         return self._phase_capable(in_spec, out_spec)
 
+    def dp_shard_safe(self, in_spec, out_spec):
+        """The frame counter feeds only the grain hash (m:183-205): with
+        noise disabled the output is frame-index-independent and a single
+        stream may batch-split across dp shards."""
+        return self.props.get("noise") <= 0.001
+
+    def sp_row_shardable(self, in_spec, out_spec):
+        """Every stage is row-local or halo-aware: the adjust chain is
+        elementwise with global-row coordinate fields (vignette, grain),
+        the LUT gather is per-pixel, the blur's 4-row vertical reach and
+        the 4:2:0 chroma row-upsample go through spctx.pad_rows_edge."""
+        from tpuvf.core.formats import RGB_FORMATS
+
+        return (in_spec.format in RGB_FORMATS
+                or self._phase_capable(in_spec, out_spec))
+
     def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
         return self.make_process_linked(in_spec, out_spec, static)
 

@@ -50,13 +50,20 @@ def _upsample2x_linear(img: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 def _shift_edge(img: jnp.ndarray, axis: int, offset: int) -> jnp.ndarray:
     """img shifted by `offset` along axis with edge replication (pad+slice,
-    no gather)."""
+    no gather).  Row-axis shifts are halo-aware under spatial sharding
+    (parallel.spctx): the pad reads the neighbor shard's boundary rows."""
     if offset == 0:
         return img
     import jax
 
     axis = axis % img.ndim
     n = img.shape[axis]
+    if axis == img.ndim - 2:
+        from tpuvf.parallel import spctx
+
+        p = spctx.pad_rows_edge(img, max(-offset, 0), max(offset, 0))
+        start = max(offset, 0)
+        return jax.lax.slice_in_dim(p, start, start + n, axis=axis)
     pad = [(0, 0)] * img.ndim
     pad[axis] = (max(-offset, 0), max(offset, 0))
     p = jnp.pad(img, pad, mode="edge")
@@ -168,6 +175,10 @@ def _use_pallas_banded(in_size, axis, filter, scale) -> bool:
 
     if os.environ.get("TPUVF_NO_PALLAS"):
         return False
+    from tpuvf.parallel import spctx
+
+    if spctx.active_axis() is not None:
+        return False  # row-sharded: the halo-aware XLA upsample runs instead
     if axis != -2 or filter != LINEAR or scale != 1.0 or in_size % 8 != 0:
         return False
     try:

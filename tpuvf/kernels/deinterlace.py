@@ -29,14 +29,16 @@ def _row_mask(height: int, tff):
 
 
 def _shift_rows(img, offset: int):
-    """Row shift with edge clamp via pad+slice (no gather)."""
+    """Row shift with edge clamp via pad+slice (no gather); halo-aware
+    under spatial row sharding (±1-row reach, metaldeinterlace_shaders.h:
+    88-218 -> parallel.spctx)."""
     import jax
+
+    from tpuvf.parallel import spctx
 
     axis = img.ndim - 2
     h = img.shape[axis]
-    pad = [(0, 0)] * img.ndim
-    pad[axis] = (max(-offset, 0), max(offset, 0))
-    p = jnp.pad(img, pad, mode="edge")
+    p = spctx.pad_rows_edge(img, max(-offset, 0), max(offset, 0))
     start = max(offset, 0)
     return jax.lax.slice_in_dim(p, start, start + h, axis=axis)
 

@@ -207,9 +207,15 @@ def apply_color_adjustments_t(chans, p, frame_index, width, height,
         )
         alpha = jnp.where(ck, alpha * mask, alpha)
 
-    # Vignette (texcoord-based radial falloff)
+    # Vignette (texcoord-based radial falloff).  Row coordinates are GLOBAL
+    # under spatial sharding: the plane may hold only a row shard, but the
+    # falloff/grain depend on the frame-space position (parallel.spctx).
+    from tpuvf.parallel import spctx
+
+    local_rows = r.shape[-2] if hasattr(r, "shape") and r.ndim >= 2 else height
+    y_rows = spctx.global_rows(local_rows, height)
     tx = (x_index + 0.5) / F32(width)
-    ty = (jnp.arange(height, dtype=F32) + 0.5) / F32(height)
+    ty = (y_rows + 0.5) / F32(height)
     if gates["vignette"]:
         cx = tx[None, :] - 0.5
         cy = ty[:, None] - 0.5
@@ -224,7 +230,7 @@ def apply_color_adjustments_t(chans, p, frame_index, width, height,
     if gates["noise"]:
         do_noise = p["noise"] > 0.001
         pxc = x_index + 0.5
-        pyc = jnp.arange(height, dtype=F32) + 0.5
+        pyc = y_rows + 0.5
         n = hash12(pxc[None, :], pyc[:, None], frame_index)
         n = (n - 0.5) * p["noise"] * 0.5
         r = jnp.where(do_noise, r + n, r)
@@ -447,9 +453,16 @@ def blur9(img, axis: int):
     """
     axis = axis % img.ndim
     n = img.shape[axis]
-    pad = [(0, 0)] * img.ndim
-    pad[axis] = (4, 4)
-    p = jnp.pad(img, pad, mode="edge")
+    if axis == img.ndim - 2:
+        # row axis: halo-aware under spatial sharding (4-row reach,
+        # metalvideofilter_shaders.h:257-299 -> parallel.spctx)
+        from tpuvf.parallel import spctx
+
+        p = spctx.pad_rows_edge(img, 4, 4)
+    else:
+        pad = [(0, 0)] * img.ndim
+        pad[axis] = (4, 4)
+        p = jnp.pad(img, pad, mode="edge")
     out = None
     for i, w in enumerate(BLUR_WEIGHTS):
         tap = jax.lax.slice_in_dim(p, i, i + n, axis=axis) * F32(w)

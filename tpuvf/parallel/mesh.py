@@ -69,15 +69,19 @@ def shard_batch(planes: Dict, mesh, dp_axis="dp", sp_axis=None) -> Dict:
     return {k: jax.device_put(v, sh) for k, v in planes.items()}
 
 
-def parallel_batch_fn(step, mesh, params, dp_axis="dp"):
-    """Data-parallel batch execution: shard_map over the dp axis; each shard
-    runs a *local* lax.scan over its sub-batch (scan is sequential, so
-    scanning a dp-sharded axis directly would serialize across chips —
-    shard_map keeps each chip's scan independent).
+def parallel_batch_fn(step, mesh, params, dp_axis="dp", sp_axis=None):
+    """Data(+spatial)-parallel batch execution: shard_map over the dp axis
+    (each shard runs a *local* lax.scan over its sub-batch — scanning a
+    dp-sharded axis directly would serialize across chips) and, with
+    sp_axis, over plane ROWS: every plane-like leaf (ndim >= 3 counting the
+    batch axis) shards its -2 axis, and the step traces with
+    parallel.spctx active so vertical stencils exchange ppermute halos and
+    coordinate fields use global row indices.
 
     State is tiled with a leading dp axis so every shard carries its own
     history — appropriate for stateless elements, and for stateful ones when
-    dp shards map to independent streams.
+    dp shards map to independent streams.  Stateful plane-shaped carry
+    (deinterlace prev-frame) row-shards with the planes under sp.
 
     Returns run(planes, state, tiled=False) -> (outs (B, ...), state_tiled).
     Pass a previous call's returned state back with tiled=True.
@@ -86,28 +90,73 @@ def parallel_batch_fn(step, mesh, params, dp_axis="dp"):
 
     import jax
     from jax import shard_map
-    from jax.sharding import PartitionSpec as P
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpuvf.parallel import spctx
 
     dp = mesh.shape[dp_axis]
-    spec = P(dp_axis)
+    sp_live = sp_axis is not None and sp_axis in mesh.axis_names \
+        and mesh.shape[sp_axis] > 1
+    sp = sp_axis if sp_live else None
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(spec, spec, P()),
-        out_specs=(spec, spec),
-        check_vma=False,
-    )
-    def sharded(planes, state_tiled, params):
-        state = jax.tree_util.tree_map(lambda s: s[0], state_tiled)
+    def leaf_spec(ndim: int) -> P:
+        """dp on axis 0; rows (-2) over sp for plane-like leaves."""
+        if sp and ndim >= 3:
+            elems = [dp_axis] + [None] * (ndim - 1)
+            elems[ndim - 2] = sp
+            return P(*elems)
+        return P(dp_axis)
 
-        def body(st, frame):
-            out, st2 = step(frame, st, params)
-            return st2, out
+    def tree_specs(tree) -> object:
+        return jax.tree_util.tree_map(lambda x: leaf_spec(np.ndim(x)), tree)
 
-        st, outs = jax.lax.scan(body, state, planes)
-        return outs, jax.tree_util.tree_map(lambda s: s[None], st)
+    _compiled = {}
 
-    fn = jax.jit(sharded)
+    def get_fn(planes, state_tiled):
+        key = (
+            jax.tree_util.tree_structure(planes),
+            tuple(np.shape(x) for x in jax.tree_util.tree_leaves(planes)),
+            jax.tree_util.tree_structure(state_tiled),
+            tuple(np.shape(x)
+                  for x in jax.tree_util.tree_leaves(state_tiled)),
+        )
+        hit = _compiled.get(key)
+        if hit is not None:
+            return hit
+        in_specs = (tree_specs(planes), tree_specs(state_tiled), P())
+        # output structure (for out_specs) from an abstract trace of the
+        # scanned step — same leaf rule as the inputs
+        def scanned(pl, st_t, prm):
+            state = jax.tree_util.tree_map(lambda s: s[0], st_t)
+
+            def body(st, frame):
+                out, st2 = step(frame, st, prm)
+                return st2, out
+
+            st, outs = jax.lax.scan(body, state, pl)
+            return outs, jax.tree_util.tree_map(lambda s: s[None], st)
+
+        if sp:
+            # eval_shape on GLOBAL shapes outside the spatial context (the
+            # unsharded trace) just to learn the output pytree structure
+            out_shapes = jax.eval_shape(scanned, planes, state_tiled, params)
+            out_specs = (tree_specs(out_shapes[0]), tree_specs(out_shapes[1]))
+        else:
+            out_specs = (P(dp_axis), P(dp_axis))
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        def sharded(pl, st_t, prm):
+            with spctx.spatial_axis(sp):
+                return scanned(pl, st_t, prm)
+
+        fn = jax.jit(sharded)
+        _compiled[key] = fn
+        return fn
 
     def tile_state(state):
         return jax.tree_util.tree_map(
@@ -116,11 +165,19 @@ def parallel_batch_fn(step, mesh, params, dp_axis="dp"):
             state,
         )
 
+    def put(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                x, NamedSharding(mesh, leaf_spec(np.ndim(x)))),
+            tree,
+        )
+
     def run(planes, state, tiled=False):
-        dev = shard_batch(planes, mesh, dp_axis)
+        dev = put(planes)
         st = state if tiled else tile_state(state)
-        dev_state = jax.device_put(st, batch_sharding(mesh, dp_axis))
+        dev_state = put(st)
         dev_params = jax.device_put(params, replicated(mesh))
+        fn = get_fn(planes, st)
         with mesh:
             return fn(dev, dev_state, dev_params)
 

@@ -1,0 +1,115 @@
+"""Spatial-sharding context: row-axis locality for kernels under shard_map.
+
+When a pipeline step runs with plane ROWS sharded over a mesh axis
+(`Pipeline.run_batched(mesh, sp_axis=...)`), every vertical stencil must
+read real neighbor rows across the shard boundary instead of edge-clamping
+locally, and every row-coordinate field (vignette falloff, grain hash)
+must use GLOBAL row indices.  Kernels stay unchanged at their call sites:
+the row-pad/shift helpers in kernels/convert.py, kernels/filter.py and
+kernels/deinterlace.py consult this context and switch to the halo
+exchange (jax.lax.ppermute neighbor traffic over ICI — the explicit,
+predictable collective; no all-gather) when an axis is active.
+
+This is the idiomatic TPU mapping of the reference's "every pixel is a GPU
+thread" model at multi-chip scale (SURVEY.md §2.10/§5): the videofilter's
+9-tap blur reads 4 rows past the tile edge
+(/root/reference/src/videofilter/metalvideofilter_shaders.h:257-299), the
+deinterlacers ±1 row
+(/root/reference/src/deinterlace/metaldeinterlace_shaders.h:88-218), the
+4:2:0 chroma row-upsample ±1 chroma row.
+
+Activated by tpuvf.parallel.mesh.parallel_batch_fn inside the shard_map
+body, so the context is live exactly while the step traces as a manual
+per-shard program.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_STATE = {"axis": None}
+
+
+@contextmanager
+def spatial_axis(axis_name: Optional[str]):
+    """Mark `axis_name` as the active row-sharding mesh axis while tracing
+    a shard-local step (None = no-op)."""
+    prev = _STATE["axis"]
+    _STATE["axis"] = axis_name
+    try:
+        yield
+    finally:
+        _STATE["axis"] = prev
+
+
+def active_axis() -> Optional[str]:
+    return _STATE["axis"]
+
+
+def pad_rows_halo(x: jnp.ndarray, lo: int, hi: int) -> jnp.ndarray:
+    """(..., R, W) -> (..., lo+R+hi, W) with shard-correct edge semantics:
+    interior shard boundaries receive the neighbor's boundary rows via
+    ppermute; the outermost shards replicate their own edge row (the
+    clamp-to-edge semantics every kernel already has on one device).
+
+    Requires lo, hi <= R (halos never span more than one neighbor — true
+    for every kernel here: blur 4, deinterlace 1, chroma upsample 1,
+    enforced by Pipeline's sp divisibility gate)."""
+    axis_name = _STATE["axis"]
+    rows = x.shape[-2]
+    if lo > rows or hi > rows:
+        raise ValueError(
+            f"halo ({lo},{hi}) exceeds local rows {rows}; use more rows "
+            f"per shard")
+    idx = jax.lax.axis_index(axis_name)
+    n = jax.lax.axis_size(axis_name)
+    parts = []
+    if lo:
+        # my bottom rows become the NEXT shard's top halo
+        bot = jax.lax.slice_in_dim(x, rows - lo, rows, axis=-2)
+        from_prev = jax.lax.ppermute(
+            bot, axis_name, [(i, (i + 1) % n) for i in range(n)])
+        first = jax.lax.slice_in_dim(x, 0, 1, axis=-2)
+        edge = jnp.concatenate([first] * lo, axis=-2) if lo > 1 else first
+        parts.append(jnp.where(idx == 0, edge, from_prev))
+    parts.append(x)
+    if hi:
+        top = jax.lax.slice_in_dim(x, 0, hi, axis=-2)
+        from_next = jax.lax.ppermute(
+            top, axis_name, [(i, (i - 1) % n) for i in range(n)])
+        last = jax.lax.slice_in_dim(x, rows - 1, rows, axis=-2)
+        edge = jnp.concatenate([last] * hi, axis=-2) if hi > 1 else last
+        parts.append(jnp.where(idx == n - 1, edge, from_next))
+    if len(parts) == 1:
+        return x
+    return jnp.concatenate(parts, axis=-2)
+
+
+def pad_rows_edge(x: jnp.ndarray, lo: int, hi: int) -> jnp.ndarray:
+    """Edge-clamped row padding along axis -2: jnp.pad(mode="edge") on one
+    device, halo exchange under an active spatial axis.  THE entry point
+    for every vertical stencil."""
+    if lo == 0 and hi == 0:
+        return x
+    if _STATE["axis"] is not None:
+        return pad_rows_halo(x, lo, hi)
+    pad = [(0, 0)] * x.ndim
+    pad[-2] = (lo, hi)
+    return jnp.pad(x, pad, mode="edge")
+
+
+def global_rows(local_rows: int, global_rows_total: int) -> jnp.ndarray:
+    """f32 GLOBAL row indices of the local plane rows (for row-coordinate
+    fields: vignette falloff, grain hash).  Without an active axis (or when
+    the plane is unsharded) this is arange(global_rows_total)."""
+    axis_name = _STATE["axis"]
+    base = np.arange(local_rows, dtype=np.float32)
+    if axis_name is None or local_rows == global_rows_total:
+        return jnp.asarray(base)
+    idx = jax.lax.axis_index(axis_name)
+    return jnp.asarray(base) + idx.astype(jnp.float32) * np.float32(local_rows)

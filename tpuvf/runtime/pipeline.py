@@ -886,6 +886,43 @@ class Pipeline:
             s.finalize()
         return count
 
+    def _validate_sp(self, mesh, sp_axis: str) -> None:
+        """Reject spatial row sharding the compiled chain cannot honor:
+        every active stage must be sp_row_shardable and every plane height
+        must split into EVEN per-shard row counts (field parity + chroma
+        half-rows + row-pair 4:2:0 downsample all need it), with enough
+        rows per shard for the widest halo (blur: 4)."""
+        if sp_axis not in mesh.axis_names:
+            raise ValueError(
+                f"sp_axis {sp_axis!r} not in mesh axes {mesh.axis_names}")
+        sp = mesh.shape[sp_axis]
+        if sp <= 1:
+            return
+        heights = []
+        for st in self._stages:
+            if st.passthrough:
+                continue
+            e = st.element
+            if st.in_spec is None or not e.sp_row_shardable(st.in_spec,
+                                                            st.out_spec):
+                raise ValueError(
+                    f"element {e.name} ({e.ELEMENT_NAME}) does not support "
+                    f"spatial row sharding for its negotiated specs "
+                    f"{st.in_spec} -> {st.out_spec}; run with dp only")
+            heights += [st.in_spec.height, st.out_spec.height]
+        for s in self.sources:
+            heights.append(self._outgoing(s)[0].spec.height)
+        for h in heights:
+            rows = h // sp
+            # even rows/shard: field parity + chroma half-rows + the 4:2:0
+            # row-pair downsample; >= 4 rows: the widest halo (blur) reaches
+            # only the adjacent shard
+            if h % sp or rows % 2 or rows < 4:
+                raise ValueError(
+                    f"plane height {h} cannot split over sp={sp}: needs "
+                    f"h % sp == 0 with even rows/shard >= 4 (field parity, "
+                    f"chroma half-rows and the 4-row blur halo)")
+
     def _select_step(self, frame_params):
         """Pick the jitted program variant for this frame's params (host
         check; both variants are already compiled)."""
@@ -937,7 +974,8 @@ class Pipeline:
                           sink_specs[sk.name], planes, index)
 
     def run_batched(self, num_frames: int, batch_size: int = 8,
-                    mesh=None, sp_axis: Optional[str] = None) -> int:
+                    mesh=None, sp_axis: Optional[str] = None,
+                    independent_streams: bool = False) -> int:
         """Throughput mode: lax.scan over `batch_size` frames inside ONE
         jitted dispatch (per-frame state semantics preserved).  This replaces
         the reference's per-element streaming-thread overlap as the
@@ -945,11 +983,20 @@ class Pipeline:
 
         With `mesh` (jax.sharding.Mesh with a 'dp' axis, e.g. from
         tpuvf.parallel.mesh.make_mesh), the batch shards across chips: each
-        dp shard scans its own sub-batch; pass sp_axis to additionally shard
-        plane rows (XLA inserts the ICI collectives).  batch_size must be a
-        multiple of the dp size.  Per-frame state is carried per shard, so
-        stateful elements (deinterlace) see their own shard's history —
-        appropriate when dp shards map to independent streams."""
+        dp shard scans its own sub-batch; batch_size must be a multiple of
+        the dp size.  Per-frame state is carried per shard, so stateful
+        elements (deinterlace) see their own shard's history — appropriate
+        when dp shards map to independent streams.
+
+        With `sp_axis` naming a second mesh axis, plane ROWS additionally
+        shard across chips: stencil kernels (blur, deinterlace, chroma
+        row-upsample) exchange explicit ppermute halos over ICI
+        (parallel.spctx / parallel.halo pattern) and coordinate fields
+        (vignette, grain) use global row indices — pixel-exact vs the
+        unsharded program.  Every non-passthrough element must be
+        sp_row_shardable for its negotiated specs and every plane height
+        must divide into even per-shard rows (validated up front with a
+        clear error)."""
         if self._step is None:
             self.build()
         sources = self.sources
@@ -981,7 +1028,29 @@ class Pipeline:
                 raise ValueError(
                     f"batch_size {batch_size} must divide by dp="
                     f"{mesh.shape['dp']}")
-            dp_run = parallel_batch_fn(step, mesh, self.params())
+            if mesh.shape["dp"] > 1 and not independent_streams:
+                # dp shards carry INDEPENDENT per-shard state: splitting one
+                # sequential stream across shards silently rewrites history
+                # for stateful elements (deinterlace prev-frame, grain frame
+                # counter) — wrong output, no error.  Require the caller to
+                # assert the shards are independent streams.
+                unsafe = [
+                    st.element.name for st in self._stages
+                    if not st.passthrough and st.in_spec is not None
+                    and not st.element.dp_shard_safe(st.in_spec, st.out_spec)
+                ]
+                if unsafe:
+                    raise ValueError(
+                        f"element(s) {unsafe} carry cross-frame state whose "
+                        f"output changes when ONE stream is batch-split "
+                        f"across dp={mesh.shape['dp']} shards (each shard "
+                        f"sees its own history).  Pass "
+                        f"independent_streams=True if the dp shards map to "
+                        f"independent streams, or run with dp=1")
+            if sp_axis is not None:
+                self._validate_sp(mesh, sp_axis)
+            dp_run = parallel_batch_fn(step, mesh, self.params(),
+                                       sp_axis=sp_axis)
         else:
             dp_run = None
         batch_fn = jax.jit(batch_step)
