@@ -47,21 +47,30 @@ def main():
         return random_planes_for_spec(
             in_spec, batch, split=getattr(step, "source_split", False))
 
-    # the axon tunnel adds up to ~3x noise per slope measurement (and can
-    # inflate as well as deflate — a slow small-batch rep shrinks the
-    # slope), so report the MEDIAN of three measurements
+    # the axon tunnel's throughput is bimodal (fast windows vs congested
+    # shared windows, round-2 analysis): the HEADLINE is the any-window
+    # MEDIAN of five spaced measurements — reproducible across driver runs
+    # — with min and the fast-window max reported alongside as the noise
+    # floor / capability figure
     import statistics
+    import time
 
-    fps = statistics.median(
-        measure_fps(step, make_planes, state0, params,
-                    batch_small=4, batch_large=16)["fps"]
-        for _ in range(3)
-    )
+    samples = []
+    for i in range(5):
+        if i:
+            time.sleep(2.0)  # spaced: don't sample one tunnel window 5x
+        samples.append(
+            measure_fps(step, make_planes, state0, params,
+                        batch_small=4, batch_large=16)["fps"])
+    fps = statistics.median(samples)
     print(json.dumps({
         "metric": "4K NV12 convertscale+videofilter chain fps/chip (HBM-resident)",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 240.0, 3),
+        "min": round(min(samples), 2),
+        "fast_window": round(max(samples), 2),
+        "samples": [round(s, 1) for s in samples],
     }))
 
 
