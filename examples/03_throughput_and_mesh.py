@@ -33,3 +33,18 @@ p2.negotiate(); p2.build()
 mesh = make_mesh({"dp": 4})
 p2.run_batched(16, batch_size=16, mesh=mesh)
 print("4-chip dp:", p2.stats.summary())
+
+# 3. data x spatial parallel: plane ROWS shard over the 'sp' axis; the
+# blur/deinterlace/chroma-upsample stencils exchange ppermute halos over
+# ICI and the output is pixel-exact vs the single-chip program.  (This
+# identity-size chain is sp-capable; scaling chains are rejected with a
+# clear error.)
+DESC_SP = ("videotestsrc num-buffers=8 pattern=ball "
+           "! video/x-raw,format=NV12,width=320,height=184 "
+           "! vfdeinterlace method=bob "
+           "! vfvideofilter sharpness=0.5 contrast=1.3 ! appsink")
+p3 = parse_pipeline(DESC_SP)
+p3.negotiate(); p3.build()
+mesh2 = make_mesh({"dp": 2, "sp": 4})
+p3.run_batched(8, batch_size=8, mesh=mesh2, sp_axis="sp")
+print("2x4 dp x sp:", p3.stats.summary())
