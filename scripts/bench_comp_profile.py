@@ -28,7 +28,7 @@ def report(label, res):
           flush=True)
 
 
-def comp_step(n_pads, with_overlay):
+def comp_step(n_pads, with_overlay, prefer_fast=False):
     comp = make("vfcompositor")
     comp.set_property("background", 1)
     all_specs = {
@@ -79,6 +79,12 @@ def comp_step(n_pads, with_overlay):
         split_pads = frozenset()
         agg = comp.make_aggregate(pad_specs, out_spec)
     params["comp"] = comp.traced_params()
+
+    if prefer_fast and hasattr(agg, "variants"):
+        # the pipeline's steady-state program: the host-selected fast
+        # (cond-free) render body
+        assert agg.variant_select(params["comp"]) == "fast"
+        agg = agg.variants["fast"]
 
     def step(pad_planes, state, p):
         mid, _ = agg(pad_planes, (), p["comp"])

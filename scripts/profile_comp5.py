@@ -18,7 +18,9 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, ".")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))  # repo root
+sys.path.insert(0, _HERE)  # scripts/ for the sibling import
 
 import jax
 
@@ -31,7 +33,7 @@ TRACE_DIR = "/tmp/tpuvf-comp5-trace"
 
 
 def main():
-    step, params, mk = comp_step(4, True)
+    step, params, mk = comp_step(4, True, prefer_fast=True)
     planes = mk(1)
     planes = {k: {kk: vv[0] for kk, vv in v.items()}
               for k, v in planes.items()}
