@@ -82,9 +82,11 @@ def comp_step(n_pads, with_overlay, prefer_fast=False):
 
     if prefer_fast and hasattr(agg, "variants"):
         # the pipeline's steady-state program: the host-selected fast
-        # (cond-free) render body
+        # (cond-free) render body; prefer_fast="cells" picks the
+        # cell-partition body
         assert agg.variant_select(params["comp"]) == "fast"
-        agg = agg.variants["fast"]
+        key = prefer_fast if isinstance(prefer_fast, str) else "fast"
+        agg = agg.variants[key]
 
     def step(pad_planes, state, p):
         mid, _ = agg(pad_planes, (), p["comp"])

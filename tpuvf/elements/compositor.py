@@ -242,6 +242,9 @@ class Compositor(Element):
             out[f"pad.{name}.ypos"] = np.int32(bag.get("ypos"))
             out[f"pad.{name}.alpha"] = np.float32(bag.get("alpha"))
             out[f"pad.{name}.operator"] = np.int32(bag.get("operator"))
+        # folded overlays' controllable alpha rides this element's params
+        for ov in getattr(self, "_fold_elems", ()):
+            out[f"fold.{ov.name}.alpha"] = np.float32(ov.props.get("alpha"))
         return out
 
     def init_state(self, in_spec, out_spec):
@@ -315,7 +318,8 @@ class Compositor(Element):
 
     def make_aggregate(self, pad_specs: Dict[str, FrameSpec],
                        out_spec: FrameSpec, out_mode: str = "full",
-                       split_pads: frozenset = frozenset()):
+                       split_pads: frozenset = frozenset(),
+                       fold_overlays: tuple = ()):
         """Compile the aggregate.  Pad GEOMETRY is traced: xpos/ypos/alpha/
         operator enter as per-frame params (GST_PARAM_CONTROLLABLE,
         gstvfmetalcompositorpad.m:282-315), placement uses dynamic slices at
@@ -410,6 +414,36 @@ class Compositor(Element):
                 )
             )
 
+        # -- folded overlays: downstream vfoverlay rect blends absorbed as
+        # final 'mix' draws of THIS render pass (the pipeline detects the
+        # adjacency; the overlay element's stage is then elided).  Removes
+        # the overlay's full-canvas read+write round trip — the analog of
+        # drawing the overlay quad in the same command buffer as the
+        # composite (metalcomprenderer.m single-pass model).  The mix
+        # matches vfoverlay exactly: rgb = rgb*(1-a) + ov_premul*a inside
+        # the rect, alpha channel untouched, quantize at the write.
+        fold_draws = []
+        for i, ov in enumerate(fold_overlays):
+            cfg = ov.fold_draw_config(out_spec)
+            fx0, fx1, fy0, fy1 = cfg["rect"]
+            if fx1 <= fx0 or fy1 <= fy0:
+                continue
+            planes = cfg["planes"]  # (4, rh, rw) f32 premultiplied
+            fd = dict(rect=(fx0, fx1, fy0, fy1), name=ov.name,
+                      fetch=bufs.add(planes, f"fold{i}"))
+            # phase slices for the split canvases (same mapping as the
+            # overlay element's split path)
+            pe0, pe1 = (fx0 + 1) // 2, (fx1 + 1) // 2
+            po0, po1 = fx0 // 2, fx1 // 2
+            fd["e"] = (bufs.add(np.ascontiguousarray(
+                planes[:, :, (2 * pe0 - fx0)::2]), f"fold{i}_e"),
+                pe0, pe1) if pe1 > pe0 else None
+            fd["o"] = (bufs.add(np.ascontiguousarray(
+                planes[:, :, (2 * po0 + 1 - fx0)::2]), f"fold{i}_o"),
+                po0, po1) if po1 > po0 else None
+            fold_draws.append(fd)
+        self._fold_elems = list(fold_overlays)
+
         self._buffers = bufs.buffers
         matrix_out = out_spec.matrix_index
 
@@ -440,7 +474,8 @@ class Compositor(Element):
             d["baked_y"] = int(bag.get("ypos")) + d["offsets"][1]
             d["baked_op"] = int(bag.get("operator"))
 
-        def process_impl(pad_inputs, state, params, force_fast=False):
+        def process_impl(pad_inputs, state, params, force_fast=False,
+                         cells=False):
             # -- per-frame prepare pass (traced scalars) ------------------
             prep = []
             for d in compiled_draws:
@@ -580,6 +615,34 @@ class Compositor(Element):
                     return src_v + dst_v  # skipped: src == 0
                 return src_v + dst_v * (1.0 - a_v)
 
+            def apply_folds(dst):
+                """Folded overlay mix draws on the full u8 canvas."""
+                for fd in fold_draws:
+                    fx0, fx1, fy0, fy1 = fd["rect"]
+                    ov = jnp.asarray(fd["fetch"](params))
+                    a = ov[3] * params[f"fold.{fd['name']}.alpha"]
+                    for c in range(3):  # alpha channel untouched
+                        v = dequant(dst[c][fy0:fy1, fx0:fx1])
+                        dst[c] = dst[c].at[fy0:fy1, fx0:fx1].set(
+                            quant(v * (1.0 - a) + ov[c] * a))
+                return dst
+
+            def apply_folds_split(dst_e, dst_o):
+                for fd in fold_draws:
+                    _, _, fy0, fy1 = fd["rect"]
+                    alpha = params[f"fold.{fd['name']}.alpha"]
+                    for dstl, ph in ((dst_e, fd["e"]), (dst_o, fd["o"])):
+                        if ph is None:
+                            continue
+                        fetch, c0, c1 = ph
+                        ov = jnp.asarray(fetch(params))
+                        a = ov[3] * alpha
+                        for c in range(3):
+                            v = dequant(dstl[c][fy0:fy1, c0:c1])
+                            dstl[c] = dstl[c].at[fy0:fy1, c0:c1].set(
+                                quant(v * (1.0 - a) + ov[c] * a))
+                return dst_e, dst_o
+
             def render_fast(_):
                 """Static body specialized to the BAKED positions and
                 operators (the cond guarantees they equal the traced values
@@ -598,14 +661,20 @@ class Compositor(Element):
                     ry = slice(vy0 - y, vy1 - y)
                     rx = slice(vx0 - x, vx1 - x)
                     a_v = src_p[3][ry, rx]
+                    full = (vy0 == 0 and vy1 == out_h
+                            and vx0 == 0 and vx1 == out_w)
                     for c in range(4):
                         src_v = src_p[c][ry, rx]
                         dst_v = dequant(dst[c][vy0:vy1, vx0:vx1])
                         blended = _blend_static(
                             p["d"]["baked_op"], p["draw"], src_v, dst_v, a_v)
-                        dst[c] = dst[c].at[vy0:vy1, vx0:vx1].set(
-                            quant(blended))
-                return dst
+                        if full:
+                            # full-canvas draw: plain value, no DUS pass
+                            dst[c] = quant(blended)
+                        else:
+                            dst[c] = dst[c].at[vy0:vy1, vx0:vx1].set(
+                                quant(blended))
+                return apply_folds(dst)
 
             def sample_draw_split(p):
                 """(even_chans, odd_chans) premultiplied column-phase source
@@ -672,19 +741,118 @@ class Compositor(Element):
                         (dst_o, so if x % 2 == 0 else se, co0, co1, off_floor),
                     )
                     op = p["d"]["baked_op"]
+                    wp = out_w // 2
                     for dstl, src_ph, c0, c1, off in phases:
                         if c1 - c0 <= 0:
                             continue
                         sx = slice(c0 - off, c1 - off)
                         a_v = src_ph[3][ry, sx]
+                        full = (vy0 == 0 and vy1 == out_h
+                                and c0 == 0 and c1 == wp)
                         for c in range(4):
                             src_v = src_ph[c][ry, sx]
                             dst_v = dequant(dstl[c][vy0:vy1, c0:c1])
                             blended = _blend_static(
                                 op, p["draw"], src_v, dst_v, a_v)
-                            dstl[c] = dstl[c].at[vy0:vy1, c0:c1].set(
-                                quant(blended))
-                return dst_e, dst_o
+                            if full:
+                                # full-canvas draw: emit the value directly
+                                # — the .at[:].set DUS would re-write every
+                                # canvas byte AFTER the init select pass
+                                # (the two passes measured ~0.3 ms/frame in
+                                # the config-5 trace); as a plain value the
+                                # init select fuses into this blend
+                                dstl[c] = quant(blended)
+                            else:
+                                dstl[c] = dstl[c].at[vy0:vy1, c0:c1].set(
+                                    quant(blended))
+                return apply_folds_split(dst_e, dst_o)
+
+            def render_cells_split(_):
+                """Cell-partition variant of render_fast_split: the STATIC
+                draw rects partition each phase canvas into a grid of cells
+                (edges = all draw column/row boundaries); each cell is ONE
+                fused expression — the per-draw blend+quantize fold of its
+                covering draws over the background — and the canvas
+                assembles by concatenation.  Identical per-pixel op
+                sequence to render_fast_split (bit-exact), but the canvas
+                is written ONCE: no per-draw dynamic-update-slice chain
+                re-materializing untouched canvas bytes (the DUS chain
+                measured ~0.29 ms/frame of the 0.82 ms config-5 fast
+                variant, scripts/profile_comp5.py)."""
+                zero_u8 = jnp.zeros((), jnp.uint8)
+                wp = out_w // 2
+                sampled = []
+                for p in prep:
+                    r = _baked_rect(p)
+                    if r is None:
+                        continue
+                    sampled.append((p, r, sample_draw_split(p)))
+                out_e, out_o = [], []
+                for phase_i in (0, 1):
+                    bg_fetch = fetch_bg_e if phase_i == 0 else fetch_bg_o
+                    bg_ph = jnp.asarray(bg_fetch(params))
+                    # per-draw phase geometry (same mapping math as
+                    # render_fast_split)
+                    entries = []
+                    for p, r, (se, so) in sampled:
+                        x, y, vx0, vy0, vx1, vy1 = r
+                        if phase_i == 0:
+                            c0, c1 = (vx0 + 1) // 2, (vx1 + 1) // 2
+                            off = (x + (x & 1)) // 2
+                            src_ph = se if x % 2 == 0 else so
+                        else:
+                            c0, c1 = vx0 // 2, vx1 // 2
+                            off = x // 2
+                            src_ph = so if x % 2 == 0 else se
+                        if c1 - c0 <= 0 or vy1 - vy0 <= 0:
+                            continue
+                        entries.append(dict(
+                            y0=vy0, y1=vy1, c0=c0, c1=c1, off=off,
+                            ry0=vy0 - y, src=src_ph,
+                            op=p["d"]["baked_op"], draw=p["draw"]))
+                    xs = sorted({0, wp} | {e["c0"] for e in entries}
+                                | {e["c1"] for e in entries})
+                    ys = sorted({0, out_h} | {e["y0"] for e in entries}
+                                | {e["y1"] for e in entries})
+                    xs = [v for v in xs if 0 <= v <= wp]
+                    ys = [v for v in ys if 0 <= v <= out_h]
+                    chans = []
+                    for c in range(4):
+                        rows = []
+                        for yi in range(len(ys) - 1):
+                            cy0, cy1 = ys[yi], ys[yi + 1]
+                            if cy1 <= cy0:
+                                continue
+                            cols = []
+                            for xi in range(len(xs) - 1):
+                                cc0, cc1 = xs[xi], xs[xi + 1]
+                                if cc1 <= cc0:
+                                    continue
+                                cell_q = jnp.where(
+                                    bg_drawn > 0,
+                                    bg_ph[c][cy0:cy1, cc0:cc1], zero_u8)
+                                for e in entries:
+                                    if not (e["c0"] <= cc0 and cc1 <= e["c1"]
+                                            and e["y0"] <= cy0
+                                            and cy1 <= e["y1"]):
+                                        continue
+                                    sy = slice(cy0 - e["y0"] + e["ry0"],
+                                               cy1 - e["y0"] + e["ry0"])
+                                    sx = slice(cc0 - e["off"],
+                                               cc1 - e["off"])
+                                    src_v = e["src"][c][sy, sx]
+                                    a_v = e["src"][3][sy, sx]
+                                    blended = _blend_static(
+                                        e["op"], e["draw"], src_v,
+                                        dequant(cell_q), a_v)
+                                    cell_q = quant(blended)
+                                cols.append(cell_q)
+                            rows.append(jnp.concatenate(cols, axis=-1)
+                                        if len(cols) > 1 else cols[0])
+                        chans.append(jnp.concatenate(rows, axis=-2)
+                                     if len(rows) > 1 else rows[0])
+                    (out_e if phase_i == 0 else out_o).extend([chans])
+                return apply_folds_split(out_e[0], out_o[0])
 
             def render_general(_):
                 """Traced placement: clamp position, then shift the source
@@ -726,7 +894,7 @@ class Compositor(Element):
                         blended = blend(op, mask, win_p[c], dst_v, a_v, draw)
                         dst[c] = jax.lax.dynamic_update_slice(
                             dst[c], quant(blended), (syr, sxr))
-                return dst
+                return apply_folds(dst)
 
             def _pack_canvas(dst):
                 """u8 canvas -> output planes (values already quantized, so
@@ -767,8 +935,9 @@ class Compositor(Element):
             # -- render ---------------------------------------------------
             if not prep:
                 if split_out:
-                    return emit_phases(*make_dst_split()), state
-                return _pack_canvas(make_dst()), state
+                    return emit_phases(
+                        *apply_folds_split(*make_dst_split())), state
+                return _pack_canvas(apply_folds(make_dst())), state
             at_baked = jnp.bool_(True)
             for p in prep:
                 d = p["d"]
@@ -779,7 +948,8 @@ class Compositor(Element):
                             & (pad_param(params, d["pad"].name, "operator")
                                == d["baked_op"]))
             if split_out:
-                fast = lambda _: emit_phases(*render_fast_split(0))
+                body = render_cells_split if cells else render_fast_split
+                fast = lambda _: emit_phases(*body(0))
             else:
                 fast = lambda _: emit_full(render_fast(0))
             if force_fast:
@@ -816,5 +986,11 @@ class Compositor(Element):
             return "fast"
 
         process.variants = {"general": process, "fast": process_fast}
+        if split_out:
+            def process_cells(pad_inputs, state, params):
+                return process_impl(pad_inputs, state, params,
+                                    force_fast=True, cells=True)
+
+            process.variants["cells"] = process_cells
         process.variant_select = variant_select
         return process

@@ -149,6 +149,54 @@ class Overlay(Element):
     def split_output_ok(self, in_spec, out_spec):
         return self._phase_capable(in_spec, out_spec)
 
+    # -- fold into an upstream compositor (one render pass, like the
+    #    reference drawing the overlay quad in the same command buffer) ----
+
+    def fold_into_aggregate_ok(self, in_spec, out_spec) -> bool:
+        """True when this overlay can be absorbed as a final 'mix' draw of
+        an upstream compositor's render pass: image loaded, same
+        format/size in->out (the overlay never converts), static rect.
+        The fold removes a full-canvas read+write round trip (the overlay
+        otherwise re-reads the composited canvas to blend a small rect)."""
+        self._sync_image()
+        return (self._image is not None
+                and in_spec.format == out_spec.format
+                and in_spec.width == out_spec.width
+                and in_spec.height == out_spec.height)
+
+    def fold_draw_config(self, spec: FrameSpec):
+        """Host-side draw data for the compositor fold: the resampled
+        premultiplied overlay rect + geometry.  Returns
+        {rect: (x0, x1, y0, y1), planes: (4, rh, rw) f32 premultiplied,
+        alpha_prop: property read per frame}."""
+        w, h = spec.width, spec.height
+        img = self._image
+        img_h, img_w = img.shape[:2]
+        rel_x = self.props.get("relative-x")
+        rel_y = self.props.get("relative-y")
+        ox = float(rel_x * w) if rel_x >= 0.0 else float(self.props.get("x"))
+        oy = float(rel_y * h) if rel_y >= 0.0 else float(self.props.get("y"))
+        ow = float(self.props.get("width") or img_w)
+        oh = float(self.props.get("height") or img_h)
+        pxs = np.arange(w, dtype=np.float64) + 0.5
+        pys = np.arange(h, dtype=np.float64) + 0.5
+        xs = np.where((pxs >= ox) & (pxs < ox + ow))[0]
+        ys = np.where((pys >= oy) & (pys < oy + oh))[0]
+        rx = slice(int(xs[0]), int(xs[-1]) + 1) if len(xs) else slice(0, 0)
+        ry = slice(int(ys[0]), int(ys[-1]) + 1) if len(ys) else slice(0, 0)
+        tx = (pxs - ox) / ow
+        ty = (pys - oy) / oh
+        wx = sample.sample_matrix(np.clip(tx, 0.0, 1.0), img_w, sample.LINEAR)
+        wy = sample.sample_matrix(np.clip(ty, 0.0, 1.0), img_h, sample.LINEAR)
+        img_f = img.astype(np.float32) / np.float32(255.0)
+        chans = img_f.transpose(2, 0, 1)
+        ov_np = np.ascontiguousarray((wy @ chans) @ wx.T).astype(np.float32)
+        return {
+            "rect": (rx.start, rx.stop, ry.start, ry.stop),
+            "planes": np.ascontiguousarray(ov_np[:, ry, rx]),
+            "element": self,
+        }
+
     def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
         return self.make_process_linked(in_spec, out_spec, static)
 

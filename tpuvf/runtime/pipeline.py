@@ -393,8 +393,13 @@ class Pipeline:
         self._step_fast = None
         if self._variant_stage is not None:
             vs = self._variant_stage
+            # steady-state body: the cell-partition renderer when available
+            # (one canvas write, no per-draw DUS chain — measured ~20%
+            # faster at 4K than the DUS fold), else the cond-free fast body
+            body = vs.process.variants.get(
+                "cells", vs.process.variants["fast"])
             self._step_fast = jax.jit(
-                make_step({vs.element.name: vs.process.variants["fast"]}),
+                make_step({vs.element.name: body}),
                 donate_argnums=(1,))
         self._codec_chain = self._collect_codec_chain(stage_by_elem)
         self._wire_navigation()
