@@ -117,27 +117,24 @@ def config_compositor():
     ov.set_property("x", 128)
     ov.set_property("y", 128)
 
-    # mirror Pipeline._link_plan: compositor -> split -> overlay -> packed16,
-    # with source-fed pads provisioned as split uploads
-    link_split = (comp.aggregate_split_ok(pad_specs, out_spec)
-                  and ov.split_input_ok(out_spec, out_spec))
-    split_pads = frozenset(pad_specs) if link_split else frozenset()
+    # mirror Pipeline round 3: the overlay FOLDS into the compositor's
+    # render pass (Pipeline._plan_overlay_folds) and the compositor takes
+    # over the packed16 sink edge; source-fed pads provision split uploads
+    split_ok = (comp.aggregate_split_ok(pad_specs, out_spec)
+                and ov.fold_into_aggregate_ok(out_spec, out_spec))
+    split_pads = frozenset(pad_specs) if split_ok else frozenset()
     agg = comp.make_aggregate(pad_specs, out_spec,
-                              out_mode="split" if link_split else "full",
-                              split_pads=split_pads)
-    # static geometry at the baked values: run the fast-only variant (the
-    # pipeline's host-side per-frame pick does the same)
+                              out_mode="packed16" if split_ok else "full",
+                              split_pads=split_pads,
+                              fold_overlays=(ov,))
+    # static geometry at the baked values: run the steady-state variant
+    # (cells when available — the pipeline's host-side pick does the same)
     if agg.variant_select(comp.traced_params()) == "fast":
-        agg = agg.variants["fast"]
-    edge = "packed16" if ov.split_output_ok(out_spec, out_spec) else "full"
-    ov_proc = ov.make_process_linked(
-        out_spec, out_spec, ov.static_config(out_spec, out_spec),
-        in_split=link_split, out_mode=edge)
-    params = {"comp": comp.traced_params(), "ov": ov.traced_params()}
+        agg = agg.variants.get("cells", agg.variants["fast"])
+    params = {"comp": comp.traced_params()}
 
     def step(pad_planes, state, params):
-        mid, _ = agg(pad_planes, (), params["comp"])
-        out, _ = ov_proc(mid, (), params["ov"])
+        out, _ = agg(pad_planes, (), params["comp"])
         return out, state
 
     def make_planes(batch):

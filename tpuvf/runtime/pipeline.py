@@ -216,10 +216,20 @@ class Pipeline:
         order = self._topo_order()
         link_plan = self._link_plan()
         self.link_plan = link_plan  # exposed for tests/inspection
+        folds, folded_ids = self._plan_overlay_folds(link_plan)
+        self.overlay_folds = folds  # exposed for tests/inspection
         stages: List[CompiledStage] = []
         state: Dict[str, object] = {}
         for e in order:
             if isinstance(e, (SourceElement, SinkElement)):
+                continue
+            if id(e) in folded_ids:
+                # overlay folded into the upstream compositor's render pass:
+                # its stage forwards the compositor's (already overlaid)
+                # output
+                in_spec = self._incoming(e)[0].spec
+                out_spec = self._outgoing(e)[0].spec
+                stages.append(CompiledStage(e, in_spec, out_spec, True))
                 continue
             if getattr(e, "HOST_CODEC", False):
                 # encoders run host-side at the sink edge; device graph
@@ -234,10 +244,17 @@ class Pipeline:
                 )
                 out_spec = self._outgoing(e)[0].spec
                 _, comp_mode = link_plan.get(e.name, (False, "full"))
+                fold_elems = folds.get(e.name, ())
+                if fold_elems:
+                    # the compositor takes over the folded overlay's
+                    # downstream boundary contract
+                    comp_mode = link_plan.get(
+                        fold_elems[-1].name, (False, "full"))[1]
                 process = e.make_aggregate(
                     {l.sink_pad: l.spec for l in pad_links}, out_spec,
                     out_mode=comp_mode,
                     split_pads=self._comp_split_pads.get(e.name, frozenset()),
+                    fold_overlays=tuple(fold_elems),
                 )
                 st = CompiledStage(e, None, out_spec, False, process)
                 stages.append(st)
@@ -403,6 +420,72 @@ class Pipeline:
                 donate_argnums=(1,))
         self._codec_chain = self._collect_codec_chain(stage_by_elem)
         self._wire_navigation()
+
+    def _plan_overlay_folds(self, link_plan):
+        """Detect `vfcompositor ! (passthroughs) ! vfoverlay` chains whose
+        overlay rect blend can run as a final 'mix' draw of the
+        compositor's own render pass (one pass, like the reference drawing
+        the overlay quad in the same command buffer).  Measured ~6-15%
+        on the 4-pad 4K + overlay config (the overlay's full-canvas
+        read+write round trip disappears).  Returns
+        ({comp_name: [overlay, ...]}, {id(overlay), ...}).
+
+        Fold conditions: RGB output (for YUV outputs the separate overlay
+        mixes after the YUV round trip — different values), the overlay's
+        static rect blend is foldable (image loaded, identity spec), and
+        the compositor can honor the overlay's negotiated downstream
+        boundary layout (split-capable, or the contract is canonical)."""
+        from tpuvf.core.formats import RGB_FORMATS
+        from tpuvf.elements.compositor import Compositor
+        from tpuvf.elements.overlay import Overlay
+
+        folds: Dict[str, list] = {}
+        folded_ids: set = set()
+        for e in self.elements:
+            if not isinstance(e, Compositor):
+                continue
+            outs = self._outgoing(e)
+            if len(outs) != 1 or outs[0].spec is None:
+                continue
+            out_spec = outs[0].spec
+            if out_spec.format not in RGB_FORMATS:
+                continue
+            chain = []
+            node = outs[0].downstream
+            while True:
+                ins, nouts = self._incoming(node), self._outgoing(node)
+                if len(ins) != 1 or len(nouts) != 1:
+                    break
+                i_s, o_s = ins[0].spec, nouts[0].spec
+                if i_s is None or o_s is None:
+                    break
+                if isinstance(node, Overlay):
+                    if not node.fold_into_aggregate_ok(i_s, o_s):
+                        break
+                    chain.append(node)
+                    node = nouts[0].downstream
+                    continue
+                if (getattr(node, "HOST_CODEC", False)
+                        or isinstance(node, (SourceElement, SinkElement))
+                        or not node.is_passthrough(i_s, o_s)):
+                    break
+                node = nouts[0].downstream
+            if not chain:
+                continue
+            # the compositor must be able to emit the LAST overlay's
+            # negotiated boundary layout
+            ov_mode = link_plan.get(chain[-1].name, (False, "full"))[1]
+            if ov_mode != "full":
+                pad_specs = {
+                    l.sink_pad: l.spec for l in self._incoming(e)
+                    if l.spec is not None
+                }
+                if (len(pad_specs) != len(self._incoming(e))
+                        or not e.aggregate_split_ok(pad_specs, out_spec)):
+                    continue
+            folds[e.name] = chain
+            folded_ids.update(id(ov) for ov in chain)
+        return folds, folded_ids
 
     def _wire_navigation(self) -> None:
         """Route navigation events from the videosink upstream, the analog of
