@@ -11,6 +11,13 @@ from __future__ import annotations
 import json
 import sys
 
+import jax
+
+# first compiles through the remote tunnel cost minutes; persist them
+jax.config.update("jax_compilation_cache_dir", "/tmp/tpuvf-tpu-cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 from tpuvf.runtime.benchmark import measure_fps, random_planes_for_spec
 
 
