@@ -204,44 +204,13 @@ class Overlay(Element):
                             static, in_split: bool = False,
                             out_mode: str = "full"):
         w, h = in_spec.width, in_spec.height
-        img = self._image
-        img_h, img_w = img.shape[:2]
 
-        # per-frame position resolution (m:374-420)
-        rel_x = self.props.get("relative-x")
-        rel_y = self.props.get("relative-y")
-        ox = float(rel_x * w) if rel_x >= 0.0 else float(self.props.get("x"))
-        oy = float(rel_y * h) if rel_y >= 0.0 else float(self.props.get("y"))
-        ow = float(self.props.get("width") or img_w)
-        oh = float(self.props.get("height") or img_h)
-
-        # pixel-center rect test: px in [ox, ox+ow), py in [oy, oy+oh).
-        # The covered pixels form a contiguous rect even for fractional
-        # positions, so the blend is a slice update (no full-frame mask).
-        pxs = np.arange(w, dtype=np.float64) + 0.5
-        pys = np.arange(h, dtype=np.float64) + 0.5
-        in_x = (pxs >= ox) & (pxs < ox + ow)
-        in_y = (pys >= oy) & (pys < oy + oh)
-        xs = np.where(in_x)[0]
-        ys = np.where(in_y)[0]
-        rx = slice(int(xs[0]), int(xs[-1]) + 1) if len(xs) else slice(0, 0)
-        ry = slice(int(ys[0]), int(ys[-1]) + 1) if len(ys) else slice(0, 0)
-
-        # overlay UV per output pixel: (px-ox)/ow, (py-oy)/oh; the stretched
-        # overlay is resampled once at build time on the host (the reference
-        # keeps one persistent MTLTexture and lets the fragment sampler
-        # stretch it — same math, amortized)
-        tx = (pxs - ox) / ow
-        ty = (pys - oy) / oh
-        wx = sample.sample_matrix(np.clip(tx, 0.0, 1.0), img_w, sample.LINEAR)
-        wy = sample.sample_matrix(np.clip(ty, 0.0, 1.0), img_h, sample.LINEAR)
-        img_f = img.astype(np.float32) / np.float32(255.0)
-        chans = img_f.transpose(2, 0, 1)  # (4, img_h, img_w)
-        # factored matmuls (a naive 3-operand einsum is O(h*w*ih*iw) scalar
-        # ops — minutes of host time at 4K)
-        ov_np = np.ascontiguousarray(
-            (wy @ chans) @ wx.T
-        ).astype(np.float32)  # (4, h, w), premultiplied rgb
+        # per-frame position resolution + build-time host resample
+        # (m:374-420; shared with the compositor fold path)
+        cfg = self.fold_draw_config(in_spec)
+        rx0, rx1, ry0, ry1 = cfg["rect"]
+        rx, ry = slice(rx0, rx1), slice(ry0, ry1)
+        ov_rect_np = cfg["planes"]  # (4, rh, rw) f32 premultiplied
 
         from tpuvf.core.formats import RGB_FORMATS
         from tpuvf.kernels.color import dequant as _dq
@@ -262,7 +231,7 @@ class Overlay(Element):
             ry0, ry1 = ry.start, ry.stop
             pe0, pe1 = (rx0 + 1) // 2, (rx1 + 1) // 2
             po0, po1 = rx0 // 2, rx1 // 2
-            ov_rect = np.ascontiguousarray(ov_np[:, ry, rx])
+            ov_rect = ov_rect_np
             fetches = {}
             if pe1 > pe0:
                 fetches["e"] = (bufs.add(np.ascontiguousarray(
@@ -315,7 +284,7 @@ class Overlay(Element):
         video_sampler = convert.plan_rgba_sampler(
             in_spec, w, h, bufs, matrix_index=in_spec.matrix_index)
         # only the covered rect of the resampled overlay is needed
-        fetch_ov = bufs.add(np.ascontiguousarray(ov_np[:, ry, rx]), "overlay")
+        fetch_ov = bufs.add(ov_rect_np, "overlay")
         self._buffers = bufs.buffers
 
         # zero-pad the overlay to frame size inside the graph: outside the
