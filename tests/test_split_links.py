@@ -437,3 +437,35 @@ def test_layout_flip_mid_run_resets_stateful_carry():
     assert len(frames) == 6
     for f in frames:
         assert f["y"].shape == (32, 64)
+
+
+def test_two_compositor_variant_combinations(tmp_path):
+    # two variant-capable elements: each gets its own host pick, and the
+    # per-combination steps are cached (animating one compositor must not
+    # drop the other to its general body)
+    s = (
+        "videotestsrc num-buffers=4 pattern=smpte "
+        "! video/x-raw,format=BGRA,width=64,height=48 ! a.sink_0 "
+        "vfmetalcompositor name=a background=black ! b.sink_0 "
+        "videotestsrc num-buffers=4 pattern=ball "
+        "! video/x-raw,format=BGRA,width=32,height=24 ! b.sink_1 "
+        "vfmetalcompositor name=b background=white sink_1::xpos=16 "
+        "! appsink"
+    )
+    p = parse_pipeline(s)
+    p.negotiate()
+    p.build()
+    assert len(p._variant_stages) == 2
+    params = {st.element.name: st.element.traced_params()
+              for st in p._variant_stages}
+    all_fast = p._select_step(params)
+    assert all_fast is p._step_fast
+    # animate compositor b only: a stays on its steady body
+    p["b"].get_pad("sink_1").set("xpos", 17)
+    params2 = {st.element.name: st.element.traced_params()
+               for st in p._variant_stages}
+    mixed = p._select_step(params2)
+    assert mixed is not p._step and mixed is not p._step_fast
+    assert p._select_step(params2) is mixed  # cached
+    p.run()  # end-to-end still runs
+    assert len(p.sinks[0].frames) == 4

@@ -399,27 +399,50 @@ class Pipeline:
         self._step = jax.jit(make_step({}), donate_argnums=(1,))
         # host-selected program variants: an element's process may expose
         # .variants + .variant_select (the compositor's fast/general render
-        # bodies) — both compile ONCE; run() picks per frame on the host,
+        # bodies) — each combination compiles ONCE (first use; the all-fast
+        # combo is the steady state); run() picks per frame on the host,
         # so steady-state frames skip the lax.cond whose branch-output
         # copies cost ~0.3 ms at 4K while animation still recompiles
-        # nothing
-        self._variant_stage = next(
-            (st for st in stages
-             if not st.passthrough and hasattr(st.process, "variants")),
-            None)
+        # nothing.  Multiple variant-capable elements (two compositors in
+        # one graph) each get their own host pick; the per-combination
+        # steps are cached.
+        self._variant_stages = [
+            st for st in stages
+            if not st.passthrough and hasattr(st.process, "variants")
+        ]
+        self._make_step = make_step
+        self._step_cache: Dict[frozenset, object] = {}
+        # legacy single-stage views (tests/introspection)
+        self._variant_stage = (self._variant_stages[0]
+                               if self._variant_stages else None)
         self._step_fast = None
-        if self._variant_stage is not None:
-            vs = self._variant_stage
-            # steady-state body: the cell-partition renderer when available
-            # (one canvas write, no per-draw DUS chain — measured ~20%
-            # faster at 4K than the DUS fold), else the cond-free fast body
-            body = vs.process.variants.get(
-                "cells", vs.process.variants["fast"])
-            self._step_fast = jax.jit(
-                make_step({vs.element.name: body}),
-                donate_argnums=(1,))
+        if self._variant_stages:
+            all_fast = frozenset(
+                st.element.name for st in self._variant_stages)
+            self._step_fast = self._variant_step(all_fast)
         self._codec_chain = self._collect_codec_chain(stage_by_elem)
         self._wire_navigation()
+
+    def _steady_body(self, st):
+        """An element's steady-state render body: the cell-partition
+        renderer when available (one canvas write, no per-draw DUS chain —
+        measured ~20% faster at 4K than the DUS fold), else the cond-free
+        fast body."""
+        return st.process.variants.get("cells", st.process.variants["fast"])
+
+    def _variant_step(self, fast_names: frozenset):
+        """The jitted step with the given elements on their steady-state
+        bodies (compiled once per combination, cached)."""
+        step = self._step_cache.get(fast_names)
+        if step is None:
+            overrides = {
+                st.element.name: self._steady_body(st)
+                for st in self._variant_stages
+                if st.element.name in fast_names
+            }
+            step = jax.jit(self._make_step(overrides), donate_argnums=(1,))
+            self._step_cache[fast_names] = step
+        return step
 
     def _plan_overlay_folds(self, link_plan):
         """Detect `vfcompositor ! (passthroughs) ! vfoverlay` chains whose
@@ -800,6 +823,9 @@ class Pipeline:
         self._step_py = None
         self._step_fast = None
         self._variant_stage = None
+        self._variant_stages = []
+        self._step_cache = {}
+        self._make_step = None
         self._source_split = set()
         self._comp_split_pads = {}
         self._codec_chain = {}
@@ -1012,18 +1038,22 @@ class Pipeline:
                     f"chroma half-rows and the 4-row blur halo)")
 
     def _select_step(self, frame_params):
-        """Pick the jitted program variant for this frame's params (host
-        check; both variants are already compiled)."""
-        vs = getattr(self, "_variant_stage", None)
-        if vs is None or self._step_fast is None:
+        """Pick the jitted program variant combination for this frame's
+        params (host check; each combination compiles once, cached)."""
+        stages = getattr(self, "_variant_stages", None)
+        if not stages:
             return self._step
-        elem_params = frame_params.get(vs.element.name, {})
-        try:
-            if vs.process.variant_select(elem_params) == "fast":
-                return self._step_fast
-        except (KeyError, TypeError):  # pragma: no cover
-            pass
-        return self._step
+        fast = []
+        for st in stages:
+            elem_params = frame_params.get(st.element.name, {})
+            try:
+                if st.process.variant_select(elem_params) == "fast":
+                    fast.append(st.element.name)
+            except (KeyError, TypeError):  # pragma: no cover
+                pass
+        if not fast:
+            return self._step
+        return self._variant_step(frozenset(fast))
 
     def _locate_failure(self, inputs=None, params=None) -> str:
         """Attribute a runtime failure inside the fused program by re-running
