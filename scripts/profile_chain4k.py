@@ -35,21 +35,33 @@ def main():
     step, state0, params = _build_chain(
         in_spec, mid_spec, out_spec,
         {"brightness": 0.05, "contrast": 1.1, "saturation": 1.2})
+    BATCH = 16
     planes = random_planes_for_spec(
-        in_spec, 1, split=getattr(step, "source_split", False))
-    planes = {k: v[0] for k, v in planes.items()}
+        in_spec, BATCH, split=getattr(step, "source_split", False))
     dev = jax.device_put(planes)
     dev_params = jax.device_put(params)
     dev_state = jax.device_put(state0)
 
-    fn = jax.jit(lambda pl_, st, prm: step(pl_, st, prm))
-    for _ in range(4):
-        out, st = fn(dev, dev_state, dev_params)
+    # the REAL throughput form: lax.scan over the batch inside one
+    # dispatch (tpuvf.runtime.benchmark.measure_fps / run_batched)
+    def batched(pl_, st, prm):
+        def body(carry, frame):
+            out, st2 = step(frame, carry, prm)
+            return st2, out
+
+        st2, outs = jax.lax.scan(body, st, pl_)
+        return outs, st2
+
+    fn = jax.jit(batched)
+    for _ in range(3):
+        out, _st = fn(dev, dev_state, dev_params)
     _ = np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0]))[:1]
 
     os.system(f"rm -rf {TRACE_DIR}")
+    global N_FRAMES
+    N_FRAMES = BATCH * 6
     with jax.profiler.trace(TRACE_DIR):
-        for _ in range(N_FRAMES):
+        for _ in range(6):
             out, _st = fn(dev, dev_state, dev_params)
         _ = np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0]))[:1]
 
