@@ -15,6 +15,7 @@ fixed 2-tap stencil — both exact under the sampler math.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -54,7 +55,6 @@ def _shift_edge(img: jnp.ndarray, axis: int, offset: int) -> jnp.ndarray:
     (parallel.spctx): the pad reads the neighbor shard's boundary rows."""
     if offset == 0:
         return img
-    import jax
 
     axis = axis % img.ndim
     n = img.shape[axis]
@@ -182,7 +182,6 @@ def _use_pallas_banded(in_size, axis, filter, scale) -> bool:
     if axis != -2 or filter != LINEAR or scale != 1.0 or in_size % 8 != 0:
         return False
     try:
-        import jax
 
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
@@ -382,7 +381,6 @@ def plan_rgba_sampler_split(in_spec: FrameSpec, filter: str = LINEAR,
             # u16-view deinterleave: one aligned u16 load + mask/shift per
             # column pair instead of two strided u8 loads; the f32 converts
             # are exact so values match dequant(u8) bit-for-bit
-            import jax
 
             y8 = planes["y"]
             w = y8.shape[-1]
@@ -399,14 +397,40 @@ def plan_rgba_sampler_split(in_spec: FrameSpec, filter: str = LINEAR,
             y_o = dequant(yp[..., 1])
 
         def chroma(c8):
+            import os
+
             cf = as_unit_float(c8)
             if filter == LINEAR:
-                # rows: the stack+reshape sublane interleave costs a real
-                # relayout copy (~65 us per 4K chroma plane in the device
-                # trace); the Pallas banded resampler computes the same
-                # 0.25/0.75 taps bit-exactly without one
+                # rows: three formulations of the same 0.25/0.75 taps —
+                #   "pair":   row-pair broadcast-select (..., H/2, 2, W/2)
+                #             + free bitcast reshape: no custom call, no
+                #             sublane-interleave relayout — the whole
+                #             upsample stays inside the consumer fusion
+                #   "pallas": banded manual-DMA kernel (round 2; a custom
+                #             call, which BREAKS the chain fusion into
+                #             extra passes — device trace round 3)
+                #   "xla":    _upsample2x_linear stack+reshape (a ~43-65 us
+                #             relayout copy per 4K plane)
+                # All three are bit-exact; TPUVF_CHROMA_ROWS picks.
+                # Round-3 4K-chain A/B (4 reps, heavy tunnel noise):
+                # pallas median ~3,340 fps, xla ~2,710, pair ~2,420 — the
+                # fusion-break cost of the pallas custom call is smaller
+                # than the select/relayout forms' overhead, so "pallas"
+                # stays the default ("pair" did not deliver the hoped
+                # single-fusion chain; XLA still fragments it).
+                mode = os.environ.get("TPUVF_CHROMA_ROWS", "pallas")
                 ch = cf.shape[-2]
-                if (cf.ndim == 2 and ch % 8 == 0
+                if mode == "pair":
+                    prev_r = _shift_edge(cf, -2, -1)
+                    nxt_r = _shift_edge(cf, -2, +1)
+                    top = 0.25 * prev_r + 0.75 * cf  # even luma rows
+                    bot = 0.75 * cf + 0.25 * nxt_r   # odd luma rows
+                    pair = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 2, 1), 1)
+                    up = jnp.where(pair == 0, top[..., :, None, :],
+                                   bot[..., :, None, :])
+                    cf = up.reshape(cf.shape[:-2] + (2 * ch, cf.shape[-1]))
+                elif (mode == "pallas" and cf.ndim == 2 and ch % 8 == 0
                         and _use_pallas_banded(ch, -2, LINEAR, 1.0)):
                     from tpuvf.kernels.pallas import resample as pres
 
