@@ -155,3 +155,23 @@ def test_run_batched_matches_per_frame():
     for a, b in zip(p1.sinks[0].frames, p2.sinks[0].frames):
         np.testing.assert_array_equal(a["y"], b["y"])
         np.testing.assert_array_equal(a["uv"], b["uv"])
+
+
+def test_run_batched_error_reports_element():
+    """run_batched failures attribute like run(): stage failures name the
+    element, unreproducible dispatch failures say '<pipeline>'."""
+    from tpuvf.runtime.observability import PipelineError
+
+    pipe = parse_pipeline(
+        SRC64.format(fmt="BGRA") + "! vfmetalvideofilter gamma=0.5 ! appsink")
+    pipe.negotiate()
+    pipe.build()
+    stage = next(s for s in pipe._stages if not s.passthrough)
+
+    def stage_boom(*a, **k):
+        raise RuntimeError("kernel failure")
+
+    stage.process = stage_boom
+    with pytest.raises(PipelineError) as ei:
+        pipe.run_batched(4, batch_size=2)
+    assert "videofilter" in str(ei.value)

@@ -1213,12 +1213,30 @@ class Pipeline:
                     k: np.stack([m[k] for m in metas] + [metas[-1][k]] * pad)
                     for k in metas[0]
                 }
-            if dp_run is not None:
-                outs, dp_state = dp_run(stacked, dp_state, tiled=dp_tiled)
-                dp_tiled = True
-            else:
-                stacked = jax.device_put(stacked)
-                outs, state = batch_fn(stacked, state, dev_params)
+            try:
+                if dp_run is not None:
+                    outs, dp_state = dp_run(stacked, dp_state,
+                                            tiled=dp_tiled)
+                    dp_tiled = True
+                else:
+                    stacked = jax.device_put(stacked)
+                    outs, state = batch_fn(stacked, state, dev_params)
+            except _StageFailure as sf:
+                raise PipelineError(sf.element_name, done, sf.cause) from sf
+            except Exception as exc:
+                # attribute via the eager bisect on the batch's FIRST frame
+                # (the same failure-location path run() uses)
+                first = {
+                    name: {
+                        k: (jax.tree_util.tree_map(lambda v: v[0], v)
+                            if k == "__meta__" else np.asarray(v)[0])
+                        for k, v in d.items()
+                    }
+                    for name, d in stacked.items()
+                }
+                raise PipelineError(
+                    self._locate_failure(first, self.params()), done, exc
+                ) from exc
             if sinks:
                 host = jax.tree_util.tree_map(np.asarray, outs)
                 for i in range(n):
