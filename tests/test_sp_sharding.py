@@ -144,6 +144,31 @@ def test_sp_convertscale_identity_conversion_bit_exact():
         assert_frames_equal(a, b)
 
 
+def test_sp_overlay_chain_bit_exact(tmp_path):
+    """The overlay's rect blend under row sharding: the padded full-frame
+    fields slice to each shard's rows (spctx.shard_rows) — including a
+    rect that straddles shard boundaries."""
+    require_devices(8)
+    import tpuvf.io.png as pngio
+
+    img = np.zeros((20, 24, 4), np.uint8)
+    img[..., 0] = 230
+    img[..., 3] = 150
+    ov = str(tmp_path / "ov.png")
+    pngio.write(ov, img)
+    for fmt in ("BGRA", "NV12"):
+        desc = (
+            "videotestsrc num-buffers=2 pattern=smpte "
+            f"! video/x-raw,format={fmt},width=64,height=64 "
+            f"! vfmetaloverlay location={ov} x=10 y=20 alpha=0.7 "
+            "! appsink"
+        )
+        plain = _run_plain(desc, 2)
+        sp = _run_sp(desc, 2, {"dp": 2, "sp": 4})
+        for a, b in zip(sp, plain):
+            assert_frames_equal(a, b)
+
+
 def test_sp_grain_within_tolerance():
     """The grain hash is FMA-chaotic across program shapes (CLAUDE.md):
     compare with the repo's tolerance + outlier allowance, not equality."""

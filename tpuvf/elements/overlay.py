@@ -149,6 +149,19 @@ class Overlay(Element):
     def split_output_ok(self, in_spec, out_spec):
         return self._phase_capable(in_spec, out_spec)
 
+    def sp_row_shardable(self, in_spec, out_spec):
+        """The rect blend is row-local: the padded full-frame overlay
+        fields slice down to each shard's rows (spctx.shard_rows); the
+        4:2:0 sampler's chroma row-upsample is halo-aware."""
+        from tpuvf.core.formats import RGB_FORMATS
+
+        self._sync_image()
+        if self._image is None or in_spec.format != out_spec.format:
+            return False
+        if in_spec.format in RGB_FORMATS:
+            return True
+        return self._phase_capable(in_spec, out_spec)
+
     # -- fold into an upstream compositor (one render pass, like the
     #    reference drawing the overlay quad in the same command buffer) ----
 
@@ -266,14 +279,22 @@ class Overlay(Element):
                          "packed16": "packed16"}[out_mode]
 
             def process_split(planes, state, params):
+                from tpuvf.parallel import spctx
+
                 ch_e, ch_o = reader(planes, params)
                 chans = {"e": list(ch_e), "o": list(ch_o)}
+                rows_local = chans["e"][0].shape[-2]
                 for ph, (fetch, pad_hw) in fetches.items():
                     ov = jnp.asarray(fetch(params))
-                    a = jnp.pad(ov[3] * params["alpha"], pad_hw)
+                    # under spatial row sharding the padded full-height
+                    # field slices down to THIS shard's rows (spctx; the
+                    # pad+slice fuses, nothing full-height materializes)
+                    a = spctx.shard_rows(
+                        jnp.pad(ov[3] * params["alpha"], pad_hw), rows_local)
                     for c in range(3):
-                        chans[ph][c] = (chans[ph][c] * (1.0 - a)
-                                        + jnp.pad(ov[c], pad_hw) * a)
+                        ovc = spctx.shard_rows(
+                            jnp.pad(ov[c], pad_hw), rows_local)
+                        chans[ph][c] = (chans[ph][c] * (1.0 - a) + ovc * a)
                 out = convert.pack_rgba_split(
                     tuple(chans["e"]), tuple(chans["o"]),
                     out_spec.format, matrix_out, mode=pack_mode)
@@ -296,11 +317,15 @@ class Overlay(Element):
         pad_hw = ((ry.start, h - ry.stop), (rx.start, w - rx.stop))
 
         def process(planes, state, params):
+            from tpuvf.parallel import spctx
+
             chans = list(video_sampler.tuple(planes, params))
+            rows_local = chans[0].shape[-2]
             ov = jnp.asarray(fetch_ov(params))
-            a = jnp.pad(ov[3] * params["alpha"], pad_hw)
+            a = spctx.shard_rows(
+                jnp.pad(ov[3] * params["alpha"], pad_hw), rows_local)
             for c in range(3):
-                ovc = jnp.pad(ov[c], pad_hw)
+                ovc = spctx.shard_rows(jnp.pad(ov[c], pad_hw), rows_local)
                 chans[c] = chans[c] * (1.0 - a) + ovc * a
             return convert.pack_rgba_t(tuple(chans), out_spec.format,
                                        matrix_out), state

@@ -103,6 +103,22 @@ def pad_rows_edge(x: jnp.ndarray, lo: int, hi: int) -> jnp.ndarray:
     return jnp.pad(x, pad, mode="edge")
 
 
+def shard_rows(x: jnp.ndarray, local_rows: int) -> jnp.ndarray:
+    """Slice THIS shard's rows out of a replicated full-height array
+    (axis -2) — for build-time full-frame fields (the overlay's padded
+    rect planes) consumed by row-sharded compute.  No-op without an
+    active axis or when the array is already local-sized; under an
+    active axis, rows [axis_index*local_rows, +local_rows).  XLA fuses
+    the slice into the surrounding pad/elementwise expression, so the
+    full-height intermediate is never materialized per shard."""
+    axis_name = _STATE["axis"]
+    if axis_name is None or x.shape[-2] == local_rows:
+        return x
+    idx = jax.lax.axis_index(axis_name)
+    start = idx * np.int32(local_rows)
+    return jax.lax.dynamic_slice_in_dim(x, start, local_rows, axis=-2)
+
+
 def global_rows(local_rows: int, global_rows_total: int) -> jnp.ndarray:
     """f32 GLOBAL row indices of the local plane rows (for row-coordinate
     fields: vignette falloff, grain hash).  Without an active axis (or when
