@@ -987,6 +987,12 @@ class Compositor(Element):
 
         process.variants = {"general": process, "fast": process_fast}
         if split_out:
+            # cells wins ONLY where draws are identity (the split path's
+            # guarantee): with scaled matmul-sampled draws, per-cell source
+            # slicing makes the sampled sources materialize — measured 2x
+            # SLOWER on the interleaved path (1,144-1,197 vs 2,169-2,873
+            # fps, round-3 A/B with a 960x540-scaled pad at 4K), so the
+            # full path keeps the DUS body.
             def process_cells(pad_inputs, state, params):
                 return process_impl(pad_inputs, state, params,
                                     force_fast=True, cells=True)
