@@ -300,9 +300,6 @@ class Pipeline:
             if st.passthrough:
                 _log.debug("element %s: passthrough (elided)", st.element.name)
 
-        elem_inputs = {}  # element id -> list of (key-fn producing planes)
-        src_names = [s.name for s in self.sources]
-
         # Build a closure evaluating the DAG on device values.
         incoming = {id(e): self._incoming(e) for e in self.elements}
         stage_by_elem = {id(s.element): s for s in stages}
