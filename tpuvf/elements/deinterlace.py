@@ -106,9 +106,14 @@ class Deinterlace(Element):
 
     def init_state(self, in_spec, out_spec):
         if getattr(self, "_linked_phase", False):
-            half = np.zeros(
-                (4, in_spec.height, in_spec.width // 2), np.uint8)
-            return {"prev_e": half, "prev_o": half.copy(),
+            # per-channel planes (tuple pytree): stacking to (4, H, W/2)
+            # u8 cost a relayout copy on BOTH sides of the state boundary
+            # every frame (~36 us/frame of reshapes in the config-4 device
+            # trace — scripts/profile_config.py deinterlace)
+            plane = lambda: np.zeros(
+                (in_spec.height, in_spec.width // 2), np.uint8)
+            return {"prev_e": tuple(plane() for _ in range(4)),
+                    "prev_o": tuple(plane() for _ in range(4)),
                     "has_prev": np.bool_(False)}
         return {
             "prev": np.zeros((4, in_spec.height, in_spec.width), np.uint8),
@@ -195,18 +200,16 @@ class Deinterlace(Element):
             cur_q_o = tuple(quant(c) for c in ch_o)
             cur_e = tuple(dequant(c) for c in cur_q_e)
             cur_o = tuple(dequant(c) for c in cur_q_o)
-            prev_e = tuple(dequant(state["prev_e"][..., c, :, :])
-                           for c in range(4))
-            prev_o = tuple(dequant(state["prev_o"][..., c, :, :])
-                           for c in range(4))
+            prev_e = tuple(dequant(p) for p in state["prev_e"])
+            prev_o = tuple(dequant(p) for p in state["prev_o"])
             has_prev = state["has_prev"]
             out_e = run_method(cur_e, prev_e, has_prev, tff, params)
             out_o = run_method(cur_o, prev_o, has_prev, tff, params)
             out = convert.pack_rgba_split(
                 out_e, out_o, out_spec.format, matrix_out, mode=pack_mode)
             new_state = {
-                "prev_e": jnp.stack(cur_q_e, axis=-3),
-                "prev_o": jnp.stack(cur_q_o, axis=-3),
+                "prev_e": cur_q_e,
+                "prev_o": cur_q_o,
                 "has_prev": jnp.asarray(True),
             }
             return out, new_state
