@@ -14,8 +14,10 @@ Rebuild of vfmetaldeinterlace (/root/reference/src/deinterlace/):
   has-prev flag is traced state so the fallback needs no recompile
 - no passthrough mode
 
-State = {prev: (4,H,W) uint8 RGBA of the previous input, has_prev: bool} —
-explicitly carried, scan-friendly.
+State = {prev: 4-tuple of (H,W) uint8 planes of the previous input,
+has_prev: bool} — explicitly carried, scan-friendly; channels stay
+SEPARATE planes (a (4,H,W) u8 stack cost a relayout copy on both sides of
+the state boundary every frame — ~30% of the config-4 frame time).
 """
 
 from __future__ import annotations
@@ -115,8 +117,10 @@ class Deinterlace(Element):
             return {"prev_e": tuple(plane() for _ in range(4)),
                     "prev_o": tuple(plane() for _ in range(4)),
                     "has_prev": np.bool_(False)}
+        plane = lambda: np.zeros(
+            (in_spec.height, in_spec.width), np.uint8)
         return {
-            "prev": np.zeros((4, in_spec.height, in_spec.width), np.uint8),
+            "prev": tuple(plane() for _ in range(4)),
             "has_prev": np.bool_(False),
         }
 
@@ -253,8 +257,7 @@ class Deinterlace(Element):
             chans = sampler.tuple(planes, params)
             cur_q_t = tuple(quant(c) for c in chans)
             cur_t = tuple(dequant(c) for c in cur_q_t)
-            prev_q = state["prev"]
-            prev_t = tuple(dequant(prev_q[..., c, :, :]) for c in range(4))
+            prev_t = tuple(dequant(p) for p in state["prev"])
             has_prev = state["has_prev"]
 
             if method == METHOD_BOB:
@@ -275,8 +278,10 @@ class Deinterlace(Element):
 
             out = convert.pack_rgba_t(out_t, out_spec.format, matrix_out)
             new_state = {
-                # blit input -> prevFrame (m:394-405); uint8 stack is cheap
-                "prev": jnp.stack(cur_q_t, axis=-3),
+                # blit input -> prevFrame (m:394-405); per-channel planes —
+                # the u8 channel stack cost a relayout both sides (same
+                # finding as the split path, ~30% of the config-4 frame)
+                "prev": cur_q_t,
                 "has_prev": jnp.asarray(True),
             }
             return out, new_state
