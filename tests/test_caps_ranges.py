@@ -170,3 +170,12 @@ def test_compositor_fixates_against_ranges():
     p.build()
     p.run()
     assert p.sinks[0].frames[0].shape == (96, 128, 4)
+
+
+def test_fraction_ordering_by_value():
+    # regression: dataclass order=True compared (num, den) field-wise,
+    # ranking 3/2 above 2/1
+    assert Fraction(3, 2) < Fraction(2, 1)
+    assert Fraction(30000, 1001) < Fraction(30, 1)
+    assert max([Fraction(24, 1), Fraction(30000, 1001), Fraction(25, 1)]) \
+        == Fraction(30000, 1001)

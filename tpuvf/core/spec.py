@@ -21,12 +21,27 @@ from tpuvf.core.formats import (
 )
 
 
-@dataclass(frozen=True, order=True)
+@dataclass(frozen=True)
 class Fraction:
-    """Exact rational, always stored reduced with positive denominator."""
+    """Exact rational, always stored reduced with positive denominator.
+
+    Ordering is by VALUE (num*other.den cross products) — a field-wise
+    dataclass order would rank 3/2 above 2/1."""
 
     num: int
     den: int = 1
+
+    def __lt__(self, other: "Fraction") -> bool:
+        return self.num * other.den < other.num * self.den
+
+    def __le__(self, other: "Fraction") -> bool:
+        return self.num * other.den <= other.num * self.den
+
+    def __gt__(self, other: "Fraction") -> bool:
+        return other.__lt__(self)
+
+    def __ge__(self, other: "Fraction") -> bool:
+        return other.__le__(self)
 
     def __post_init__(self):
         if self.den == 0:
