@@ -118,3 +118,36 @@ def test_single_branch_tee_is_passthrough():
         "! tee ! appsink name=a"
     )
     assert len(p["a"].frames) == 1
+
+
+def test_tee_run_batched_on_mesh():
+    """Multi-sink output pytrees shard over dp (the per-sink dict rides
+    through parallel_batch_fn's structure-aware specs)."""
+    import jax
+    from tpuvf.parallel import mesh as pmesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    desc = (
+        "videotestsrc num-buffers=8 pattern=ball "
+        "! video/x-raw,format=NV12,width=64,height=48 "
+        "! vfmetalvideofilter contrast=1.3 ! tee name=t "
+        "t. ! appsink name=a t. ! vfmetalconvertscale "
+        "! video/x-raw,format=BGRA ! appsink name=b"
+    )
+    p = parse_pipeline(desc)
+    p.negotiate()
+    p.build()
+    m = pmesh.make_mesh({"dp": 4})
+    assert p.run_batched(8, batch_size=8, mesh=m) == 8
+    plain = parse_pipeline(desc)
+    plain.negotiate()
+    plain.build()
+    plain.run_batched(8, batch_size=8)
+    for sk in ("a", "b"):
+        for fa, fb in zip(p[sk].frames, plain[sk].frames):
+            if isinstance(fa, dict):
+                for k in fa:
+                    np.testing.assert_array_equal(fa[k], fb[k])
+            else:
+                np.testing.assert_array_equal(fa, fb)
