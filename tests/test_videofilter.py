@@ -295,3 +295,64 @@ def test_tiny_frame_160x120():
         "videotestsrc num-buffers=2 ! video/x-raw,format=NV12,width=160,height=120 "
         "! vfmetalvideofilter brightness=0.2 sharpness=0.5 ! fakesink",
         quiet=True) == 2
+
+
+# -- randomized property-combination parity fuzz ----------------------------
+
+@pytest.mark.parametrize("seed", range(20))
+def test_golden_random_prop_combos(seed):
+    """Random prop subsets at random in-range values vs the oracle — the
+    per-prop goldens can miss op-ORDER interactions; combinations can't."""
+    rng = np.random.default_rng(1000 + seed)
+    fmt = ["RGBA", "BGRA", "NV12", "I420"][rng.integers(4)]
+    w, h = [(48, 32), (37, 23), (33, 34)][rng.integers(3)]
+    props, u = {}, dict(DEFAULT_U)
+    sharp = 0.0
+
+    def maybe(p):
+        return rng.random() < p
+
+    if maybe(0.7):
+        v = float(rng.uniform(-1, 1))
+        props["brightness"] = v; u["brightness"] = v
+    if maybe(0.7):
+        v = float(rng.uniform(0, 2))
+        props["contrast"] = v; u["contrast"] = v
+    if maybe(0.7):
+        v = float(rng.uniform(0, 2))
+        props["saturation"] = v; u["saturation"] = v
+    if maybe(0.5):
+        v = float(rng.uniform(-1, 1))
+        props["hue"] = v; u["hue"] = v * np.pi
+    if maybe(0.5):
+        v = float(rng.uniform(0.2, 5.0))
+        props["gamma"] = v; u["gamma"] = v
+    if maybe(0.4):
+        v = float(rng.uniform(0, 1))
+        props["sepia"] = v; u["sepia"] = v
+    if maybe(0.3):
+        props["invert"] = True; u["invert"] = True
+    if maybe(0.4):
+        v = float(rng.uniform(0, 1))
+        props["vignette"] = v; u["vignette"] = v
+    if maybe(0.3):
+        key = int(rng.integers(0, 2**24)) | 0xFF000000
+        tol_ = float(rng.uniform(0, 1)); sm = float(rng.uniform(0, 1))
+        props.update({"chroma-key-enabled": True, "chroma-key-color": key,
+                      "chroma-key-tolerance": tol_,
+                      "chroma-key-smoothness": sm})
+        u.update({"chroma_key_enabled": True,
+                  "key_r": ((key >> 16) & 0xFF) / 255.0,
+                  "key_g": ((key >> 8) & 0xFF) / 255.0,
+                  "key_b": (key & 0xFF) / 255.0,
+                  "key_tolerance": tol_, "key_smoothness": sm})
+    if maybe(0.4):
+        sharp = float(rng.uniform(-1, 1))
+        if abs(sharp) < 0.01:
+            sharp = 0.3
+        props["sharpness"] = sharp
+
+    got, in_planes, _ = _run_filter(fmt, w, h, props)
+    want = _oracle_filter(in_planes, fmt, w, h, u, sharpness=sharp)
+    assert_planes_close(got, want, tol=2,
+                        context=f"random combo seed={seed} {fmt} {props}")
