@@ -17,6 +17,13 @@ SUITES=(
   "core:tests/test_core.py tests/test_schemas.py"
   "sources+observability:tests/test_sources_observability.py"
   "pallas:tests/test_pallas_kernels.py"
+  "split-links:tests/test_split_links.py"
+  "cross-validation:tests/test_cross_validation.py"
+  "sp-sharding:tests/test_sp_sharding.py"
+  "tee:tests/test_tee.py"
+  "caps-ranges:tests/test_caps_ranges.py"
+  "overlay-fold:tests/test_overlay_fold.py"
+  "fuzz:tests/test_fuzz_pipelines.py"
 )
 
 pass=0; fail=0; failed=()
