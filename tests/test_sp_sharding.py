@@ -264,3 +264,71 @@ def test_sp_axis_unknown_rejected():
     m = pmesh.make_mesh({"dp": 8})
     with pytest.raises(ValueError, match="sp_axis"):
         p.run_batched(8, batch_size=8, mesh=m, sp_axis="sp")
+
+
+COMP_SP = (
+    "videotestsrc num-buffers={n} pattern=smpte "
+    "! video/x-raw,format=BGRA,width=128,height=64 ! c.sink_0 "
+    "videotestsrc num-buffers={n} pattern=ball "
+    "! video/x-raw,format=NV12,width=38,height=24 ! c.sink_1 "
+    "vfmetalcompositor name=c background=black sink_1::xpos=89 "
+    "sink_1::ypos=17 sink_1::alpha=0.8 {tail} ! appsink"
+)
+
+
+@pytest.mark.parametrize("tail", [
+    "! video/x-raw,format=BGRA",
+    "! video/x-raw,format=BGRA ! vfmetalvideofilter sharpness=0.5",
+])
+def test_sp_compositor_bit_exact(tail):
+    """Compositor under sp row sharding: pad branches replicate, the
+    canvas row-shards with masked draws (render_masked) — bit-exact vs
+    the unsharded run, incl. an odd-size pad whose rect straddles shard
+    boundaries and a downstream sharded stencil."""
+    require_devices(8)
+    desc = COMP_SP.format(n=2, tail=tail)
+    plain = _run_plain(desc, 2)
+    sp = _run_sp(desc, 2, {"dp": 2, "sp": 4})
+    assert len(sp) == len(plain) == 2
+    for a, b in zip(sp, plain):
+        assert_frames_equal(a, b)
+
+
+def test_sp_compositor_with_overlay_fold(tmp_path):
+    """The folded overlay's mix also row-shards (pad+shard_rows in the
+    masked body)."""
+    require_devices(8)
+    import tpuvf.io.png as pngio
+
+    img = np.zeros((10, 14, 4), np.uint8)
+    img[..., 0] = 255
+    img[..., 3] = 128
+    ov = str(tmp_path / "ov.png")
+    pngio.write(ov, img)
+    desc = (
+        "videotestsrc num-buffers=2 pattern=smpte "
+        "! video/x-raw,format=BGRA,width=64,height=64 ! c.sink_0 "
+        "vfmetalcompositor name=c background=white "
+        f"! vfmetaloverlay location={ov} x=20 y=28 ! appsink"
+    )
+    plain = _run_plain(desc, 2)
+    sp = _run_sp(desc, 2, {"dp": 2, "sp": 4})
+    for a, b in zip(sp, plain):
+        assert_frames_equal(a, b)
+
+
+def test_sp_rejects_branch_conflict(tmp_path):
+    """A branch feeding BOTH a compositor pad and its own sink cannot
+    row-shard (replicated vs sharded conflict)."""
+    require_devices(8)
+    p = parse_pipeline(
+        "videotestsrc num-buffers=2 "
+        "! video/x-raw,format=BGRA,width=64,height=64 ! tee name=t "
+        "t. ! identity ! c.sink_0 t. ! appsink name=side "
+        "vfmetalcompositor name=c ! appsink name=main"
+    )
+    p.negotiate()
+    p.build()
+    m = pmesh.make_mesh({"dp": 2, "sp": 4})
+    with pytest.raises(ValueError, match="row-shard"):
+        p.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")

@@ -311,6 +311,13 @@ class Compositor(Element):
         aggregate_split_ok with pad specs instead."""
         return False
 
+    def sp_row_shardable(self, in_spec, out_spec):
+        """The masked sp render body handles any BAKED geometry on the
+        row-sharded canvas: draws become pad-to-canvas + shard_rows +
+        global-row/col rect masks.  Pad INPUT branches enter replicated
+        (the pipeline's sp plan), so pad heights need no divisibility."""
+        return True
+
     def edge_packed16_ok(self) -> bool:
         """The canvas is u8 phases; a u16-word edge would be a pure
         u8->u16 relayout (the slow path) — keep the canonical edge."""
@@ -643,6 +650,157 @@ class Compositor(Element):
                                 quant(v * (1.0 - a) + ov[c] * a))
                 return dst_e, dst_o
 
+            def _fold_sp(dst_like, fetch_pads, rows_local):
+                """Folded overlay mixes on row-sharded canvas planes:
+                pad-to-canvas + shard_rows; outside the rect alpha == 0
+                makes the mix (and its re-quantize) an exact identity, so
+                no rect mask is needed (the overlay element's own
+                semantics)."""
+                from tpuvf.parallel import spctx
+
+                for fd, pads_of in fetch_pads:
+                    alpha = params[f"fold.{fd['name']}.alpha"]
+                    for dstl, ph in pads_of(fd):
+                        if ph is None:
+                            continue
+                        fetch, padding = ph
+                        ov = jnp.asarray(fetch(params))
+                        a = spctx.shard_rows(
+                            jnp.pad(ov[3] * alpha, padding), rows_local)
+                        for c in range(3):
+                            ovc = spctx.shard_rows(
+                                jnp.pad(ov[c], padding), rows_local)
+                            v = dequant(dstl[c])
+                            dstl[c] = quant(v * (1.0 - a) + ovc * a)
+                return dst_like
+
+            def render_masked(_):
+                """Row-sharded (sp) render body: each draw becomes a
+                full-canvas masked blend — zero-pad the source to canvas
+                size, slice THIS shard's rows (spctx.shard_rows; the
+                pad+slice fuses), and select inside the global-row/col
+                rect mask with the RGBA8 quantize applied only in-rect.
+                Rect DUS offsets are global rows, which a row shard cannot
+                address directly; masks can.  BAKED geometry only (the
+                runtime picks the steady-state variant under sp)."""
+                from tpuvf.parallel import spctx
+
+                n = spctx.axis_size()
+                rows_local = out_h // n
+                grow = spctx.global_rows(rows_local, out_h)
+                zero = jnp.zeros((), jnp.uint8)
+                bg = jnp.asarray(fetch_bg(params))
+                dst = [spctx.shard_rows(
+                    jnp.where(bg_drawn > 0, bg[c], zero), rows_local)
+                    for c in range(4)]
+                cols = np.arange(out_w, dtype=np.float32)
+                for p in prep:
+                    r = _baked_rect(p)
+                    if r is None:
+                        continue
+                    xb, yb, vx0, vy0, vx1, vy1 = r
+                    src_p = sample_draw(p)
+                    sy = slice(vy0 - yb, vy1 - yb)
+                    sx = slice(vx0 - xb, vx1 - xb)
+                    pads = ((vy0, out_h - vy1), (vx0, out_w - vx1))
+
+                    def place(pl, sy=sy, sx=sx, pads=pads,
+                              rows_local=rows_local):
+                        return spctx.shard_rows(
+                            jnp.pad(pl[sy, sx], pads), rows_local)
+
+                    a_v = place(src_p[3])
+                    in_rect = ((grow[:, None] >= vy0) & (grow[:, None] < vy1)
+                               & (cols[None, :] >= vx0)
+                               & (cols[None, :] < vx1))
+                    op = p["d"]["baked_op"]
+                    for c in range(4):
+                        s_v = place(src_p[c])
+                        blended = _blend_static(
+                            op, p["draw"], s_v, dequant(dst[c]), a_v)
+                        dst[c] = jnp.where(in_rect, quant(blended), dst[c])
+                return _fold_sp(
+                    dst,
+                    [(fd, lambda fd: [(dst, (fd["fetch"], (
+                        (fd["rect"][2], out_h - fd["rect"][3]),
+                        (fd["rect"][0], out_w - fd["rect"][1]))))])
+                     for fd in fold_draws],
+                    rows_local)
+
+            def render_masked_split(_):
+                """Column-phase variant of render_masked (split canvases
+                under sp row sharding)."""
+                from tpuvf.parallel import spctx
+
+                n = spctx.axis_size()
+                rows_local = out_h // n
+                grow = spctx.global_rows(rows_local, out_h)
+                wp = out_w // 2
+                zero = jnp.zeros((), jnp.uint8)
+                bg_e = jnp.asarray(fetch_bg_e(params))
+                bg_o = jnp.asarray(fetch_bg_o(params))
+                dst_e = [spctx.shard_rows(
+                    jnp.where(bg_drawn > 0, bg_e[c], zero), rows_local)
+                    for c in range(4)]
+                dst_o = [spctx.shard_rows(
+                    jnp.where(bg_drawn > 0, bg_o[c], zero), rows_local)
+                    for c in range(4)]
+                pcols = np.arange(wp, dtype=np.float32)
+                for p in prep:
+                    r = _baked_rect(p)
+                    if r is None:
+                        continue
+                    x, y, vx0, vy0, vx1, vy1 = r
+                    se, so = sample_draw_split(p)
+                    sy = slice(vy0 - y, vy1 - y)
+                    ce0, ce1 = (vx0 + 1) // 2, (vx1 + 1) // 2
+                    co0, co1 = vx0 // 2, vx1 // 2
+                    off_ceil = (x + (x & 1)) // 2
+                    off_floor = x // 2
+                    phases = (
+                        (dst_e, se if x % 2 == 0 else so, ce0, ce1, off_ceil),
+                        (dst_o, so if x % 2 == 0 else se, co0, co1, off_floor),
+                    )
+                    op = p["d"]["baked_op"]
+                    for dstl, src_ph, c0, c1, off in phases:
+                        if c1 - c0 <= 0:
+                            continue
+                        sx = slice(c0 - off, c1 - off)
+                        pads = ((vy0, out_h - vy1), (c0, wp - c1))
+
+                        def place(pl, sy=sy, sx=sx, pads=pads,
+                                  rows_local=rows_local):
+                            return spctx.shard_rows(
+                                jnp.pad(pl[sy, sx], pads), rows_local)
+
+                        a_v = place(src_ph[3])
+                        in_rect = ((grow[:, None] >= vy0)
+                                   & (grow[:, None] < vy1)
+                                   & (pcols[None, :] >= c0)
+                                   & (pcols[None, :] < c1))
+                        for c in range(4):
+                            s_v = place(src_ph[c])
+                            blended = _blend_static(
+                                op, p["draw"], s_v, dequant(dstl[c]), a_v)
+                            dstl[c] = jnp.where(
+                                in_rect, quant(blended), dstl[c])
+
+                def pads_of(fd):
+                    out = []
+                    fy0, fy1 = fd["rect"][2], fd["rect"][3]
+                    for dstl, ph in ((dst_e, fd["e"]), (dst_o, fd["o"])):
+                        if ph is None:
+                            out.append((dstl, None))
+                            continue
+                        fetch, c0, c1 = ph
+                        out.append((dstl, (fetch, ((fy0, out_h - fy1),
+                                                   (c0, wp - c1)))))
+                    return out
+
+                _fold_sp(dst_e, [(fd, pads_of) for fd in fold_draws],
+                         rows_local)
+                return dst_e, dst_o
+
             def render_fast(_):
                 """Static body specialized to the BAKED positions and
                 operators (the cond guarantees they equal the traced values
@@ -947,11 +1105,23 @@ class Compositor(Element):
                             & (p["y"] == d["baked_y"])
                             & (pad_param(params, d["pad"].name, "operator")
                                == d["baked_op"]))
+            from tpuvf.parallel import spctx as _spctx
+
+            sp_live = (_spctx.active_axis() is not None
+                       and _spctx.axis_size() > 1)
             if split_out:
-                body = render_cells_split if cells else render_fast_split
+                body = (render_masked_split if sp_live
+                        else render_cells_split if cells
+                        else render_fast_split)
                 fast = lambda _: emit_phases(*body(0))
             else:
-                fast = lambda _: emit_full(render_fast(0))
+                body = render_masked if sp_live else render_fast
+                fast = lambda _: emit_full(body(0))
+            if sp_live and not force_fast:
+                raise NotImplementedError(
+                    "animating compositor geometry under spatial (sp) row "
+                    "sharding is unsupported — run with dp only, or keep "
+                    "pad geometry at its built values")
             if force_fast:
                 # fast-only variant: the runtime guarantees the traced
                 # geometry equals the baked values (variant_select), so the

@@ -69,7 +69,9 @@ def shard_batch(planes: Dict, mesh, dp_axis="dp", sp_axis=None) -> Dict:
     return {k: jax.device_put(v, sh) for k, v in planes.items()}
 
 
-def parallel_batch_fn(step, mesh, params, dp_axis="dp", sp_axis=None):
+def parallel_batch_fn(step, mesh, params, dp_axis="dp", sp_axis=None,
+                      replicated_inputs=frozenset(),
+                      replicated_state=frozenset()):
     """Data(+spatial)-parallel batch execution: shard_map over the dp axis
     (each shard runs a *local* lax.scan over its sub-batch — scanning a
     dp-sharded axis directly would serialize across chips) and, with
@@ -107,7 +109,17 @@ def parallel_batch_fn(step, mesh, params, dp_axis="dp", sp_axis=None):
             return P(*elems)
         return P(dp_axis)
 
-    def tree_specs(tree) -> object:
+    def tree_specs(tree, replicated_keys=frozenset()) -> object:
+        """Per-leaf specs; top-level dict keys in `replicated_keys` (the
+        pipeline's aggregator-feeding branches) stay dp-only — every sp
+        shard holds those branches' full rows."""
+        if isinstance(tree, dict) and replicated_keys:
+            return {
+                k: jax.tree_util.tree_map(
+                    lambda x: P(dp_axis) if k in replicated_keys
+                    else leaf_spec(np.ndim(x)), v)
+                for k, v in tree.items()
+            }
         return jax.tree_util.tree_map(lambda x: leaf_spec(np.ndim(x)), tree)
 
     _compiled = {}
@@ -123,7 +135,8 @@ def parallel_batch_fn(step, mesh, params, dp_axis="dp", sp_axis=None):
         hit = _compiled.get(key)
         if hit is not None:
             return hit
-        in_specs = (tree_specs(planes), tree_specs(state_tiled), P())
+        in_specs = (tree_specs(planes, replicated_inputs),
+                    tree_specs(state_tiled, replicated_state), P())
         # output structure (for out_specs) from an abstract trace of the
         # scanned step — same leaf rule as the inputs
         def scanned(pl, st_t, prm):
@@ -165,17 +178,20 @@ def parallel_batch_fn(step, mesh, params, dp_axis="dp", sp_axis=None):
             state,
         )
 
-    def put(tree):
-        return jax.tree_util.tree_map(
-            lambda x: jax.device_put(
-                x, NamedSharding(mesh, leaf_spec(np.ndim(x)))),
-            tree,
-        )
+    def put(tree, replicated_keys=frozenset()):
+        specs = tree_specs(tree, replicated_keys)
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        spec_leaves = jax.tree_util.tree_leaves(
+            specs, is_leaf=lambda s: isinstance(s, P))
+        return jax.tree_util.tree_unflatten(treedef, [
+            jax.device_put(x, NamedSharding(mesh, s))
+            for x, s in zip(leaves, spec_leaves)
+        ])
 
     def run(planes, state, tiled=False):
-        dev = put(planes)
+        dev = put(planes, replicated_inputs)
         st = state if tiled else tile_state(state)
-        dev_state = put(st)
+        dev_state = put(st, replicated_state)
         dev_params = jax.device_put(params, replicated(mesh))
         fn = get_fn(planes, st)
         with mesh:

@@ -51,6 +51,15 @@ def active_axis() -> Optional[str]:
     return _STATE["axis"]
 
 
+def axis_size() -> int:
+    """Number of row shards (1 when no spatial axis is active).  Static
+    under shard_map tracing."""
+    axis_name = _STATE["axis"]
+    if axis_name is None:
+        return 1
+    return jax.lax.axis_size(axis_name)
+
+
 def pad_rows_halo(x: jnp.ndarray, lo: int, hi: int) -> jnp.ndarray:
     """(..., R, W) -> (..., lo+R+hi, W) with shard-correct edge semantics:
     interior shard boundaries receive the neighbor's boundary rows via

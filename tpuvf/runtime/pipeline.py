@@ -78,6 +78,9 @@ class Pipeline:
         self._negotiated = False
         self._source_split = set()
         self._comp_split_pads = {}
+        self._sp_replicated = set()
+        self._sp_rep_sources = set()
+        self._sp_graph_ok = True
 
     # -- construction ------------------------------------------------------
 
@@ -218,6 +221,10 @@ class Pipeline:
         self.link_plan = link_plan  # exposed for tests/inspection
         folds, folded_ids = self._plan_overlay_folds(link_plan)
         self.overlay_folds = folds  # exposed for tests/inspection
+        # spatial-sharding branch plan (consulted when run_batched runs
+        # with an sp axis): aggregator-feeding branches stay replicated
+        self._sp_replicated, self._sp_rep_sources, self._sp_graph_ok = \
+            self._sp_plan()
         stages: List[CompiledStage] = []
         state: Dict[str, object] = {}
         for e in order:
@@ -316,6 +323,8 @@ class Pipeline:
             return step
 
         def _run_step(inputs, state, params, proc_overrides):
+            from tpuvf.parallel import spctx
+
             produced: Dict[int, Dict] = {}
 
             def value_of(elem) -> Dict:
@@ -324,48 +333,59 @@ class Pipeline:
                 return produced[id(elem)]
 
             new_state = dict(state)
+            active_ax = spctx.active_axis()
             for st in stages:
                 e = st.element
                 if st.passthrough:
                     produced[id(e)] = value_of(incoming[id(e)][0].upstream)
                     continue
                 proc = proc_overrides.get(e.name, st.process)
+                # per-stage spatial scope: aggregator-feeding branches run
+                # REPLICATED under sp (their planes hold full rows), so
+                # their kernels must NOT halo-exchange — suspend the axis
+                # while tracing them (_sp_plan)
+                stage_ax = (None if e.name in self._sp_replicated
+                            else active_ax)
+                scope = spctx.spatial_axis(stage_ax)
                 try:
-                    if isinstance(e, Compositor):
-                        # per-pad buffer metadata rides the frame dicts (the
-                        # GstBuffer pts/flags analog) and reaches the
-                        # aggregate as params["__pad_meta__"]
-                        pad_inputs, pad_meta = {}, {}
-                        for l in incoming[id(e)]:
-                            v = value_of(l.upstream)
-                            key = l.sink_pad or ""
-                            pad_meta[key] = v.get("__meta__")
-                            pad_inputs[key] = {
-                                k: x for k, x in v.items() if k != "__meta__"
-                            }
-                        prm = dict(params.get(e.name, {}))
-                        prm["__pad_meta__"] = pad_meta
-                        out, new_state[e.name] = proc(
-                            pad_inputs, state.get(e.name, ()), prm
-                        )
-                        out = dict(out)
-                        out["__meta__"] = None  # aggregate starts a new stream
-                    else:
-                        src = value_of(incoming[id(e)][0].upstream)
-                        meta = src.get("__meta__")
-                        planes = {
-                            k: x for k, x in src.items() if k != "__meta__"
-                        }
-                        prm = params.get(e.name, {})
-                        if meta is not None:
-                            prm = dict(prm)
-                            prm["__meta__"] = meta
-                        out, new_state[e.name] = proc(
-                            planes, state.get(e.name, ()), prm
-                        )
-                        if meta is not None:
+                    with scope:
+                        if isinstance(e, Compositor):
+                            # per-pad buffer metadata rides the frame dicts
+                            # (the GstBuffer pts/flags analog) and reaches
+                            # the aggregate as params["__pad_meta__"]
+                            pad_inputs, pad_meta = {}, {}
+                            for l in incoming[id(e)]:
+                                v = value_of(l.upstream)
+                                key = l.sink_pad or ""
+                                pad_meta[key] = v.get("__meta__")
+                                pad_inputs[key] = {
+                                    k: x for k, x in v.items()
+                                    if k != "__meta__"
+                                }
+                            prm = dict(params.get(e.name, {}))
+                            prm["__pad_meta__"] = pad_meta
+                            out, new_state[e.name] = proc(
+                                pad_inputs, state.get(e.name, ()), prm
+                            )
                             out = dict(out)
-                            out["__meta__"] = meta  # flags travel with frames
+                            out["__meta__"] = None  # new stream from here
+                        else:
+                            src = value_of(incoming[id(e)][0].upstream)
+                            meta = src.get("__meta__")
+                            planes = {
+                                k: x for k, x in src.items()
+                                if k != "__meta__"
+                            }
+                            prm = params.get(e.name, {})
+                            if meta is not None:
+                                prm = dict(prm)
+                                prm["__meta__"] = meta
+                            out, new_state[e.name] = proc(
+                                planes, state.get(e.name, ()), prm
+                            )
+                            if meta is not None:
+                                out = dict(out)
+                                out["__meta__"] = meta  # flags travel
                 except _StageFailure:
                     raise
                 except Exception as exc:
@@ -440,6 +460,47 @@ class Pipeline:
             step = jax.jit(self._make_step(overrides), donate_argnums=(1,))
             self._step_cache[fast_names] = step
         return step
+
+    def _sp_plan(self):
+        """Spatial-sharding branch plan: under sp row sharding, branches
+        FEEDING aggregator pads run REPLICATED (every shard computes the
+        whole pad — pads are small relative to the canvas and their draw
+        offsets cross shard boundaries arbitrarily), while the aggregator
+        and everything downstream shard rows.  Returns (replicated_names,
+        replicated_source_names, ok); ok=False when some node feeds both
+        an aggregator branch and a sharded path (un-shardable graph)."""
+        from tpuvf.elements.compositor import Compositor
+
+        comps = [e for e in self.elements if isinstance(e, Compositor)]
+        if not comps:
+            return set(), set(), True
+        replicated: set = set()
+        stack = []
+        for c in comps:
+            for ln in self._incoming(c):
+                stack.append(ln.upstream)
+        while stack:
+            n = stack.pop()
+            if n.name in replicated:
+                continue
+            replicated.add(n.name)
+            for ln in self._incoming(n):
+                stack.append(ln.upstream)
+        ok = True
+        for e in self.elements:
+            if e.name not in replicated:
+                continue
+            for ln in self._outgoing(e):
+                d = ln.downstream
+                if d.name in replicated:
+                    continue
+                if isinstance(d, Compositor):
+                    continue  # feeds the (sharded) aggregator itself
+                ok = False
+        rep_sources = {
+            s.name for s in self.sources if s.name in replicated
+        }
+        return replicated, rep_sources, ok
 
     def _plan_overlay_folds(self, link_plan):
         """Detect `vfcompositor ! (passthroughs) ! vfoverlay` chains whose
@@ -823,6 +884,9 @@ class Pipeline:
         self._variant_stages = []
         self._step_cache = {}
         self._make_step = None
+        self._sp_replicated = set()
+        self._sp_rep_sources = set()
+        self._sp_graph_ok = True
         self._source_split = set()
         self._comp_split_pads = {}
         self._codec_chain = {}
@@ -1009,19 +1073,28 @@ class Pipeline:
         sp = mesh.shape[sp_axis]
         if sp <= 1:
             return
+        if not self._sp_graph_ok:
+            raise ValueError(
+                "graph cannot row-shard: a branch feeds both an aggregator "
+                "pad (replicated under sp) and a sharded consumer; run "
+                "with dp only")
+        replicated = self._sp_replicated
         heights = []
         for st in self._stages:
-            if st.passthrough:
-                continue
+            if st.passthrough or st.element.name in replicated:
+                continue  # replicated branches run unsharded
             e = st.element
-            if st.in_spec is None or not e.sp_row_shardable(st.in_spec,
-                                                            st.out_spec):
+            if not e.sp_row_shardable(st.in_spec, st.out_spec):
                 raise ValueError(
                     f"element {e.name} ({e.ELEMENT_NAME}) does not support "
                     f"spatial row sharding for its negotiated specs "
                     f"{st.in_spec} -> {st.out_spec}; run with dp only")
-            heights += [st.in_spec.height, st.out_spec.height]
+            if st.in_spec is not None:
+                heights.append(st.in_spec.height)
+            heights.append(st.out_spec.height)
         for s in self.sources:
+            if s.name in self._sp_rep_sources:
+                continue  # replicated upload: no divisibility constraint
             heights.append(self._outgoing(s)[0].spec.height)
         for h in heights:
             rows = h // sp
@@ -1164,8 +1237,14 @@ class Pipeline:
                         f"independent streams, or run with dp=1")
             if sp_axis is not None:
                 self._validate_sp(mesh, sp_axis)
-            dp_run = parallel_batch_fn(step, mesh, self.params(),
-                                       sp_axis=sp_axis)
+            sp_live = (sp_axis is not None and sp_axis in mesh.axis_names
+                       and mesh.shape[sp_axis] > 1)
+            dp_run = parallel_batch_fn(
+                step, mesh, self.params(), sp_axis=sp_axis,
+                replicated_inputs=(frozenset(self._sp_rep_sources)
+                                   if sp_live else frozenset()),
+                replicated_state=(frozenset(self._sp_replicated)
+                                  if sp_live else frozenset()))
         else:
             dp_run = None
         batch_fn = jax.jit(batch_step)
