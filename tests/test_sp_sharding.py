@@ -223,7 +223,10 @@ def test_dp_stateless_chain_needs_no_optin():
     assert p.run_batched(4, batch_size=4, mesh=m) == 4
 
 
-def test_sp_rejects_scaling_chain():
+def test_sp_scaling_chain_accepted():
+    """Scaling chains row-shard since the all_gather resampler landed
+    (they were rejected before); bit-parity is covered by the
+    test_sp_convertscale_scaled_bit_exact suite below."""
     require_devices(8)
     p = parse_pipeline(
         "videotestsrc num-buffers=2 "
@@ -234,8 +237,7 @@ def test_sp_rejects_scaling_chain():
     p.negotiate()
     p.build()
     m = pmesh.make_mesh({"dp": 2, "sp": 2})
-    with pytest.raises(ValueError, match="spatial row sharding"):
-        p.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")
+    assert p.run_batched(2, batch_size=2, mesh=m, sp_axis="sp") == 2
 
 
 def test_sp_rejects_bad_height():
@@ -331,4 +333,125 @@ def test_sp_rejects_branch_conflict(tmp_path):
     p.build()
     m = pmesh.make_mesh({"dp": 2, "sp": 4})
     with pytest.raises(ValueError, match="row-shard"):
+        p.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")
+
+
+# -- resampling under sp (all_gather + sharded output rows) ----------------
+# The frame-global row contractions (scaling matmuls, rotations) gather
+# their input rows over the sp axis and compute only each shard's output
+# band (spctx.all_rows / sample.apply_separable / convert.plan_axis_sampler).
+
+
+@pytest.mark.parametrize("method", ["bilinear", "nearest"])
+@pytest.mark.parametrize("fmt_in,fmt_out,wh", [
+    ("NV12", "BGRA", (64, 48, 128, 96)),    # 4:2:0 up, format convert
+    ("BGRA", "BGRA", (128, 96, 48, 24)),    # RGB down, non-integral ratio
+    ("I420", "NV12", (96, 72, 64, 48)),     # planar->planar down
+])
+def test_sp_convertscale_scaled_bit_exact(method, fmt_in, fmt_out, wh):
+    """Scaled convertscale row-shards: in/out heights both divide sp with
+    even rows/shard; dense row matmuls gather + slice, chroma planes ride
+    the same path at half rows."""
+    require_devices(8)
+    iw, ih, ow, oh = wh
+    desc = (
+        f"videotestsrc num-buffers=2 pattern=smpte "
+        f"! video/x-raw,format={fmt_in},width={iw},height={ih} "
+        f"! vfmetalconvertscale method={method} "
+        f"! video/x-raw,format={fmt_out},width={ow},height={oh} ! appsink"
+    )
+    plain = _run_plain(desc, 2)
+    sp = _run_sp(desc, 2, {"dp": 2, "sp": 4})
+    assert len(sp) == len(plain) == 2
+    for a, b in zip(sp, plain):
+        assert_frames_equal(a, b)
+
+
+def test_sp_convertscale_letterbox_bit_exact():
+    """add-borders letterbox under sp: the border mask (a full-height
+    params buffer) slices to each shard's rows; border rows land on the
+    right shards."""
+    require_devices(8)
+    desc = (
+        "videotestsrc num-buffers=2 pattern=ball "
+        "! video/x-raw,format=BGRA,width=128,height=32 "
+        "! vfmetalconvertscale add-borders=true border-color=0xFF2040C0 "
+        "! video/x-raw,format=BGRA,width=64,height=64 ! appsink"
+    )
+    plain = _run_plain(desc, 2)
+    sp = _run_sp(desc, 2, {"dp": 1, "sp": 8})
+    for a, b in zip(sp, plain):
+        assert_frames_equal(a, b)
+
+
+@pytest.mark.parametrize("tmethod", [
+    "clockwise", "rotate-180", "vertical-flip", "upper-left-diagonal",
+])
+def test_sp_transform_fast_ops_bit_exact(tmethod):
+    """Square fast layout ops permute GLOBAL rows — under sp they gather
+    rows, apply, and keep the local band (apply_fast)."""
+    require_devices(8)
+    desc = (
+        "videotestsrc num-buffers=2 pattern=smpte "
+        "! video/x-raw,format=BGRA,width=64,height=64 "
+        f"! vfmetaltransform method={tmethod} ! appsink"
+    )
+    plain = _run_plain(desc, 2)
+    sp = _run_sp(desc, 2, {"dp": 2, "sp": 4})
+    for a, b in zip(sp, plain):
+        assert_frames_equal(a, b)
+
+
+@pytest.mark.parametrize("tmethod,fmt", [
+    ("clockwise", "BGRA"),        # anti-diagonal dense (non-square)
+    ("counterclockwise", "NV12"),  # anti-diagonal dense + chroma planes
+    ("rotate-180", "NV12"),        # diagonal dense with crop voids
+])
+def test_sp_transform_crop_rotate_bit_exact(tmethod, fmt):
+    """Dense UV sampling under sp: the transposed operand carries the
+    sharded axis in the last position (gathered along -1), crop voids
+    slice the black-out mask per shard."""
+    require_devices(8)
+    desc = (
+        "videotestsrc num-buffers=2 pattern=ball "
+        f"! video/x-raw,format={fmt},width=96,height=48 "
+        f"! vfmetaltransform method={tmethod} crop-left=10 crop-top=6 "
+        "! appsink"
+    )
+    plain = _run_plain(desc, 2)
+    sp = _run_sp(desc, 2, {"dp": 2, "sp": 4})
+    for a, b in zip(sp, plain):
+        assert_frames_equal(a, b)
+
+
+def test_sp_scaled_chain_with_stencil_bit_exact():
+    """Scaling into a sharded stencil chain: resample (gather+slice) feeds
+    the videofilter's halo-exchanged blur — the downstream stencil sees
+    correctly sharded rows."""
+    require_devices(8)
+    desc = (
+        "videotestsrc num-buffers=2 pattern=smpte "
+        "! video/x-raw,format=NV12,width=128,height=96 "
+        "! vfmetalconvertscale ! video/x-raw,format=NV12,width=64,height=48 "
+        "! vfmetalvideofilter sharpness=-0.6 saturation=1.3 ! appsink"
+    )
+    plain = _run_plain(desc, 2)
+    sp = _run_sp(desc, 2, {"dp": 2, "sp": 4})
+    for a, b in zip(sp, plain):
+        assert_frames_equal(a, b)
+
+
+def test_sp_packed_input_still_rejected():
+    """Packed 4:2:2 macro-pixel paths remain single-shard."""
+    require_devices(8)
+    p = parse_pipeline(
+        "videotestsrc num-buffers=2 "
+        "! video/x-raw,format=UYVY,width=64,height=48 "
+        "! vfmetalconvertscale ! video/x-raw,format=BGRA,width=32,height=24 "
+        "! appsink"
+    )
+    p.negotiate()
+    p.build()
+    m = pmesh.make_mesh({"dp": 2, "sp": 4})
+    with pytest.raises(ValueError, match="spatial row sharding"):
         p.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")

@@ -133,26 +133,17 @@ class ConvertScale(Element):
         return self.make_process_linked(in_spec, out_spec, static)
 
     def sp_row_shardable(self, in_spec, out_spec):
-        """Row-shardable on identity geometry only: the 4:2:0 fast path's
-        chroma row-upsample is halo-aware (spctx) and the RGB<->RGB /
-        RGB->4:2:0 identity paths are row-local (the 2x2 chroma box average
-        consumes local row pairs).  Resampling matmuls contract over the
-        full H and stay single-shard (run_batched rejects sp for them)."""
-        scale_x, scale_y, border, _ = self._split_geometry(in_spec, out_spec)
-        if (out_spec.width, out_spec.height) != (in_spec.width,
-                                                 in_spec.height):
-            return False
-        if border is not None:
-            return False
+        """Row-shardable at ANY geometry for planar formats: identity and
+        2x row paths are row-local / halo-aware (spctx.pad_rows_edge), and
+        dense resampling matmuls gather their frame-global row operand
+        over ICI then compute only this shard's output rows
+        (convert.plan_axis_sampler / sample.apply_separable) — letterbox
+        border masks slice per shard.  Packed 4:2:2 macro-pixel paths are
+        not audited for sp and stay single-shard."""
         from tpuvf.core.formats import PACKED_YUV_FORMATS
 
-        if (in_spec.format in PACKED_YUV_FORMATS
-                or out_spec.format in PACKED_YUV_FORMATS):
-            return False  # macro-pixel decode paths not audited for sp
-        if in_spec.format in RGB_FORMATS:
-            return True  # identity sampler; 4:2:0 pack is row-pair local
-        return convert.can_split_420(in_spec, out_spec.width,
-                                     out_spec.height, 1.0, 1.0, None)
+        return (in_spec.format not in PACKED_YUV_FORMATS
+                and out_spec.format not in PACKED_YUV_FORMATS)
 
     def split_input_ok(self, in_spec, out_spec):
         """Consume pre-split 4:2:0 planes (e.g. a split-provisioned source

@@ -99,6 +99,15 @@ class Transform(Element):
             and self.props.get("crop-right") == 0
         )
 
+    def sp_row_shardable(self, in_spec, out_spec):
+        """Every path handles row-sharded planes: flips/rotations that
+        permute GLOBAL rows gather + re-slice (spctx.all_rows in
+        apply_fast), the dense UV samplers gather their frame-global
+        contraction operand and keep output rows sharded
+        (sample.apply_separable), the crop-void mask slices per shard,
+        and the 4:2:0 output pack is row-pair local."""
+        return True
+
     def _fast_layout_op(self, method: int, w: int, h: int):
         """Pure layout equivalents (flip/transpose) when the sampled
         texcoords land exactly on the pixel grid: flips always do; 90-degree
@@ -142,9 +151,21 @@ class Transform(Element):
             self._buffers = bufs.buffers
             matrix_out = out_spec.matrix_index
             out_fmt = out_spec.format
+            row_global = method != 4  # every fast op but h-flip moves rows
+
+            def apply_fast(rgba):
+                from tpuvf.parallel import spctx
+
+                if spctx.active_axis() is None or not row_global:
+                    return fast(rgba)
+                # row-sharded: the op permutes GLOBAL rows (v-flip, 180,
+                # rotations) — gather rows, apply, keep this shard's band
+                rows_local = rgba.shape[-2]
+                return spctx.shard_rows(
+                    fast(spctx.all_rows(rgba)), rows_local)
 
             def process(planes, state, params):
-                rgba = fast(sampler(planes, params))
+                rgba = apply_fast(sampler(planes, params))
                 q = quant(rgba)
                 return convert.pack_rgba(q, out_fmt, matrix_out), state
 
@@ -224,9 +245,14 @@ class Transform(Element):
         black = np.array([0, 0, 0, 1], np.float32).reshape(4, 1, 1)
 
         def process(planes, state, params):
+            from tpuvf.parallel import spctx
+
             rgba = to_rgba(planes, params)
             if fetch_mask is not None:
-                rgba = jnp.where(fetch_mask(params), rgba, jnp.asarray(black))
+                # full-height void mask sliced to this shard's rows under
+                # spatial sharding (no-op otherwise)
+                m = spctx.shard_rows(fetch_mask(params), rgba.shape[-2])
+                rgba = jnp.where(m, rgba, jnp.asarray(black))
             q = quant(rgba)
             return convert.pack_rgba(q, out_spec.format, matrix_out), state
 

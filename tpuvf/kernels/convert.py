@@ -198,12 +198,49 @@ def plan_axis_sampler(in_size, out_size, axis, filter, scale, bufs):
             return lambda img, params: _upsample2x_linear(img, axis)
         if filter == NEAREST and out_size == 2 * in_size:
             return lambda img, params: jnp.repeat(img, 2, axis=axis)
+    t = sample.texcoords(out_size, scale)
+    mask = sample.coverage_mask(out_size, scale)
+    w = sample.sample_matrix(t, in_size, filter, mask)
+    fetch = bufs.add(w, f"ax{axis}_")
+
+    def run_dense(img, params):
+        wm = fetch(params)
+        a = axis % img.ndim
+        if a == img.ndim - 2:
+            from tpuvf.parallel import spctx
+
+            if (spctx.active_axis() is not None
+                    and img.shape[-2] != in_size):
+                # row-sharded operand: the contraction is frame-global —
+                # gather the input rows once (ICI all-gather), keep the
+                # OUTPUT rows sharded by slicing this shard's weight rows
+                n = spctx.axis_size()
+                img = spctx.all_rows(img)
+                wm = spctx.shard_rows(wm, out_size // n)
+            return jnp.einsum(
+                "oh,...hw->...ow", wm, img,
+                preferred_element_type=jnp.float32,
+                precision=sample.MATMUL_PRECISION,
+            )
+        return jnp.einsum(
+            "...hw,ow->...ho", img, wm,
+            preferred_element_type=jnp.float32,
+            precision=sample.MATMUL_PRECISION,
+        )
+
     if _use_pallas_banded(in_size, axis, filter, scale):
         from tpuvf.kernels.pallas import resample as pres
 
         t_np = sample.texcoords(out_size, scale)
 
         def run_banded(img, params):
+            from tpuvf.parallel import spctx
+
+            if spctx.active_axis() is not None:
+                # plan-time backend checks can't see the trace-time sp
+                # scope: the banded kernel is not shard-aware, so sharded
+                # traces take the dense gather+slice path instead
+                return run_dense(img, params)
             if img.ndim == 2:
                 return pres.banded_resample_rows(img, t_np)
             # leading channel axes: one kernel call per channel
@@ -216,27 +253,7 @@ def plan_axis_sampler(in_size, out_size, axis, filter, scale, bufs):
             return out.reshape(img.shape[:-2] + out.shape[-2:])
 
         return run_banded
-    t = sample.texcoords(out_size, scale)
-    mask = sample.coverage_mask(out_size, scale)
-    w = sample.sample_matrix(t, in_size, filter, mask)
-    fetch = bufs.add(w, f"ax{axis}_")
-
-    def run(img, params):
-        wm = fetch(params)
-        a = axis % img.ndim
-        if a == img.ndim - 2:
-            return jnp.einsum(
-                "oh,...hw->...ow", wm, img,
-                preferred_element_type=jnp.float32,
-                precision=sample.MATMUL_PRECISION,
-            )
-        return jnp.einsum(
-            "...hw,ow->...ho", img, wm,
-            preferred_element_type=jnp.float32,
-            precision=sample.MATMUL_PRECISION,
-        )
-
-    return run
+    return run_dense
 
 
 def plan_plane_sampler(in_w, in_h, out_w, out_h, filter, scale_x, scale_y, bufs):
@@ -310,7 +327,11 @@ def plan_rgba_sampler(
             r, g, b = color.yuv_to_rgb(y, u, v, matrix_index)
             chans = (r, g, b, jnp.ones_like(r))
         if fetch_mask is not None:
-            mask = fetch_mask(params)
+            from tpuvf.parallel import spctx
+
+            # full-height border mask sliced to this shard's rows under
+            # spatial sharding (no-op otherwise)
+            mask = spctx.shard_rows(fetch_mask(params), chans[0].shape[-2])
             chans = tuple(
                 jnp.where(mask, chans[c], np.float32(bcol[c, 0, 0]))
                 for c in range(4)

@@ -110,9 +110,42 @@ def resize_matrices(
 
 
 def apply_separable(img: jnp.ndarray, wy: np.ndarray, wx: np.ndarray) -> jnp.ndarray:
-    """Contract (..., H, W) float32 with row/col sampling matrices on the MXU."""
+    """Contract (..., H, W) float32 with row/col sampling matrices on the MXU.
+
+    Under spatial row sharding (parallel.spctx) a row-sharded operand is
+    first all-gathered (the contraction over H/W is frame-global), and the
+    OUTPUT rows stay sharded: wy's rows are sliced to this shard's output
+    band, so each shard computes 1/n of the matmul.  A transposed operand
+    (the transform's anti-diagonal path) carries the sharded axis in the
+    LAST position — detected by the wx contraction size and gathered along
+    that axis instead.  Fully replicated operands (compositor pad branches)
+    pass through untouched."""
     wy = jnp.asarray(wy, jnp.float32)
     wx = jnp.asarray(wx, jnp.float32)
+    from tpuvf.parallel import spctx
+
+    if spctx.active_axis() is not None:
+        n = spctx.axis_size()
+        sharded = False
+        if img.shape[-2] != wy.shape[1]:
+            if img.shape[-2] * n != wy.shape[1]:
+                raise ValueError(
+                    f"row-sharded operand rows {img.shape[-2]} x {n} != "
+                    f"wy contraction size {wy.shape[1]}")
+            img = spctx.all_rows(img, axis=-2)
+            sharded = True
+        if img.shape[-1] != wx.shape[1]:
+            if img.shape[-1] * n != wx.shape[1]:
+                raise ValueError(
+                    f"row-sharded operand cols {img.shape[-1]} x {n} != "
+                    f"wx contraction size {wx.shape[1]}")
+            img = spctx.all_rows(img, axis=-1)
+            sharded = True
+        if sharded:
+            if wy.shape[0] % n:
+                raise ValueError(
+                    f"output rows {wy.shape[0]} not divisible by sp={n}")
+            wy = spctx.shard_rows(wy, wy.shape[0] // n)
     # (..., H, W) -> (..., oH, W) -> (..., oH, oW)
     tmp = jnp.einsum(
         "oh,...hw->...ow", wy, img,

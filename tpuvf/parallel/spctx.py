@@ -60,6 +60,22 @@ def axis_size() -> int:
     return jax.lax.axis_size(axis_name)
 
 
+def all_rows(x: jnp.ndarray, axis: int = -2) -> jnp.ndarray:
+    """Gather every shard's rows of a row-sharded array into the full
+    global-height array (jax.lax.all_gather tiled over the sp axis; rides
+    ICI).  The escape hatch for FRAME-GLOBAL row structure — resampling
+    matmuls contracting over H, 90-degree rotations — where halo exchange
+    cannot express the dependency: gather the input once, then compute
+    only THIS shard's output rows (slice the weight-matrix rows /
+    shard_rows the result), so compute stays sharded and only the input
+    plane transits the interconnect.  No-op without an active axis."""
+    axis_name = _STATE["axis"]
+    if axis_name is None:
+        return x
+    return jax.lax.all_gather(
+        x, axis_name, axis=axis % x.ndim, tiled=True)
+
+
 def pad_rows_halo(x: jnp.ndarray, lo: int, hi: int) -> jnp.ndarray:
     """(..., R, W) -> (..., lo+R+hi, W) with shard-correct edge semantics:
     interior shard boundaries receive the neighbor's boundary rows via
