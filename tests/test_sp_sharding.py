@@ -455,3 +455,72 @@ def test_sp_packed_input_still_rejected():
     m = pmesh.make_mesh({"dp": 2, "sp": 4})
     with pytest.raises(ValueError, match="spatial row sharding"):
         p.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")
+
+
+def test_sp_compositor_animated_geometry_bit_exact():
+    """Animating pad geometry (off-baked xpos/ypos/operator) under sp row
+    sharding: the general variant's render_general_sp places sources via
+    canvas-padded traced dynamic slices — bit-exact vs the unsharded run,
+    incl. a negative offset (top-crop) and a rect straddling shards."""
+    require_devices(8)
+    desc = (
+        "videotestsrc num-buffers=2 pattern=smpte "
+        "! video/x-raw,format=BGRA,width=128,height=64 ! c.sink_0 "
+        "videotestsrc num-buffers=2 pattern=ball "
+        "! video/x-raw,format=NV12,width=38,height=24 ! c.sink_1 "
+        "vfmetalcompositor name=c background=black sink_1::xpos=89 "
+        "sink_1::ypos=17 sink_1::alpha=0.8 "
+        "! video/x-raw,format=BGRA ! appsink"
+    )
+
+    def animate(p):
+        bag = p["c"].get_pad("sink_1")
+        bag.set("xpos", 40)   # off-baked -> general variant
+        bag.set("ypos", -6)   # negative: top-cropped
+        assert not p._maybe_rebuild()
+
+    p1 = parse_pipeline(desc)
+    p1.negotiate(); p1.build(); animate(p1)
+    p1.run_batched(2, batch_size=2)
+    plain = p1.sinks[0].frames
+
+    p2 = parse_pipeline(desc)
+    p2.negotiate(); p2.build(); animate(p2)
+    m = pmesh.make_mesh({"dp": 2, "sp": 4})
+    p2.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")
+    sp = p2.sinks[0].frames
+    assert len(sp) == len(plain) == 2
+    for a, b in zip(sp, plain):
+        assert_frames_equal(a, b)
+
+
+def test_sp_compositor_animated_operator_bit_exact():
+    """Animating the blend operator under sp (SOURCE select rides the
+    traced rect mask in the sharded general body)."""
+    require_devices(8)
+    desc = (
+        "videotestsrc num-buffers=2 pattern=smpte "
+        "! video/x-raw,format=BGRA,width=64,height=64 ! c.sink_0 "
+        "videotestsrc num-buffers=2 pattern=white "
+        "! video/x-raw,format=BGRA,width=24,height=16 ! c.sink_1 "
+        "vfmetalcompositor name=c background=checker sink_1::xpos=10 "
+        "sink_1::ypos=30 sink_1::alpha=0.5 ! appsink"
+    )
+
+    def animate(p):
+        bag = p["c"].get_pad("sink_1")
+        bag.set("operator", 2)  # add (baked: over)
+        assert not p._maybe_rebuild()
+
+    p1 = parse_pipeline(desc)
+    p1.negotiate(); p1.build(); animate(p1)
+    p1.run_batched(2, batch_size=2)
+    plain = p1.sinks[0].frames
+
+    p2 = parse_pipeline(desc)
+    p2.negotiate(); p2.build(); animate(p2)
+    m = pmesh.make_mesh({"dp": 1, "sp": 8})
+    p2.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")
+    sp = p2.sinks[0].frames
+    for a, b in zip(sp, plain):
+        assert_frames_equal(a, b)

@@ -1054,6 +1054,63 @@ class Compositor(Element):
                             dst[c], quant(blended), (syr, sxr))
                 return apply_folds(dst)
 
+            def render_general_sp(_):
+                """Traced (animating) geometry on a row-sharded canvas:
+                rect DUS offsets are GLOBAL rows a shard cannot address,
+                but a traced dynamic-slice READ of the canvas-zero-padded
+                source can — start = (out_h + r0 - y, out_w - x) aligns
+                the source to this shard's rows with zeros outside, so
+                OVER/ADD see alpha 0 there and SOURCE selects on the
+                traced rect mask.  Full-width blends per draw (no
+                windowing): animated frames are the rare path under sp."""
+                from tpuvf.parallel import spctx
+
+                n = spctx.axis_size()
+                rows_local = out_h // n
+                r0 = (jax.lax.axis_index(spctx.active_axis())
+                      * np.int32(rows_local))
+                zero = jnp.zeros((), jnp.uint8)
+                bg = jnp.asarray(fetch_bg(params))
+                dst = [spctx.shard_rows(
+                    jnp.where(bg_drawn > 0, bg[c], zero), rows_local)
+                    for c in range(4)]
+                grow = (jax.lax.broadcasted_iota(
+                    jnp.int32, (rows_local, 1), 0) + r0)
+                cols = jax.lax.broadcasted_iota(jnp.int32, (1, out_w), 1)
+                for p in prep:
+                    d = p["d"]
+                    w, h = d["size"]
+                    src_p = sample_draw(p)
+                    xc = jnp.clip(p["x"], -w, out_w)
+                    yc = jnp.clip(p["y"], -h, out_h)
+
+                    def place(arr, xc=xc, yc=yc):
+                        padded = jnp.pad(arr, ((out_h, out_h),
+                                               (out_w, out_w)))
+                        return jax.lax.dynamic_slice(
+                            padded, (out_h + r0 - yc, out_w - xc),
+                            (rows_local, out_w))
+
+                    vx0, vy0, vx1, vy1 = p["rect"]
+                    in_rect = ((grow >= vy0) & (grow < vy1)
+                               & (cols >= vx0) & (cols < vx1))
+                    a_v = place(src_p[3])
+                    op = jnp.clip(
+                        pad_param(params, d["pad"].name, "operator"), 0, 2)
+                    for c in range(4):
+                        s_v = place(src_p[c])
+                        dst_v = dequant(dst[c])
+                        blended = blend(op, in_rect, s_v, dst_v, a_v,
+                                        p["draw"])
+                        dst[c] = jnp.where(in_rect, quant(blended), dst[c])
+                return _fold_sp(
+                    dst,
+                    [(fd, lambda fd: [(dst, (fd["fetch"], (
+                        (fd["rect"][2], out_h - fd["rect"][3]),
+                        (fd["rect"][0], out_w - fd["rect"][1]))))])
+                     for fd in fold_draws],
+                    rows_local)
+
             def _pack_canvas(dst):
                 """u8 canvas -> output planes (values already quantized, so
                 this matches pack_rgba_t on the float canvas exactly)."""
@@ -1118,10 +1175,10 @@ class Compositor(Element):
                 body = render_masked if sp_live else render_fast
                 fast = lambda _: emit_full(body(0))
             if sp_live and not force_fast:
-                raise NotImplementedError(
-                    "animating compositor geometry under spatial (sp) row "
-                    "sharding is unsupported — run with dp only, or keep "
-                    "pad geometry at its built values")
+                out = jax.lax.cond(
+                    at_baked, fast,
+                    lambda _: emit_full(render_general_sp(0)), 0)
+                return out, state
             if force_fast:
                 # fast-only variant: the runtime guarantees the traced
                 # geometry equals the baked values (variant_select), so the
