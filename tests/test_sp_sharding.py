@@ -441,20 +441,28 @@ def test_sp_scaled_chain_with_stencil_bit_exact():
         assert_frames_equal(a, b)
 
 
-def test_sp_packed_input_still_rejected():
-    """Packed 4:2:2 macro-pixel paths remain single-shard."""
+@pytest.mark.parametrize("fmt_in,fmt_out,wh", [
+    ("UYVY", "BGRA", (64, 48, 32, 24)),   # packed in, scaled decode
+    ("NV12", "YUY2", (64, 48, 64, 48)),   # packed out, identity
+    ("UYVY", "UYVY", (64, 96, 32, 48)),   # packed both sides, scaled
+])
+def test_sp_packed_422_bit_exact(fmt_in, fmt_out, wh):
+    """Packed 4:2:2 under sp: macro-pixels exist only at the host edge —
+    device planes are planar with full-height chroma (nearest decode per
+    row; 4:2:2 output pack is a horizontal pair average)."""
     require_devices(8)
-    p = parse_pipeline(
-        "videotestsrc num-buffers=2 "
-        "! video/x-raw,format=UYVY,width=64,height=48 "
-        "! vfmetalconvertscale ! video/x-raw,format=BGRA,width=32,height=24 "
-        "! appsink"
+    iw, ih, ow, oh = wh
+    desc = (
+        "videotestsrc num-buffers=2 pattern=smpte "
+        f"! video/x-raw,format={fmt_in},width={iw},height={ih} "
+        f"! vfmetalconvertscale "
+        f"! video/x-raw,format={fmt_out},width={ow},height={oh} ! appsink"
     )
-    p.negotiate()
-    p.build()
-    m = pmesh.make_mesh({"dp": 2, "sp": 4})
-    with pytest.raises(ValueError, match="spatial row sharding"):
-        p.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")
+    plain = _run_plain(desc, 2)
+    sp = _run_sp(desc, 2, {"dp": 2, "sp": 4})
+    assert len(sp) == len(plain) == 2
+    for a, b in zip(sp, plain):
+        assert_frames_equal(a, b)
 
 
 def test_sp_compositor_animated_geometry_bit_exact():

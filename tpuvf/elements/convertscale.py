@@ -133,17 +133,18 @@ class ConvertScale(Element):
         return self.make_process_linked(in_spec, out_spec, static)
 
     def sp_row_shardable(self, in_spec, out_spec):
-        """Row-shardable at ANY geometry for planar formats: identity and
-        2x row paths are row-local / halo-aware (spctx.pad_rows_edge), and
+        """Row-shardable at ANY geometry and EVERY format: identity and
+        2x row paths are row-local / halo-aware (spctx.pad_rows_edge),
         dense resampling matmuls gather their frame-global row operand
         over ICI then compute only this shard's output rows
-        (convert.plan_axis_sampler / sample.apply_separable) — letterbox
-        border masks slice per shard.  Packed 4:2:2 macro-pixel paths are
-        not audited for sp and stay single-shard."""
-        from tpuvf.core.formats import PACKED_YUV_FORMATS
-
-        return (in_spec.format not in PACKED_YUV_FORMATS
-                and out_spec.format not in PACKED_YUV_FORMATS)
+        (convert.plan_axis_sampler / sample.apply_separable), and
+        letterbox border masks slice per shard.  Packed 4:2:2 is
+        row-structured on device: macro-pixels live only at the HOST edge
+        (core.frame unpack_422/pack_422) — device planes are planar with
+        FULL-height chroma, the nearest decode samples them per row, and
+        the 4:2:2 output pack is a horizontal pair average
+        (convert._pack_yuv_channels)."""
+        return True
 
     def split_input_ok(self, in_spec, out_spec):
         """Consume pre-split 4:2:0 planes (e.g. a split-provisioned source
