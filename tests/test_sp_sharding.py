@@ -319,6 +319,33 @@ def test_sp_compositor_with_overlay_fold(tmp_path):
         assert_frames_equal(a, b)
 
 
+def test_sp_tee_multi_sink_bit_exact():
+    """tee fan-out under sp: both branches (one with a vertical stencil)
+    row-shard and every sink bit-matches the unsharded run."""
+    require_devices(8)
+    desc = (
+        "videotestsrc num-buffers=2 pattern=ball "
+        "! video/x-raw,format=NV12,width=64,height=48 "
+        "! vfmetalconvertscale ! video/x-raw,format=BGRA ! tee name=t "
+        "t. ! appsink name=a "
+        "t. ! vfmetalvideofilter sharpness=0.5 contrast=1.2 "
+        "! appsink name=b"
+    )
+    plain = parse_pipeline(desc)
+    plain.negotiate()
+    plain.build()
+    plain.run_batched(2, batch_size=2)
+    sp = parse_pipeline(desc)
+    sp.negotiate()
+    sp.build()
+    m = pmesh.make_mesh({"dp": 2, "sp": 4})
+    sp.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")
+    for sk in ("a", "b"):
+        assert len(sp[sk].frames) == len(plain[sk].frames) == 2
+        for fa, fb in zip(sp[sk].frames, plain[sk].frames):
+            assert_frames_equal(fa, fb)
+
+
 def test_sp_rejects_branch_conflict(tmp_path):
     """A branch feeding BOTH a compositor pad and its own sink cannot
     row-shard (replicated vs sharded conflict)."""
