@@ -1,0 +1,119 @@
+"""Seeded spatial-sharding fuzz: every random chain the sp gate ACCEPTS
+must run bit-exact vs the unsharded pipeline (grain chains: the repo's
+tolerance-with-outliers convention); everything else must be rejected
+with a clear ValueError at dispatch time — never a mid-run shape crash.
+
+This extends tests/test_fuzz_pipelines.py to the round-3 sp machinery:
+random formats (incl. packed 4:2:2), random intermediate geometry/format
+changes (the all_gather resampling path), stencils (blur, deinterlace),
+and random dp x sp mesh splits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+
+from tpuvf.cli.launch import parse_pipeline
+from tpuvf.parallel import mesh as pmesh
+from tpuvf.runtime.observability import PipelineError
+
+
+FORMATS = ["BGRA", "RGBA", "NV12", "I420", "UYVY", "YUY2"]
+# mix of sp-friendly (8-divisible) and gate-exercising (odd/indivisible)
+SIZES = [(64, 48), (128, 96), (64, 32), (96, 64), (37, 23), (62, 46)]
+MESHES = [{"dp": 1, "sp": 2}, {"dp": 2, "sp": 2}, {"dp": 1, "sp": 4},
+          {"dp": 2, "sp": 4}, {"dp": 1, "sp": 8}]
+
+ELEMENTS = [
+    "vfmetalvideofilter brightness=0.2",
+    "vfmetalvideofilter sharpness=0.6 vignette=0.3",
+    "vfmetalvideofilter noise=0.4 hue=0.3",
+    "vfmetalvideofilter chroma-key-enabled=true",
+    "vfmetaltransform method=clockwise",
+    "vfmetaltransform method=vertical-flip",
+    "vfmetaltransform crop-top=3 crop-left=5",
+    "vfmetaldeinterlace method=greedyh",
+    "vfmetaldeinterlace method=bob",
+    "vfmetalconvertscale",
+    "queue",
+    "identity",
+]
+
+
+def _desc(rng):
+    fmt = FORMATS[rng.integers(len(FORMATS))]
+    w, h = SIZES[rng.integers(len(SIZES))]
+    if fmt in ("UYVY", "YUY2") and w % 2:
+        w += 1
+    desc = (
+        f"videotestsrc num-buffers=2 pattern=ball "
+        f"! video/x-raw,format={fmt},width={w},height={h} "
+    )
+    for _ in range(rng.integers(1, 4)):
+        desc += f"! {ELEMENTS[rng.integers(len(ELEMENTS))]} "
+        if rng.random() < 0.3:
+            # intermediate caps: format and/or geometry change (the sp
+            # all_gather resampling path)
+            f2 = FORMATS[rng.integers(4)]  # planar/RGB intermediates
+            w2, h2 = SIZES[rng.integers(4)]  # sp-friendly sizes
+            desc += f"! vfmetalconvertscale "
+            desc += f"! video/x-raw,format={f2},width={w2},height={h2} "
+    desc += "! appsink"
+    return desc
+
+
+def _run_one(seed):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    rng = np.random.default_rng(1000 + seed)
+    desc = _desc(rng)
+    axes = MESHES[rng.integers(len(MESHES))]
+    try:
+        plain = parse_pipeline(desc)
+        plain.negotiate()
+        plain.build()
+        plain.run_batched(2, batch_size=2)
+    except (ValueError, NotImplementedError):
+        return "invalid", desc  # chain itself rejected; nothing to compare
+    sp = parse_pipeline(desc)
+    sp.negotiate()
+    sp.build()
+    m = pmesh.make_mesh(axes)
+    try:
+        sp.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")
+    except ValueError:
+        return "sp-rejected", desc  # clear dispatch-time rejection: ok
+    except PipelineError as exc:
+        raise AssertionError(
+            f"mid-run sp failure for: {desc} mesh={axes}\n{exc}") from exc
+    a_frames, b_frames = sp.sinks[0].frames, plain.sinks[0].frames
+    assert len(a_frames) == len(b_frames) == 2, desc
+    grain = "noise" in desc
+    for a, b in zip(a_frames, b_frames):
+        planes_a = a if isinstance(a, dict) else {"m": a}
+        planes_b = b if isinstance(b, dict) else {"m": b}
+        assert set(planes_a) == set(planes_b)
+        for k in planes_a:
+            if grain:
+                d = np.abs(planes_a[k].astype(int) - planes_b[k].astype(int))
+                assert d.max() <= 4, f"{desc} mesh={axes}"
+                assert (d > 0).mean() < 0.01, f"{desc} mesh={axes}"
+            else:
+                np.testing.assert_array_equal(
+                    planes_a[k], planes_b[k],
+                    err_msg=f"{desc} mesh={axes}")
+    return "ran", desc
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_random_sp_chain(seed):
+    _run_one(seed)
+
+
+def test_sp_fuzz_coverage():
+    # the seeded set must exercise both sharded runs and gate rejections
+    results = {_run_one(seed)[0] for seed in range(30)}
+    assert "ran" in results
