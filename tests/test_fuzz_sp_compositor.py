@@ -1,0 +1,119 @@
+"""Seeded sp fuzz over AGGREGATOR topologies: random compositor graphs
+(1-3 pads, mixed formats/sizes, per-pad upstream chains, random baked
+geometry incl. negative/straddling/off-canvas rects, operators, alpha,
+downstream overlay folds) must bit-match the unsharded run whenever the
+sp plan accepts them — and reject with a clear ValueError otherwise.
+
+Exercises Pipeline._sp_plan (pad-branch replication), render_masked /
+render_masked_split, and the compositor!overlay fold under row sharding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+
+from tpuvf.cli.launch import parse_pipeline
+from tpuvf.parallel import mesh as pmesh
+from tpuvf.runtime.observability import PipelineError
+
+
+PAD_FORMATS = ["BGRA", "RGBA", "NV12", "I420"]
+PAD_SIZES = [(38, 24), (64, 48), (37, 23), (20, 56), (128, 64)]
+PAD_CHAINS = ["", "! vfmetalvideofilter contrast=1.3 ",
+              "! vfmetaltransform method=vertical-flip ",
+              "! vfmetalconvertscale ! video/x-raw,format=BGRA "]
+OPERATORS = ["over", "add", "source"]
+BACKGROUNDS = ["checker", "black", "white", "transparent"]
+MESHES = [{"dp": 1, "sp": 2}, {"dp": 2, "sp": 2}, {"dp": 1, "sp": 4},
+          {"dp": 2, "sp": 4}, {"dp": 1, "sp": 8}]
+
+
+def _desc(rng, tmp_path):
+    n_pads = int(rng.integers(1, 4))
+    desc = ""
+    pad_props = []
+    for i in range(n_pads):
+        fmt = PAD_FORMATS[rng.integers(len(PAD_FORMATS))]
+        w, h = PAD_SIZES[rng.integers(len(PAD_SIZES))]
+        chain = PAD_CHAINS[rng.integers(len(PAD_CHAINS))]
+        desc += (
+            f"videotestsrc num-buffers=2 pattern=ball "
+            f"! video/x-raw,format={fmt},width={w},height={h} "
+            f"{chain}! c.sink_{i} "
+        )
+        x = int(rng.integers(-20, 120))
+        y = int(rng.integers(-20, 90))
+        props = f"sink_{i}::xpos={x} sink_{i}::ypos={y}"
+        if rng.random() < 0.5:
+            props += f" sink_{i}::alpha={rng.choice([0.3, 0.8, 1.0])}"
+        if rng.random() < 0.4:
+            props += (f" sink_{i}::operator="
+                      f"{OPERATORS[rng.integers(len(OPERATORS))]}")
+        pad_props.append(props)
+    bg = BACKGROUNDS[rng.integers(len(BACKGROUNDS))]
+    desc += f"vfmetalcompositor name=c background={bg} "
+    desc += " ".join(pad_props) + " "
+    if rng.random() < 0.4:
+        desc += "! video/x-raw,format=BGRA,width=128,height=96 "
+    if rng.random() < 0.4:
+        import tpuvf.io.png as pngio
+
+        img = np.zeros((12, 16, 4), np.uint8)
+        img[..., 1] = 200
+        img[..., 3] = 140
+        ov = str(tmp_path / "ov.png")
+        pngio.write(ov, img)
+        desc += f"! vfmetaloverlay location={ov} x=30 y=40 "
+    elif rng.random() < 0.3:
+        desc += "! vfmetalvideofilter sharpness=0.4 "
+    desc += "! appsink"
+    return desc
+
+
+def _run_one(seed, tmp_path):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    rng = np.random.default_rng(7000 + seed)
+    desc = _desc(rng, tmp_path)
+    axes = MESHES[rng.integers(len(MESHES))]
+    try:
+        plain = parse_pipeline(desc)
+        plain.negotiate()
+        plain.build()
+        plain.run_batched(2, batch_size=2)
+    except (ValueError, NotImplementedError):
+        return "invalid", desc
+    sp = parse_pipeline(desc)
+    sp.negotiate()
+    sp.build()
+    m = pmesh.make_mesh(axes)
+    try:
+        sp.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")
+    except ValueError:
+        return "sp-rejected", desc
+    except PipelineError as exc:
+        raise AssertionError(
+            f"mid-run sp failure for: {desc} mesh={axes}\n{exc}") from exc
+    a_frames, b_frames = sp.sinks[0].frames, plain.sinks[0].frames
+    assert len(a_frames) == len(b_frames) == 2, desc
+    for a, b in zip(a_frames, b_frames):
+        planes_a = a if isinstance(a, dict) else {"m": a}
+        planes_b = b if isinstance(b, dict) else {"m": b}
+        assert set(planes_a) == set(planes_b)
+        for k in planes_a:
+            np.testing.assert_array_equal(
+                planes_a[k], planes_b[k], err_msg=f"{desc} mesh={axes}")
+    return "ran", desc
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_random_sp_compositor(seed, tmp_path):
+    _run_one(seed, tmp_path)
+
+
+def test_sp_compositor_fuzz_coverage(tmp_path):
+    results = {_run_one(seed, tmp_path)[0] for seed in range(20)}
+    assert "ran" in results
