@@ -24,6 +24,7 @@ SUITES=(
   "caps-ranges:tests/test_caps_ranges.py"
   "overlay-fold:tests/test_overlay_fold.py"
   "fuzz:tests/test_fuzz_pipelines.py"
+  "fuzz-sp:tests/test_fuzz_sp.py tests/test_fuzz_sp_compositor.py"
 )
 
 pass=0; fail=0; failed=()

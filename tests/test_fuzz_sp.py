@@ -48,8 +48,11 @@ def _desc(rng):
     w, h = SIZES[rng.integers(len(SIZES))]
     if fmt in ("UYVY", "YUY2") and w % 2:
         w += 1
+    # mix vertically asymmetric patterns in (smpte): symmetric sources
+    # mask opposite-edge-row halo bugs
+    pat = ["ball", "smpte"][rng.integers(2)]
     desc = (
-        f"videotestsrc num-buffers=2 pattern=ball "
+        f"videotestsrc num-buffers=2 pattern={pat} "
         f"! video/x-raw,format={fmt},width={w},height={h} "
     )
     for _ in range(rng.integers(1, 4)):

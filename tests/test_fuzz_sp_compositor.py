@@ -39,8 +39,12 @@ def _desc(rng, tmp_path):
         fmt = PAD_FORMATS[rng.integers(len(PAD_FORMATS))]
         w, h = PAD_SIZES[rng.integers(len(PAD_SIZES))]
         chain = PAD_CHAINS[rng.integers(len(PAD_CHAINS))]
+        # vertically ASYMMETRIC patterns must appear: a symmetric source
+        # (ball) masks opposite-edge-row substitution bugs in the chroma
+        # halo (the round-3 review's finding-1 class)
+        pat = ["ball", "smpte"][rng.integers(2)]
         desc += (
-            f"videotestsrc num-buffers=2 pattern=ball "
+            f"videotestsrc num-buffers=2 pattern={pat} "
             f"! video/x-raw,format={fmt},width={w},height={h} "
             f"{chain}! c.sink_{i} "
         )
@@ -104,8 +108,15 @@ def _run_one(seed, tmp_path):
         planes_b = b if isinstance(b, dict) else {"m": b}
         assert set(planes_a) == set(planes_b)
         for k in planes_a:
-            np.testing.assert_array_equal(
-                planes_a[k], planes_b[k], err_msg=f"{desc} mesh={axes}")
+            # the masked sp render body is a different PROGRAM SHAPE from
+            # the unsharded cells/fast bodies, and fractional-alpha blends
+            # land on exact-half quantization boundaries (0.3*s + 0.7*255
+            # = x.5), so flat regions may round 1 LSB apart — the repo's
+            # documented cross-variant FMA-chaos convention (CLAUDE.md).
+            # Anything > 1 LSB is a real bug (wrong rows/halo/geometry
+            # produce large content diffs, not +-1).
+            d = np.abs(planes_a[k].astype(int) - planes_b[k].astype(int))
+            assert d.max() <= 1, f"{desc} mesh={axes} max diff {d.max()}"
     return "ran", desc
 
 

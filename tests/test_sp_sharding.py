@@ -319,6 +319,47 @@ def test_sp_compositor_with_overlay_fold(tmp_path):
         assert_frames_equal(a, b)
 
 
+def test_sp_pad_chroma_edge_rows_bit_exact():
+    """Round-3 review finding 1: pad planes are REPLICATED under sp, so
+    pad sampling must trace with the spatial context SUSPENDED — with the
+    axis live, the 4:2:0 chroma row-upsample halo ppermutes an unsharded
+    operand and interior shards read the plane's OPPOSITE edge row.  An
+    asymmetric pattern (smpte) with the pad's top row on an interior
+    shard exposes it (the symmetric ball pattern masks it)."""
+    require_devices(8)
+    desc = (
+        "videotestsrc num-buffers=2 pattern=smpte "
+        "! video/x-raw,format=BGRA,width=128,height=64 ! c.sink_0 "
+        "videotestsrc num-buffers=2 pattern=smpte "
+        "! video/x-raw,format=NV12,width=38,height=24 ! c.sink_1 "
+        "vfmetalcompositor name=c background=black sink_1::xpos=30 "
+        "sink_1::ypos=40 ! appsink"
+    )
+    plain = _run_plain(desc, 2)
+    sp = _run_sp(desc, 2, {"dp": 1, "sp": 4})
+    for a, b in zip(sp, plain):
+        assert_frames_equal(a, b)
+
+
+def test_sp_stateful_pad_branch_multi_batch_bit_exact():
+    """Round-3 review finding 2: a replicated pad branch's plane-shaped
+    STATE (deinterlace prev-frame) must keep its replication in the
+    shard_map out_specs — sharding it stacked the replicas into an
+    n_sp-times-too-tall state, crashing the SECOND batch's re-feed."""
+    require_devices(8)
+    desc = (
+        "videotestsrc num-buffers=4 pattern=smpte "
+        "! video/x-raw,format=NV12,width=64,height=64 "
+        "! vfmetaldeinterlace method=greedyh ! c.sink_0 "
+        "vfmetalcompositor name=c background=black ! appsink"
+    )
+    plain = _run_plain(desc, 4, batch_size=2)
+    sp = _run_sp(desc, 4, {"dp": 1, "sp": 2}, batch_size=2)
+    assert len(sp) == len(plain) == 4
+    for a, b in zip(sp, plain):
+        assert_frames_equal(a, b)
+
+
 def test_sp_tee_multi_sink_bit_exact():
     """tee fan-out under sp: both branches (one with a vertical stencil)
     row-shard and every sink bit-matches the unsharded run."""

@@ -536,7 +536,20 @@ class Compositor(Element):
                 bg_drawn = bg_drawn * (1.0 - occ)
 
             def sample_draw(p):
-                """Premultiplied (r, g, b, a) source planes at pad size."""
+                """Premultiplied (r, g, b, a) source planes at pad size.
+
+                Pad planes are REPLICATED under sp (Pipeline._sp_plan), so
+                sampling must trace UNSHARDED: with the spatial axis live,
+                the 4:2:0 chroma row-upsample's halo exchange would
+                ppermute an unsharded operand and interior shards would
+                read the plane's OPPOSITE edge row instead of the clamped
+                edge row."""
+                from tpuvf.parallel import spctx
+
+                with spctx.spatial_axis(None):
+                    return _sample_draw(p)
+
+            def _sample_draw(p):
                 d = p["d"]
                 planes = pad_inputs[d["pad"].name]
                 if d["pad"].name in split_pads:
@@ -836,7 +849,16 @@ class Compositor(Element):
 
             def sample_draw_split(p):
                 """(even_chans, odd_chans) premultiplied column-phase source
-                planes at pad size (full-identity draws only)."""
+                planes at pad size (full-identity draws only).  Suspends
+                the spatial context like sample_draw: pad planes are
+                replicated, so the split readers' chroma row-upsample must
+                edge-clamp, not halo-exchange."""
+                from tpuvf.parallel import spctx
+
+                with spctx.spatial_axis(None):
+                    return _sample_draw_split(p)
+
+            def _sample_draw_split(p):
                 d = p["d"]
                 planes = pad_inputs[d["pad"].name]
                 if d["pad"].name in split_pads:

@@ -153,7 +153,13 @@ def parallel_batch_fn(step, mesh, params, dp_axis="dp", sp_axis=None,
             # eval_shape on GLOBAL shapes outside the spatial context (the
             # unsharded trace) just to learn the output pytree structure
             out_shapes = jax.eval_shape(scanned, planes, state_tiled, params)
-            out_specs = (tree_specs(out_shapes[0]), tree_specs(out_shapes[1]))
+            # the carried state keeps the SAME replication as its in_specs:
+            # a replicated branch's plane-shaped state (deinterlace
+            # prev-frame feeding a compositor pad) stays full-height on
+            # every sp shard — sharding it here would stack the replicas
+            # into an n_sp-times-too-tall state on the way out
+            out_specs = (tree_specs(out_shapes[0]),
+                         tree_specs(out_shapes[1], replicated_state))
         else:
             out_specs = (P(dp_axis), P(dp_axis))
 

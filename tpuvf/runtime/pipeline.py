@@ -1049,10 +1049,9 @@ class Pipeline:
         if pending is not None:
             try:
                 self._consume_all(sinks, codecs, sink_specs, *pending)
-            except Exception as exc:
-                raise PipelineError(
-                    sinks[0].name if sinks else "<pipeline>",
-                    pending[1], exc) from exc
+            except _StageFailure as sf:
+                raise PipelineError(sf.element_name, pending[1],
+                                    sf.cause) from sf
         self._state = state
         self.stats.frames += count
         self.stats.wall_seconds += time.perf_counter() - t_run
@@ -1158,8 +1157,15 @@ class Pipeline:
         multi = len(sinks) > 1
         for sk in sinks:
             planes = out[sk.name] if multi else out
-            self._consume(sk, codec_map.get(sk.name, ()),
-                          sink_specs[sk.name], planes, index)
+            try:
+                self._consume(sk, codec_map.get(sk.name, ()),
+                              sink_specs[sk.name], planes, index)
+            except (_StageFailure, PipelineError):
+                raise
+            except Exception as exc:
+                # name the sink whose consume/codec chain failed (a
+                # multi-sink graph would otherwise blame sinks[0])
+                raise _StageFailure(sk.name, exc) from exc
 
     def run_batched(self, num_frames: int, batch_size: int = 8,
                     mesh=None, sp_axis: Optional[str] = None,
@@ -1318,8 +1324,12 @@ class Pipeline:
                 for i in range(n):
                     frame_out = jax.tree_util.tree_map(
                         lambda v: v[i], host)
-                    self._consume_all(sinks, codecs, sink_specs,
-                                      frame_out, done + i)
+                    try:
+                        self._consume_all(sinks, codecs, sink_specs,
+                                          frame_out, done + i)
+                    except _StageFailure as sf:
+                        raise PipelineError(sf.element_name, done + i,
+                                            sf.cause) from sf
             done += n
         self._state = state
         self.stats.frames += done
