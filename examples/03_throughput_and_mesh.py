@@ -36,9 +36,11 @@ print("4-chip dp:", p2.stats.summary())
 
 # 3. data x spatial parallel: plane ROWS shard over the 'sp' axis; the
 # blur/deinterlace/chroma-upsample stencils exchange ppermute halos over
-# ICI and the output is pixel-exact vs the single-chip program.  (This
-# identity-size chain is sp-capable; scaling chains are rejected with a
-# clear error.)
+# ICI and the output is pixel-exact vs the single-chip program.  Scaled
+# geometry also row-shards (the resampling matmuls all-gather their row
+# operand over ICI and compute only each shard's output band); heights
+# that don't divide into even rows per shard are rejected with a clear
+# error.
 DESC_SP = ("videotestsrc num-buffers=8 pattern=ball "
            "! video/x-raw,format=NV12,width=320,height=184 "
            "! vfdeinterlace method=bob "

@@ -360,6 +360,40 @@ def test_sp_stateful_pad_branch_multi_batch_bit_exact():
         assert_frames_equal(a, b)
 
 
+def test_sp_state_continuity_across_calls_bit_exact():
+    """Round-3 review: the mesh path must publish the updated per-shard
+    state, so a second run_batched(mesh=...) call — and a following
+    non-mesh call (a dp=1 tiled state is the exact global stream state) —
+    continues the stream exactly like the non-mesh path does across
+    calls, instead of replaying the first-frame bob fallback.  (Each
+    call restarts the source clock at frame 0; only STATE carries — the
+    reference is therefore a non-mesh pipeline called the same way.)"""
+    require_devices(8)
+    desc = (
+        "videotestsrc num-buffers=2 pattern=ball "
+        "! video/x-raw,format=NV12,width=64,height=48 "
+        "! vfmetaldeinterlace method=greedyh ! appsink"
+    )
+    plain = parse_pipeline(desc)
+    plain.negotiate()
+    plain.build()
+    for _ in range(3):
+        plain.run_batched(2, batch_size=2)
+    p = parse_pipeline(desc)
+    p.negotiate()
+    p.build()
+    m = pmesh.make_mesh({"dp": 1, "sp": 2})
+    # two mesh calls (second resumes the held tiled state) + one
+    # non-mesh call (resumes via self._state published from dp=1)
+    p.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")
+    p.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")
+    p.run_batched(2, batch_size=2)
+    frames = p.sinks[0].frames
+    assert len(frames) == len(plain.sinks[0].frames) == 6
+    for a, b in zip(frames, plain.sinks[0].frames):
+        assert_frames_equal(a, b)
+
+
 def test_sp_tee_multi_sink_bit_exact():
     """tee fan-out under sp: both branches (one with a vertical stencil)
     row-shard and every sink bit-matches the unsharded run."""

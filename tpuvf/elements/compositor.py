@@ -1170,7 +1170,18 @@ class Compositor(Element):
                                    [r[..., 1] for r in rp])
 
             # -- render ---------------------------------------------------
+            from tpuvf.parallel import spctx as _spctx
+
+            sp_live = (_spctx.active_axis() is not None
+                       and _spctx.axis_size() > 1)
             if not prep:
+                if sp_live:
+                    # no draws: the masked bodies reduce to the row-sharded
+                    # background + sp-aware folds (the full-height canvas
+                    # below would be n_sp times too tall per shard)
+                    if split_out:
+                        return emit_phases(*render_masked_split(0)), state
+                    return emit_full(render_masked(0)), state
                 if split_out:
                     return emit_phases(
                         *apply_folds_split(*make_dst_split())), state
@@ -1184,10 +1195,6 @@ class Compositor(Element):
                             & (p["y"] == d["baked_y"])
                             & (pad_param(params, d["pad"].name, "operator")
                                == d["baked_op"]))
-            from tpuvf.parallel import spctx as _spctx
-
-            sp_live = (_spctx.active_axis() is not None
-                       and _spctx.axis_size() > 1)
             if split_out:
                 body = (render_masked_split if sp_live
                         else render_cells_split if cells

@@ -10,9 +10,11 @@ scales two ways instead:
   cross-chip traffic except at the edges.
 - **sp** (spatial parallel): plane rows spread across chips for frames too
   large or latency-critical for one chip.  Elementwise stages shard freely;
-  the row-sampling matmuls contract over the sharded axis and XLA inserts
-  the psum/all-gather over ICI; stencil stages (blur, deinterlace) use the
-  explicit halo exchange in tpuvf.parallel.halo.
+  the row-sampling matmuls all-gather their row operand over ICI and
+  compute only each shard's output band; stencil stages (blur,
+  deinterlace, chroma row-upsample) use the explicit ppermute halo
+  exchange in tpuvf.parallel.spctx (tpuvf.parallel.halo is the original
+  standalone prototype of the same exchange, kept for its tests).
 
 Shardings ride on jax.sharding.NamedSharding — no custom communication
 backend; collectives are XLA's, laid out over ICI.

@@ -300,6 +300,7 @@ class Pipeline:
 
         self._stages = stages
         self._state = state
+        self._mesh_state = None  # tiled per-shard state is build-specific
         self._built_signature = self._static_signature()
         self.stats = PipelineStats()
         for st in stages:
@@ -891,6 +892,7 @@ class Pipeline:
         self._comp_split_pads = {}
         self._codec_chain = {}
         self._state = None
+        self._mesh_state = None
         self._negotiated = False
 
     # -- output clock + per-source buffer selection -------------------------
@@ -1032,7 +1034,13 @@ class Pipeline:
                 # dispatch is async; the device round trip of the previous
                 # frame's readback hides behind this frame's compute)
                 if pending is not None:
-                    self._consume_all(sinks, codecs, sink_specs, *pending)
+                    try:
+                        self._consume_all(sinks, codecs, sink_specs,
+                                          *pending)
+                    except _StageFailure as sf:
+                        # report the CONSUMED frame's index, not i
+                        raise PipelineError(sf.element_name, pending[1],
+                                            sf.cause) from sf
                 pending = (out, i) if sinks else None
             except PipelineError:
                 raise
@@ -1258,6 +1266,15 @@ class Pipeline:
         state = self._state
         dp_state = self._state  # tiled after the first dp_run call
         dp_tiled = False
+        mesh_key = None
+        if dp_run is not None:
+            # resume the tiled per-shard state from a previous mesh call
+            # with the same axes (cross-call stream continuity — the
+            # non-mesh path gets this via self._state)
+            mesh_key = (tuple(sorted(mesh.shape.items())), sp_axis)
+            held = getattr(self, "_mesh_state", None)
+            if held is not None and held[0] == mesh_key:
+                dp_state, dp_tiled = held[1], True
         done = 0
         t_run = time.perf_counter()
         while done < num_frames:
@@ -1331,6 +1348,16 @@ class Pipeline:
                         raise PipelineError(sf.element_name, done + i,
                                             sf.cause) from sf
             done += n
+        if dp_run is not None:
+            # publish per-shard state for the next mesh call; a dp=1 tiled
+            # state IS the global stream state, so also publish it to
+            # self._state for subsequent run()/non-mesh calls (dp>1 keeps
+            # independent per-shard histories by design and leaves
+            # self._state untouched)
+            self._mesh_state = (mesh_key, dp_state)
+            if mesh.shape["dp"] == 1:
+                state = jax.tree_util.tree_map(
+                    lambda s: np.asarray(s)[0], dp_state)
         self._state = state
         self.stats.frames += done
         self.stats.wall_seconds += time.perf_counter() - t_run
