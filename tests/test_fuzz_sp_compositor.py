@@ -77,22 +77,50 @@ def _desc(rng, tmp_path):
     return desc
 
 
+def _animate(rng, p):
+    """Randomly move pad geometry OFF its baked values after build (the
+    traced-controllable-props analog) so the general/animated render
+    bodies — render_general_sp under sp — get fuzzed too."""
+    comp = next(e for e in p.elements if type(e).__name__ == "Compositor")
+    moves = []
+    for name in sorted(comp.pads):
+        if rng.random() < 0.5:
+            continue
+        bag = comp.get_pad(name)
+        prop = ["xpos", "ypos", "operator", "alpha"][rng.integers(4)]
+        if prop == "operator":
+            val = int(rng.integers(0, 3))
+        elif prop == "alpha":
+            val = float(rng.choice([0.0, 0.4, 1.0]))
+        else:
+            val = int(rng.integers(-40, 140))
+        bag.set(prop, val)
+        moves.append((name, prop, val))
+    assert not p._maybe_rebuild()  # animation must not recompile
+    return moves
+
+
 def _run_one(seed, tmp_path):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
     rng = np.random.default_rng(7000 + seed)
     desc = _desc(rng, tmp_path)
     axes = MESHES[rng.integers(len(MESHES))]
+    animate = rng.random() < 0.5
     try:
         plain = parse_pipeline(desc)
         plain.negotiate()
         plain.build()
+        if animate:
+            _animate(np.random.default_rng(7000 + seed + 500), plain)
         plain.run_batched(2, batch_size=2)
     except (ValueError, NotImplementedError):
         return "invalid", desc
     sp = parse_pipeline(desc)
     sp.negotiate()
     sp.build()
+    if animate:
+        _animate(np.random.default_rng(7000 + seed + 500), sp)
     m = pmesh.make_mesh(axes)
     try:
         sp.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")
