@@ -68,22 +68,50 @@ def _desc(rng):
     return desc
 
 
+def _animate(rng, p):
+    """Move controllable (traced) videofilter props off their baked values
+    after build — the GST_PARAM_CONTROLLABLE analog — so the traced-param
+    path is fuzzed under sp too.  Moves are gate-preserving: an effect
+    that was on at build stays on (static_config gates would otherwise
+    legitimately rebuild), while the always-traced props move freely."""
+    moved = False
+    for e in p.elements:
+        if type(e).__name__ != "VideoFilter":
+            continue
+        e.props.set("brightness", float(rng.uniform(-0.4, 0.4)))
+        e.props.set("contrast", float(rng.uniform(0.6, 1.4)))
+        e.props.set("saturation", float(rng.uniform(0.5, 1.5)))
+        for gated, lo, hi in (("vignette", 0.1, 0.9), ("noise", 0.1, 0.9),
+                              ("hue", 0.05, 0.8), ("sharpness", 0.05, 0.9)):
+            if abs(e.props.get(gated)) > 0.001 and rng.random() < 0.7:
+                e.props.set(gated, float(rng.uniform(lo, hi)))
+        moved = True
+    if moved:
+        assert not p._maybe_rebuild()  # animation must not recompile
+    return moved
+
+
 def _run_one(seed):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
     rng = np.random.default_rng(1000 + seed)
     desc = _desc(rng)
     axes = MESHES[rng.integers(len(MESHES))]
+    animate = rng.random() < 0.5
     try:
         plain = parse_pipeline(desc)
         plain.negotiate()
         plain.build()
+        if animate:
+            _animate(np.random.default_rng(1000 + seed + 500), plain)
         plain.run_batched(2, batch_size=2)
     except (ValueError, NotImplementedError):
         return "invalid", desc  # chain itself rejected; nothing to compare
     sp = parse_pipeline(desc)
     sp.negotiate()
     sp.build()
+    if animate:
+        _animate(np.random.default_rng(1000 + seed + 500), sp)
     m = pmesh.make_mesh(axes)
     try:
         sp.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")
