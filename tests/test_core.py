@@ -117,7 +117,8 @@ def test_png_16bit_high_byte():
 
     g16 = (RNG.integers(0, 65535, (8, 8), dtype=np.int64)).astype(np.uint16)
     buf = io.BytesIO()
-    Image.fromarray(g16, "I;16B" if hasattr(Image, "frombuffer") else "I;16").save(buf, format="PNG")
+    # PIL infers I;16 for uint16 arrays and always writes big-endian PNG
+    Image.fromarray(g16).save(buf, format="PNG")
     try:
         got = png.decode(buf.getvalue())
     except png.PngError:

@@ -128,7 +128,7 @@ def banded_resample_rows(img: jnp.ndarray, t: np.ndarray, interpret=False):
         num_scalar_prefetch=3,  # starts, i0, w0
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # full image, DMA'd manually
+            pl.BlockSpec(memory_space=pl.ANY),  # full image, DMA'd manually
         ],
         out_specs=pl.BlockSpec(
             (TILE_OUT, w), lambda tile, *_: (tile, 0),
