@@ -123,6 +123,13 @@ def _run_one(seed):
     a_frames, b_frames = sp.sinks[0].frames, plain.sinks[0].frames
     assert len(a_frames) == len(b_frames) == 2, desc
     grain = "noise" in desc
+    # dp>1 splits the batch across shards, so each shard's program has a
+    # DIFFERENT batch dim than the unsharded run — XLA reassociates FMAs
+    # per program shape, flipping quantize knife edges by 1 LSB (measured:
+    # unsharded batch_size=1 vs =2 shows the identical flips with NO mesh
+    # at all).  sp-only meshes keep the batch shape, so they stay
+    # bit-exact.
+    batch_chaos = axes.get("dp", 1) > 1
     for a, b in zip(a_frames, b_frames):
         planes_a = a if isinstance(a, dict) else {"m": a}
         planes_b = b if isinstance(b, dict) else {"m": b}
@@ -132,6 +139,10 @@ def _run_one(seed):
                 d = np.abs(planes_a[k].astype(int) - planes_b[k].astype(int))
                 assert d.max() <= 4, f"{desc} mesh={axes}"
                 assert (d > 0).mean() < 0.01, f"{desc} mesh={axes}"
+            elif batch_chaos:
+                d = np.abs(planes_a[k].astype(int) - planes_b[k].astype(int))
+                assert d.max() <= 1, f"{desc} mesh={axes} max diff {d.max()}"
+                assert (d > 0).mean() < 0.005, f"{desc} mesh={axes}"
             else:
                 np.testing.assert_array_equal(
                     planes_a[k], planes_b[k],
