@@ -96,3 +96,12 @@ def test_all_elements_registered_with_aliases():
         cls = lookup(name)
         assert cls.ELEMENT_NAME.startswith("vf")
         assert cls.DESCRIPTION
+
+
+def test_stock_gst_names_resolve():
+    # the reference positions its elements as drop-in replacements for
+    # the stock CPU elements (README.md:3,20,98) — the stock names
+    # resolve to the corresponding vf element
+    assert lookup("videoconvert") is lookup("vfmetalconvertscale")
+    assert lookup("videoscale") is lookup("vfmetalconvertscale")
+    assert lookup("autovideosink") is lookup("vfmetalvideosink")

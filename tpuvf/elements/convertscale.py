@@ -32,7 +32,12 @@ METHOD_NEAREST = 1
 @register
 class ConvertScale(Element):
     ELEMENT_NAME = "vfconvertscale"
-    ALIASES = ("vfmetalconvertscale", "convertscale")
+    # videoconvert/videoscale: the reference positions vfmetalconvertscale
+    # as the drop-in replacement for both (README.md:3,20); with
+    # passthrough elision the superset behaves identically under the same
+    # caps, so the stock names resolve here too.
+    ALIASES = ("vfmetalconvertscale", "convertscale",
+               "videoconvert", "videoscale")
     KLASS = "Filter/Converter/Video/Scaler"
     DESCRIPTION = "Converts video format and scales using the MXU"
     IN_FORMATS = ALL_FORMATS

@@ -56,7 +56,9 @@ def center_rect(src_w, src_h, dst_w, dst_h, scaling=True):
 @register
 class VideoSink(SinkElement):
     ELEMENT_NAME = "vfvideosink"
-    ALIASES = ("vfmetalvideosink", "videosink")
+    # autovideosink: the auto-pick resolves to the one windowed sink
+    # (README.md:98,106 uses it interchangeably with vfmetalvideosink).
+    ALIASES = ("vfmetalvideosink", "videosink", "autovideosink")
     KLASS = "Sink/Video"
     DESCRIPTION = "Renders video into a window buffer with aspect-fit scaling"
     IN_FORMATS = CORE_FORMATS
