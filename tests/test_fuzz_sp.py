@@ -27,6 +27,18 @@ SIZES = [(64, 48), (128, 96), (64, 32), (96, 64), (37, 23), (62, 46)]
 MESHES = [{"dp": 1, "sp": 2}, {"dp": 2, "sp": 2}, {"dp": 1, "sp": 4},
           {"dp": 2, "sp": 4}, {"dp": 1, "sp": 8}]
 
+def _fuzz_png():
+    """A deterministic RGBA overlay image on disk (parse-time dependency
+    of vfmetaloverlay)."""
+    import os
+    from tpuvf.io import png as tpng
+    path = "/tmp/tpuvf-fuzz-overlay.png"
+    if not os.path.exists(path):
+        r = np.random.default_rng(7)
+        tpng.write(path, r.integers(0, 256, (12, 20, 4)).astype(np.uint8))
+    return path
+
+
 ELEMENTS = [
     "vfmetalvideofilter brightness=0.2",
     "vfmetalvideofilter sharpness=0.6 vignette=0.3",
@@ -35,9 +47,12 @@ ELEMENTS = [
     "vfmetaltransform method=clockwise",
     "vfmetaltransform method=vertical-flip",
     "vfmetaltransform crop-top=3 crop-left=5",
+    "vfmetaltransform method=upper-left-diagonal crop-bottom=2 crop-right=3",
     "vfmetaldeinterlace method=greedyh",
     "vfmetaldeinterlace method=bob",
     "vfmetalconvertscale",
+    "vfmetaloverlay location={png} relative-x=0.7 relative-y=0.6 alpha=0.8",
+    "vfmetaloverlay location={png} x=9 y=5",
     "queue",
     "identity",
 ]
@@ -56,14 +71,22 @@ def _desc(rng):
         f"! video/x-raw,format={fmt},width={w},height={h} "
     )
     for _ in range(rng.integers(1, 4)):
-        desc += f"! {ELEMENTS[rng.integers(len(ELEMENTS))]} "
+        desc += "! {} ".format(
+            ELEMENTS[rng.integers(len(ELEMENTS))].format(png=_fuzz_png()))
         if rng.random() < 0.3:
             # intermediate caps: format and/or geometry change (the sp
             # all_gather resampling path)
             f2 = FORMATS[rng.integers(4)]  # planar/RGB intermediates
             w2, h2 = SIZES[rng.integers(4)]  # sp-friendly sizes
-            desc += f"! vfmetalconvertscale "
-            desc += f"! video/x-raw,format={f2},width={w2},height={h2} "
+            if rng.random() < 0.25:
+                # caps RANGES: fixation picks the size (reference
+                # transform_caps semantics, gstvfmetalconvertscale.m)
+                desc += ("! vfmetalconvertscale "
+                         f"! video/x-raw,format={f2},width=[16,{w2}],"
+                         f"height=[16,{h2}] ")
+            else:
+                desc += f"! vfmetalconvertscale "
+                desc += f"! video/x-raw,format={f2},width={w2},height={h2} "
     desc += "! appsink"
     return desc
 
@@ -101,6 +124,12 @@ def _run_one(seed):
     try:
         plain = parse_pipeline(desc)
         plain.negotiate()
+        # a geometry change anywhere means a resampling matmul consumes
+        # upstream compute through the sp all_gather boundary (see the
+        # comparison tolerance below)
+        dims = {(ln.spec.width, ln.spec.height)
+                for ln in plain.links if ln.spec is not None}
+        resampled = len(dims) > 1
         plain.build()
         if animate:
             _animate(np.random.default_rng(1000 + seed + 500), plain)
@@ -123,13 +152,21 @@ def _run_one(seed):
     a_frames, b_frames = sp.sinks[0].frames, plain.sinks[0].frames
     assert len(a_frames) == len(b_frames) == 2, desc
     grain = "noise" in desc
-    # dp>1 splits the batch across shards, so each shard's program has a
-    # DIFFERENT batch dim than the unsharded run — XLA reassociates FMAs
-    # per program shape, flipping quantize knife edges by 1 LSB (measured:
-    # unsharded batch_size=1 vs =2 shows the identical flips with NO mesh
-    # at all).  sp-only meshes keep the batch shape, so they stay
-    # bit-exact.
-    batch_chaos = axes.get("dp", 1) > 1
+    # Two measured 1-LSB knife-edge sources, both program-shape artifacts
+    # and neither a sharding-semantics bug:
+    # (1) dp>1 splits the batch across shards, so each shard's program has
+    #     a DIFFERENT batch dim than the unsharded run — XLA reassociates
+    #     FMAs per program shape (measured: unsharded batch_size=1 vs =2
+    #     shows the identical flips with NO mesh at all).
+    # (2) resampling fed by upstream compute: the sp all_gather
+    #     MATERIALIZES the producer expression to f32 at the boundary,
+    #     while the unsharded program fuses it into the sampling matmul —
+    #     one extra rounding at the boundary (measured: sp=2 and sp=4 are
+    #     bitwise IDENTICAL to each other at the same ~0.1% knife-edge
+    #     pixels, which a halo bug could not be).
+    # Identity-geometry sp-only chains — the halo-sensitive class — must
+    # stay bit-exact.
+    batch_chaos = axes.get("dp", 1) > 1 or resampled
     for a, b in zip(a_frames, b_frames):
         planes_a = a if isinstance(a, dict) else {"m": a}
         planes_b = b if isinstance(b, dict) else {"m": b}
@@ -150,7 +187,12 @@ def _run_one(seed):
     return "ran", desc
 
 
-@pytest.mark.parametrize("seed", range(30))
+import os
+
+N_SEEDS = int(os.environ.get("TPUVF_FUZZ_SEEDS", "30"))
+
+
+@pytest.mark.parametrize("seed", range(N_SEEDS))
 def test_random_sp_chain(seed):
     _run_one(seed)
 

@@ -148,7 +148,12 @@ def _run_one(seed, tmp_path):
     return "ran", desc
 
 
-@pytest.mark.parametrize("seed", range(20))
+import os
+
+N_SEEDS = int(os.environ.get("TPUVF_FUZZ_SEEDS", "20"))
+
+
+@pytest.mark.parametrize("seed", range(N_SEEDS))
 def test_random_sp_compositor(seed, tmp_path):
     _run_one(seed, tmp_path)
 
