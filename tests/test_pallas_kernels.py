@@ -25,6 +25,63 @@ def test_banded_resample_matches_dense(in_h, out_h):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.parametrize("logical,out_h", [(540, 480), (33, 60), (130, 64)])
+def test_banded_resample_padded_rows(logical, out_h):
+    """Non-8-multiple logical heights ride a bottom-padded operand with
+    sample_rows: pad rows are never read with nonzero weight, so the
+    result matches the dense sampler on the unpadded plane."""
+    rng = np.random.default_rng(7)
+    w = 128
+    img = rng.random((logical, w), dtype=np.float32)
+    pad = (-logical) % 8
+    padded = jnp.asarray(np.pad(img, ((0, pad), (0, 0))))
+    t = sample.texcoords(out_h)
+    want = np.asarray(
+        sample.apply_separable(
+            jnp.asarray(img), sample.sample_matrix(t, logical, sample.LINEAR),
+            np.eye(w, dtype=np.float32),
+        )
+    )
+    got = np.asarray(presample.banded_resample_rows(
+        padded, t, interpret=True, sample_rows=logical))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_banded_resample_sample_rows_validation():
+    img = jnp.zeros((16, 128), jnp.float32)
+    t = sample.texcoords(8)
+    with pytest.raises(ValueError):
+        presample.banded_resample_rows(img, t, interpret=True, sample_rows=17)
+
+
+def test_blockband_plan_matches_dense():
+    """The block-banded column decomposition reproduces the dense product
+    (<= 1 ulp; dropped terms are exact zeros) and skips the dead MACs."""
+    from tpuvf.kernels import convert
+
+    for in_w, out_w, scale in [(1920, 640, 1.0), (960, 640, 1.0),
+                               (640, 512, 0.8)]:
+        t = sample.texcoords(out_w, scale)
+        mask = sample.coverage_mask(out_w, scale)
+        w = sample.sample_matrix(t, in_w, sample.LINEAR, mask)
+        plan = convert._blockband_plan(w)
+        if plan is None:
+            continue
+        rng = np.random.default_rng(8)
+        img = rng.random((48, in_w), dtype=np.float32)
+        want = img @ w.T
+        outs = []
+        for (o0, o1, lo, hi) in plan:
+            if hi == lo:
+                outs.append(np.zeros((48, o1 - o0), np.float32))
+            else:
+                outs.append(img[:, lo:hi] @ w[o0:o1, lo:hi].T)
+        got = np.concatenate(outs, axis=1)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        macs = sum((o1 - o0) * (hi - lo) for o0, o1, lo, hi in plan)
+        assert macs < 0.6 * w.shape[0] * w.shape[1]
+
+
 def test_banded_resample_letterbox_coords():
     """Out-of-range texcoords clamp to the edge rows exactly like the dense
     sampler with clamped weights."""

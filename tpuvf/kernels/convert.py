@@ -170,7 +170,9 @@ def sample_rgba(
 def _use_pallas_banded(in_size, axis, filter, scale) -> bool:
     """Row-axis dense resampling goes through the Pallas banded kernel on
     TPU (1.2-2.4x faster than the dense matmul, numerically identical);
-    columns stay on the MXU."""
+    columns stay on the MXU.  Non-8-multiple heights (540-row 1080p
+    chroma) ride the same kernel over a bottom-padded operand
+    (sample_rows keeps the logical clamp-to-edge semantics)."""
     import os
 
     if os.environ.get("TPUVF_NO_PALLAS"):
@@ -179,13 +181,44 @@ def _use_pallas_banded(in_size, axis, filter, scale) -> bool:
 
     if spctx.active_axis() is not None:
         return False  # row-sharded: the halo-aware XLA upsample runs instead
-    if axis != -2 or filter != LINEAR or scale != 1.0 or in_size % 8 != 0:
+    if axis != -2 or filter != LINEAR or scale != 1.0:
         return False
+    if in_size % 8 != 0 and os.environ.get("TPUVF_NO_PALLAS_PAD"):
+        return False  # A/B knob: re-gate the padded-operand variant
     try:
 
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
+
+
+def _blockband_plan(w: np.ndarray, tile: int = 128):
+    """Static output-tile -> nonzero input span decomposition of a banded
+    sampling matrix, or None when tiling would not drop enough MACs.
+
+    Bilinear/nearest sampling matrices have <= 2 nonzeros per output row,
+    so a DOWNSCALE matmul wastes most of its MACs on exact zeros; slicing
+    each 128-output tile to its nonzero input span keeps the MXU shapes
+    dense while skipping the dead work.  Dropped terms are exact f32
+    zeros; results agree with the dense product to <= 1 ulp (MXU K-tile
+    accumulation boundaries can shift by the slice offset), inside the
+    quantization parity budget."""
+    out_n, in_n = w.shape
+    plan = []
+    dense_macs = out_n * in_n
+    macs = 0
+    for o0 in range(0, out_n, tile):
+        o1 = min(o0 + tile, out_n)
+        nz = np.nonzero(w[o0:o1].any(axis=0))[0]
+        if len(nz) == 0:
+            plan.append((o0, o1, 0, 0))  # letterbox void tile: emit zeros
+            continue
+        lo, hi = int(nz.min()), int(nz.max()) + 1
+        plan.append((o0, o1, lo, hi))
+        macs += (o1 - o0) * (hi - lo)
+    if macs > 0.6 * dense_macs or len(plan) < 2:
+        return None
+    return plan
 
 
 def plan_axis_sampler(in_size, out_size, axis, filter, scale, bufs):
@@ -202,6 +235,11 @@ def plan_axis_sampler(in_size, out_size, axis, filter, scale, bufs):
     mask = sample.coverage_mask(out_size, scale)
     w = sample.sample_matrix(t, in_size, filter, mask)
     fetch = bufs.add(w, f"ax{axis}_")
+    import os
+
+    cols_plan = None
+    if axis == -1 and not os.environ.get("TPUVF_NO_BLOCKBAND"):
+        cols_plan = _blockband_plan(w)
 
     def run_dense(img, params):
         wm = fetch(params)
@@ -222,6 +260,23 @@ def plan_axis_sampler(in_size, out_size, axis, filter, scale, bufs):
                 preferred_element_type=jnp.float32,
                 precision=sample.MATMUL_PRECISION,
             )
+        if cols_plan is not None:
+            # block-banded downscale: each 128-column output tile
+            # contracts only its nonzero input span (see _blockband_plan)
+            outs = []
+            for (o0, o1, lo, hi) in cols_plan:
+                if hi == lo:
+                    outs.append(jnp.zeros(
+                        img.shape[:-1] + (o1 - o0,), jnp.float32))
+                    continue
+                seg = jax.lax.slice_in_dim(img, lo, hi, axis=-1)
+                blk = jax.lax.slice(wm, (o0, lo), (o1, hi))
+                outs.append(jnp.einsum(
+                    "...hw,ow->...ho", seg, blk,
+                    preferred_element_type=jnp.float32,
+                    precision=sample.MATMUL_PRECISION,
+                ))
+            return jnp.concatenate(outs, axis=-1)
         return jnp.einsum(
             "...hw,ow->...ho", img, wm,
             preferred_element_type=jnp.float32,
@@ -233,6 +288,15 @@ def plan_axis_sampler(in_size, out_size, axis, filter, scale, bufs):
 
         t_np = sample.texcoords(out_size, scale)
 
+        row_pad = (-in_size) % 8  # Mosaic band slices need 8-aligned rows
+
+        def one_plane(img2d):
+            if row_pad:
+                img2d = jnp.pad(img2d, ((0, row_pad), (0, 0)))
+                return pres.banded_resample_rows(
+                    img2d, t_np, sample_rows=in_size)
+            return pres.banded_resample_rows(img2d, t_np)
+
         def run_banded(img, params):
             from tpuvf.parallel import spctx
 
@@ -242,13 +306,10 @@ def plan_axis_sampler(in_size, out_size, axis, filter, scale, bufs):
                 # traces take the dense gather+slice path instead
                 return run_dense(img, params)
             if img.ndim == 2:
-                return pres.banded_resample_rows(img, t_np)
+                return one_plane(img)
             # leading channel axes: one kernel call per channel
             flat = img.reshape((-1,) + img.shape[-2:])
-            outs = [
-                pres.banded_resample_rows(flat[c], t_np)
-                for c in range(flat.shape[0])
-            ]
+            outs = [one_plane(flat[c]) for c in range(flat.shape[0])]
             out = jnp.stack(outs, axis=0)
             return out.reshape(img.shape[:-2] + out.shape[-2:])
 

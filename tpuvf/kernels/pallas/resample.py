@@ -94,25 +94,39 @@ def _make_kernel(band: int, width: int):
     return kernel
 
 
-def banded_resample_rows(img: jnp.ndarray, t: np.ndarray, interpret=False):
+def banded_resample_rows(img: jnp.ndarray, t: np.ndarray, interpret=False,
+                         sample_rows: int | None = None):
     """img (H, W) float32 -> (len(t), W): linear row resample at texcoords t.
 
     Requires monotonic t (true for all samplers here).  W should be a
     multiple of 128 for efficiency (padded otherwise).
+
+    `sample_rows` is the LOGICAL input height when the operand carries
+    alignment pad rows at the bottom (Mosaic's HBM band slices need
+    8-aligned offsets, so a 540-row chroma plane is padded to 544 and
+    sampled with sample_rows=540): texcoords and the clamp-to-edge taps
+    use the logical height, so pad-row contents are never read with
+    nonzero weight and the result is identical to the dense sampler on
+    the unpadded plane.
     """
     in_h, w = img.shape
+    logical = in_h if sample_rows is None else sample_rows
+    if not 2 <= logical <= in_h:
+        raise ValueError(f"sample_rows {logical} out of range for {in_h}")
     out_h = len(t)
     if in_h % 8 != 0:
         raise ValueError("banded_resample_rows needs in_h % 8 == 0 "
-                         "(Mosaic sublane alignment); use the dense sampler")
+                         "(Mosaic sublane alignment); pad the operand and "
+                         "pass sample_rows, or use the dense sampler")
     # the manual HBM band slice requires lane (width) alignment to the
     # 128-lane tiling — pad narrow images and slice the result back
     pad_w = (-w) % 128
     if pad_w:
         out = banded_resample_rows(
-            jnp.pad(img, ((0, 0), (0, pad_w))), t, interpret)
+            jnp.pad(img, ((0, 0), (0, pad_w))), t, interpret,
+            sample_rows=sample_rows)
         return out[:, :w]
-    i0, w0 = plan_rows(np.asarray(t, np.float64), in_h)
+    i0, w0 = plan_rows(np.asarray(t, np.float64), logical)
     pad_out = (-out_h) % TILE_OUT
     if pad_out:
         i0 = np.concatenate([i0, np.repeat(i0[-1:], pad_out)])
