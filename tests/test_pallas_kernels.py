@@ -82,6 +82,30 @@ def test_blockband_plan_matches_dense():
         assert macs < 0.6 * w.shape[0] * w.shape[1]
 
 
+def test_apply_separable_blockband_rotate():
+    """apply_separable with blockband plans reproduces the dense product
+    for the transform's reversed (rotate) and crop-scaled matrices."""
+    rng = np.random.default_rng(11)
+    h, w = 480, 640
+    img = jnp.asarray(rng.random((h, w), dtype=np.float32))
+    # rotate-180 with a crop: reversed texcoords over a cropped span
+    src_u = np.linspace(0.9, 0.1, w)
+    src_v = np.linspace(0.85, 0.05, h)
+    wx = sample.sample_matrix(src_u, w, sample.LINEAR)
+    wy = sample.sample_matrix(src_v, h, sample.LINEAR)
+    for m in (wx, wy):
+        plan = sample.blockband_plan(m)
+        assert plan is not None
+        macs = sum((o1 - o0) * (hi - lo) for o0, o1, lo, hi in plan)
+        assert macs < 0.6 * m.shape[0] * m.shape[1]
+    dense = sample.apply_separable(img, jnp.asarray(wy), jnp.asarray(wx))
+    banded = sample.apply_separable(
+        img, wy, wx,
+        sample.blockband_plan(wy), sample.blockband_plan(wx))
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(dense),
+                               atol=2e-6)
+
+
 def test_banded_resample_letterbox_coords():
     """Out-of-range texcoords clamp to the edge rows exactly like the dense
     sampler with clamped weights."""

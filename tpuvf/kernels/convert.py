@@ -192,33 +192,7 @@ def _use_pallas_banded(in_size, axis, filter, scale) -> bool:
         return False
 
 
-def _blockband_plan(w: np.ndarray, tile: int = 128):
-    """Static output-tile -> nonzero input span decomposition of a banded
-    sampling matrix, or None when tiling would not drop enough MACs.
-
-    Bilinear/nearest sampling matrices have <= 2 nonzeros per output row,
-    so a DOWNSCALE matmul wastes most of its MACs on exact zeros; slicing
-    each 128-output tile to its nonzero input span keeps the MXU shapes
-    dense while skipping the dead work.  Dropped terms are exact f32
-    zeros; results agree with the dense product to <= 1 ulp (MXU K-tile
-    accumulation boundaries can shift by the slice offset), inside the
-    quantization parity budget."""
-    out_n, in_n = w.shape
-    plan = []
-    dense_macs = out_n * in_n
-    macs = 0
-    for o0 in range(0, out_n, tile):
-        o1 = min(o0 + tile, out_n)
-        nz = np.nonzero(w[o0:o1].any(axis=0))[0]
-        if len(nz) == 0:
-            plan.append((o0, o1, 0, 0))  # letterbox void tile: emit zeros
-            continue
-        lo, hi = int(nz.min()), int(nz.max()) + 1
-        plan.append((o0, o1, lo, hi))
-        macs += (o1 - o0) * (hi - lo)
-    if macs > 0.6 * dense_macs or len(plan) < 2:
-        return None
-    return plan
+_blockband_plan = sample.blockband_plan  # shared planner (kernels.sample)
 
 
 def plan_axis_sampler(in_size, out_size, axis, filter, scale, bufs):

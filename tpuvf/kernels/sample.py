@@ -109,8 +109,84 @@ def resize_matrices(
     return wy, wx, mask
 
 
-def apply_separable(img: jnp.ndarray, wy: np.ndarray, wx: np.ndarray) -> jnp.ndarray:
+def blockband_plan(w: np.ndarray, tile: int = 128):
+    """Static output-tile -> nonzero input span decomposition of a banded
+    sampling matrix, or None when tiling would not drop enough MACs.
+
+    Bilinear/nearest sampling matrices have <= 2 nonzeros per output row,
+    so a scaled (or rotated/cropped) matmul wastes most of its MACs on
+    exact zeros; slicing each `tile`-output block to its nonzero input
+    span keeps the MXU shapes dense while skipping the dead work.
+    Dropped terms are exact f32 zeros; results agree with the dense
+    product to <= 1 ulp (MXU K-tile accumulation boundaries can shift by
+    the slice offset), inside the quantization parity budget.  Works for
+    any row-banded structure incl. the transform's reversed (rotate-180)
+    and crop-scaled matrices — only per-tile span width matters."""
+    import os
+
+    if os.environ.get("TPUVF_NO_BLOCKBAND"):
+        return None  # A/B knob
+    out_n, in_n = w.shape
+    plan = []
+    dense_macs = out_n * in_n
+    macs = 0
+    for o0 in range(0, out_n, tile):
+        o1 = min(o0 + tile, out_n)
+        nz = np.nonzero(w[o0:o1].any(axis=0))[0]
+        if len(nz) == 0:
+            plan.append((o0, o1, 0, 0))  # masked void tile: emit zeros
+            continue
+        lo, hi = int(nz.min()), int(nz.max()) + 1
+        plan.append((o0, o1, lo, hi))
+        macs += (o1 - o0) * (hi - lo)
+    if macs > 0.6 * dense_macs or len(plan) < 2:
+        return None
+    return plan
+
+
+def _blockband_rows(img: jnp.ndarray, wy: jnp.ndarray, plan) -> jnp.ndarray:
+    """Rows contraction "oh,...hw->...ow" over a blockband_plan."""
+    outs = []
+    for (o0, o1, lo, hi) in plan:
+        if hi == lo:
+            outs.append(jnp.zeros(
+                img.shape[:-2] + (o1 - o0, img.shape[-1]), jnp.float32))
+            continue
+        seg = jax.lax.slice_in_dim(img, lo, hi, axis=-2)
+        blk = jax.lax.slice(wy, (o0, lo), (o1, hi))
+        outs.append(jnp.einsum(
+            "oh,...hw->...ow", blk, seg,
+            preferred_element_type=jnp.float32, precision=MATMUL_PRECISION,
+        ))
+    return jnp.concatenate(outs, axis=-2)
+
+
+def _blockband_cols(img: jnp.ndarray, wx: jnp.ndarray, plan) -> jnp.ndarray:
+    """Cols contraction "...ow,pw->...op" over a blockband_plan."""
+    outs = []
+    for (o0, o1, lo, hi) in plan:
+        if hi == lo:
+            outs.append(jnp.zeros(
+                img.shape[:-1] + (o1 - o0,), jnp.float32))
+            continue
+        seg = jax.lax.slice_in_dim(img, lo, hi, axis=-1)
+        blk = jax.lax.slice(wx, (o0, lo), (o1, hi))
+        outs.append(jnp.einsum(
+            "...ow,pw->...op", seg, blk,
+            preferred_element_type=jnp.float32, precision=MATMUL_PRECISION,
+        ))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def apply_separable(img: jnp.ndarray, wy: np.ndarray, wx: np.ndarray,
+                    wy_plan=None, wx_plan=None) -> jnp.ndarray:
     """Contract (..., H, W) float32 with row/col sampling matrices on the MXU.
+
+    `wy_plan`/`wx_plan` are optional blockband_plan decompositions of the
+    matrices (computed at plan time from the static numpy weights): each
+    output tile then contracts only its nonzero input span.  Plans are
+    dropped on sharded operands — the sharded weight slice is traced, so
+    the static spans no longer line up.
 
     Under spatial row sharding (parallel.spctx) a row-sharded operand is
     first all-gathered (the contraction over H/W is frame-global), and the
@@ -120,6 +196,10 @@ def apply_separable(img: jnp.ndarray, wy: np.ndarray, wx: np.ndarray) -> jnp.nda
     LAST position — detected by the wx contraction size and gathered along
     that axis instead.  Fully replicated operands (compositor pad branches)
     pass through untouched."""
+    if wy_plan is None and isinstance(wy, np.ndarray):
+        wy_plan = blockband_plan(wy)
+    if wx_plan is None and isinstance(wx, np.ndarray):
+        wx_plan = blockband_plan(wx)
     wy = jnp.asarray(wy, jnp.float32)
     wx = jnp.asarray(wx, jnp.float32)
     from tpuvf.parallel import spctx
@@ -146,11 +226,17 @@ def apply_separable(img: jnp.ndarray, wy: np.ndarray, wx: np.ndarray) -> jnp.nda
                 raise ValueError(
                     f"output rows {wy.shape[0]} not divisible by sp={n}")
             wy = spctx.shard_rows(wy, wy.shape[0] // n)
+            wy_plan = wx_plan = None  # shard slice offsets are traced
     # (..., H, W) -> (..., oH, W) -> (..., oH, oW)
-    tmp = jnp.einsum(
-        "oh,...hw->...ow", wy, img,
-        preferred_element_type=jnp.float32, precision=MATMUL_PRECISION,
-    )
+    if wy_plan is not None:
+        tmp = _blockband_rows(img, wy, wy_plan)
+    else:
+        tmp = jnp.einsum(
+            "oh,...hw->...ow", wy, img,
+            preferred_element_type=jnp.float32, precision=MATMUL_PRECISION,
+        )
+    if wx_plan is not None:
+        return _blockband_cols(tmp, wx, wx_plan)
     return jnp.einsum(
         "...ow,pw->...op", tmp, wx,
         preferred_element_type=jnp.float32, precision=MATMUL_PRECISION,
