@@ -498,6 +498,12 @@ def plan_rgba_sampler_split(in_spec: FrameSpec, filter: str = LINEAR,
                 nxt = _shift_edge(cf, -1, +1)
                 return 0.25 * prev + 0.75 * cf, 0.75 * cf + 0.25 * nxt
             cf = jnp.repeat(cf, 2, axis=-2)  # nearest
+            # Barrier the repeat: without it XLA sinks the yuv_to_rgb
+            # coefficient muls to half-res and re-materializes the
+            # sublane-interleave relayout once PER CONSUMER — the
+            # deinterlace trace showed six (1080,960) f32 copies
+            # (~58 us/frame) where one per chroma plane suffices.
+            cf = jax.lax.optimization_barrier(cf)
             return cf, cf
 
         u_e, u_o = chroma(planes["u"])
