@@ -961,12 +961,54 @@ class Compositor(Element):
                 variant, scripts/profile_comp5.py)."""
                 zero_u8 = jnp.zeros((), jnp.uint8)
                 wp = out_w // 2
+
+                def lazy_phase_readers(p):
+                    """Per-phase window readers for split-provisioned RGB
+                    pads, or None.  Cells partition the canvas, so each
+                    source pixel lands in exactly one cell: slicing the raw
+                    u8 input planes per cell and premultiplying inside the
+                    cell's blend+quantize fold computes the same values
+                    (identical op order as sample_draw_split's prem) while
+                    skipping the full-size premultiplied f32 planes — the
+                    config-5 trace showed those materializing ~100 us/frame
+                    because the per-cell slices made them multi-consumer."""
+                    from tpuvf.kernels.color import as_unit_float
+
+                    d = p["d"]
+                    if (d["pad"].name not in split_pads
+                            or d["fmt"] not in RGB_FORMATS):
+                        return None
+                    planes = pad_inputs[d["pad"].name]
+                    k = p["alpha"] * p["draw"]
+                    names = ("r", "g", "b", "a")
+
+                    def make(suffix):
+                        def read(c, sy, sx):
+                            a = as_unit_float(
+                                planes[f"a_{suffix}"][sy, sx]) * k
+                            if c == 3:
+                                return a
+                            v = as_unit_float(
+                                planes[f"{names[c]}_{suffix}"][sy, sx])
+                            return v * a
+                        return read
+
+                    return make("e"), make("o")
+
+                def eager_phase_readers(planes_pair):
+                    def make(ph):
+                        return lambda c, sy, sx: ph[c][sy, sx]
+                    return make(planes_pair[0]), make(planes_pair[1])
+
                 sampled = []
                 for p in prep:
                     r = _baked_rect(p)
                     if r is None:
                         continue
-                    sampled.append((p, r, sample_draw_split(p)))
+                    readers = lazy_phase_readers(p)
+                    if readers is None:
+                        readers = eager_phase_readers(sample_draw_split(p))
+                    sampled.append((p, r, readers))
                 out_e, out_o = [], []
                 for phase_i in (0, 1):
                     bg_fetch = fetch_bg_e if phase_i == 0 else fetch_bg_o
@@ -994,6 +1036,12 @@ class Compositor(Element):
                                 | {e["c1"] for e in entries})
                     ys = sorted({0, out_h} | {e["y0"] for e in entries}
                                 | {e["y1"] for e in entries})
+                    # NOTE (measured, round 3): folding the overlay mixes
+                    # INTO the cell grid (rect edges as extra cuts, mix
+                    # applied per covered cell) was tried and is ~80 us
+                    # SLOWER at 4K — the extra edges fragment the big
+                    # cells into lane-unaligned concat pieces.  The
+                    # post-pass apply_folds_split DUS stands.
                     xs = [v for v in xs if 0 <= v <= wp]
                     ys = [v for v in ys if 0 <= v <= out_h]
                     chans = []
@@ -1020,8 +1068,8 @@ class Compositor(Element):
                                                cy1 - e["y0"] + e["ry0"])
                                     sx = slice(cc0 - e["off"],
                                                cc1 - e["off"])
-                                    src_v = e["src"][c][sy, sx]
-                                    a_v = e["src"][3][sy, sx]
+                                    src_v = e["src"](c, sy, sx)
+                                    a_v = e["src"](3, sy, sx)
                                     blended = _blend_static(
                                         e["op"], e["draw"], src_v,
                                         dequant(cell_q), a_v)
