@@ -216,3 +216,23 @@ def test_golden_nv12_to_nv12_resize():
     got_planes = {"y": got["y"],
                   "u": got["uv"][:, 0::2], "v": got["uv"][:, 1::2]}
     assert_planes_close(got_planes, want, tol=2, context="nv12->nv12 resize")
+
+
+def test_convertscale_blockband_ab_parity(monkeypatch, tmp_path):
+    """Downscale with blockband column tiles vs dense (TPUVF_NO_BLOCKBAND):
+    <=1 LSB through the full pipeline (NV12 source, BGRA 384-col output
+    gives a real 3-tile plan)."""
+    def run():
+        p = parse_pipeline(
+            "videotestsrc num-buffers=1 ! "
+            "video/x-raw,format=NV12,width=768,height=320 ! "
+            "vfmetalconvertscale ! "
+            "video/x-raw,format=BGRA,width=384,height=192 ! appsink")
+        p.negotiate(); p.build(); p.run()
+        return np.asarray(p.sinks[0].frames[0]).astype(np.int16)
+
+    banded = run()
+    monkeypatch.setenv("TPUVF_NO_BLOCKBAND", "1")
+    dense = run()
+    diff = np.abs(banded - dense)
+    assert diff.max() <= 1, f"max diff {diff.max()}"

@@ -176,3 +176,22 @@ def test_transform_square_fast_path_golden(method):
     rgba_q = element_ref.transform(planes, "NV12", spec.matrix_index, n, n, method)
     want = metal_ref.pack_rgba(rgba_q, "NV12", spec.matrix_index)
     assert_planes_close(got, want, tol=2, context=f"square fast m{method}")
+
+
+def test_transform_blockband_ab_parity(monkeypatch):
+    """Blockband plans (sample.blockband_plan) vs dense matmuls at a size
+    big enough for real plans (>=3 column tiles): <=1 LSB — dropped terms
+    are exact zeros, only MXU K-tile accumulation boundaries shift."""
+    from tpuvf.kernels import sample as ksample
+
+    w, h = 384, 160
+    props = {"method": 1, "crop-left": 17, "crop-top": 9}
+    host = random_host_frame(RNG, FrameSpec(VideoFormat.RGBA, w, h))
+    # the plan must actually exist at this geometry or the test is vacuous
+    src = np.linspace(0.9, 0.05, w)
+    assert ksample.blockband_plan(
+        ksample.sample_matrix(src, w, ksample.LINEAR)) is not None
+    banded, _ = run_element("vftransform", "RGBA", w, h, props, host=host)
+    monkeypatch.setenv("TPUVF_NO_BLOCKBAND", "1")
+    dense, _ = run_element("vftransform", "RGBA", w, h, props, host=host)
+    assert_planes_close(banded, dense, tol=1, context="blockband A/B")
