@@ -163,6 +163,22 @@ def config_chain8k():
                 in_spec, b, split=getattr(step, "source_split", False)))
 
 
+def config_scale8k4k():
+    """Beyond-BASELINE: 8K NV12 -> 4K BGRA downscale + videofilter chain
+    (exercises the blockband sampling path at scale)."""
+    from __graft_entry__ import _build_chain, _specs
+
+    in_spec, mid_spec, out_spec = _specs(7680, 4320, 3840, 2160)
+    step, state0, params = _build_chain(
+        in_spec, mid_spec, out_spec,
+        {"brightness": 0.05, "contrast": 1.1, "saturation": 1.2})
+    return ("8K NV12 -> 4K BGRA convertscale+videofilter chain", step,
+            state0, params,
+            lambda b: __import__("tpuvf.runtime.benchmark", fromlist=["x"])
+            .random_planes_for_spec(
+                in_spec, b, split=getattr(step, "source_split", False)))
+
+
 ALL = {
     "convertscale": config_convertscale,
     "transform": config_transform,
@@ -170,4 +186,5 @@ ALL = {
     "deinterlace": config_deinterlace,
     "compositor": config_compositor,
     "chain8k": config_chain8k,
+    "scale8k4k": config_scale8k4k,
 }
