@@ -284,3 +284,83 @@ class TestSplitDataflow:
         for k in ref_out:
             np.testing.assert_array_equal(
                 split_out[k], np.asarray(ref_out[k]), err_msg=f"plane {k}")
+
+
+class TestSplitScaled:
+    """Scaled column-phase sampler (round 3b): bitwise vs canonical —
+    output phases are row-slices of the dense sampling matrices; presplit
+    inputs contract one tap per input phase (two-term f32 sums are
+    order-exact)."""
+
+    def _canonical(self, spec, host, ow, oh, filt=LINEAR, **kw):
+        import jax.numpy as jnp
+        from tpuvf.kernels.sample import WeightBuffers
+
+        bufs = WeightBuffers("t")
+        run = convert.plan_rgba_sampler(spec, ow, oh, bufs, filter=filt, **kw)
+        dev = device_planes(spec, host)
+        params = {k: jnp.asarray(v) for k, v in bufs.buffers.items()}
+        chans = run.tuple(dev, params)
+        return tuple(np.asarray(quant(c)) for c in chans)
+
+    def _split(self, spec, host, ow, oh, filt=LINEAR, presplit=False, **kw):
+        import jax.numpy as jnp
+        from tpuvf.core.frame import split_planes_host
+        from tpuvf.kernels.sample import WeightBuffers
+
+        bufs = WeightBuffers("t")
+        run = convert.plan_rgba_sampler_split_scaled(
+            spec, ow, oh, bufs, filter=filt, presplit=presplit, **kw)
+        planes = host_to_planes(host, spec)
+        if presplit:
+            planes = split_planes_host(planes, spec)
+        dev = {k: jnp.asarray(v) for k, v in planes.items()}
+        params = {k: jnp.asarray(v) for k, v in bufs.buffers.items()}
+        ch_e, ch_o = run(dev, params)
+        out = []
+        for e, o in zip(ch_e, ch_o):
+            full = np.empty(e.shape[:-1] + (2 * e.shape[-1],), np.uint8)
+            full[..., 0::2] = np.asarray(quant(e))
+            full[..., 1::2] = np.asarray(quant(o))
+            out.append(full)
+        return tuple(out)
+
+    @pytest.mark.parametrize("fmt", ["NV12", "I420", "BGRA"])
+    @pytest.mark.parametrize("geom", [((768, 320), (384, 192)),
+                                      ((64, 48), (130, 94)),
+                                      ((130, 94), (64, 48))])
+    @pytest.mark.parametrize("presplit", [False, True])
+    def test_bitwise_vs_canonical(self, fmt, geom, presplit):
+        (iw, ih), (ow, oh) = geom
+        spec = FrameSpec(VideoFormat(fmt), iw, ih)
+        host = random_host_frame(RNG, spec)
+        want = self._canonical(spec, host, ow, oh)
+        got = self._split(spec, host, ow, oh, presplit=presplit)
+        # presplit decomposes the contraction K axis by input phase: the
+        # canonical dot's FMA keeps w0*x UNROUNDED when adding w1*y, the
+        # split sum rounds each product — <=1 ulp, so knife-edge pixels
+        # may flip 1 LSB.  Non-presplit phases are row-slices of the same
+        # dot (identical K sequence) and stay bitwise.
+        tol = 1 if presplit else 0
+        for c, (g, w) in enumerate(zip(got, want)):
+            diff = np.abs(g.astype(np.int16) - w.astype(np.int16))
+            assert diff.max() <= tol, (
+                f"{fmt} {geom} presplit={presplit} chan {c}: "
+                f"max diff {diff.max()} at {np.argwhere(diff == diff.max())[0]}")
+
+    @pytest.mark.parametrize("filt", [LINEAR, NEAREST])
+    def test_letterbox_border_bitwise(self, filt):
+        from tpuvf.kernels.sample import letterbox_scales
+
+        iw, ih, ow, oh = 64, 48, 96, 40
+        sx, sy = letterbox_scales(iw, ih, ow, oh)
+        border = (0.2, 0.4, 0.6, 1.0)
+        spec = FrameSpec(VideoFormat.NV12, iw, ih)
+        host = random_host_frame(RNG, spec)
+        kw = dict(scale_x=sx, scale_y=sy, border=border, filt=filt)
+        want = self._canonical(spec, host, ow, oh, filt=kw.pop("filt"),
+                               scale_x=sx, scale_y=sy, border=border)
+        got = self._split(spec, host, ow, oh, filt=filt,
+                          scale_x=sx, scale_y=sy, border=border)
+        for g, w in zip(got, want):
+            assert np.array_equal(g, w)

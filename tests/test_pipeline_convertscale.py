@@ -236,3 +236,36 @@ def test_convertscale_blockband_ab_parity(monkeypatch, tmp_path):
     dense = run()
     diff = np.abs(banded - dense)
     assert diff.max() <= 1, f"max diff {diff.max()}"
+
+
+def test_scaled_split_link_bitwise(monkeypatch):
+    """A scaled convertscale feeding a split-capable consumer negotiates
+    the phase-matrix split link; output is BITWISE equal to the canonical
+    (TPUVF_NO_SPLIT_SCALED) run."""
+    pipe = ("videotestsrc num-buffers=1 ! "
+            "video/x-raw,format=NV12,width=256,height=128 ! "
+            "vfmetalconvertscale ! "
+            "video/x-raw,format=BGRA,width=128,height=96 ! "
+            "vfmetalvideofilter brightness=0.1 saturation=1.3 ! appsink")
+
+    def run(expect_split):
+        p = parse_pipeline(pipe)
+        p.negotiate(); p.build()
+        cs = next(e.name for e in p.elements
+                  if e.ELEMENT_NAME == "vfconvertscale")
+        in_split, out_mode = p.link_plan.get(cs, (False, "full"))
+        if expect_split:  # not vacuous: the scaled split link must engage
+            assert in_split and out_mode == "split", p.link_plan
+        else:
+            assert (in_split, out_mode) == (False, "full"), p.link_plan
+        p.run()
+        return np.asarray(p.sinks[0].frames[0])
+
+    split = run(True)
+    monkeypatch.setenv("TPUVF_NO_SPLIT_SCALED", "1")
+    canonical = run(False)
+    # the source provisions a presplit upload, so the K axis decomposes
+    # by input phase: <=1 LSB on knife-edge pixels (FMA rounding; see
+    # TestSplitScaled in test_kernels_convert.py)
+    diff = np.abs(split.astype(np.int16) - canonical.astype(np.int16))
+    assert diff.max() <= 1, diff.max()

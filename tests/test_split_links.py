@@ -400,7 +400,12 @@ def test_packed_422_output_stays_canonical():
         np.testing.assert_array_equal(a, b)
 
 
-def test_scaling_chain_stays_canonical():
+def test_scaling_chain_takes_split_links():
+    """Round 3b: scaled geometry joins the split dataflow — the source
+    provisions a presplit upload and the edge emits packed16
+    (convert.plan_rgba_sampler_split_scaled); output matches the
+    canonical layout within 1 LSB (presplit K decomposition — FMA
+    rounding on knife-edge pixels)."""
     s = (
         "videotestsrc num-buffers=1 ! video/x-raw,format=NV12,width=128,height=64 "
         "! vfmetalconvertscale ! video/x-raw,format=BGRA,width=64,height=32 "
@@ -408,8 +413,12 @@ def test_scaling_chain_stays_canonical():
     )
     p = _run(s)
     cs = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfconvertscale")
-    assert p.link_plan.get(cs, (False, "full")) == (False, "full")
-    assert not p._source_split
+    assert p.link_plan.get(cs, (False, "full")) == (True, "packed16")
+    assert p._source_split
+    plain = _run(s, disable_links=True).sinks[0].frames
+    for a, b in zip(p.sinks[0].frames, plain):
+        diff = np.abs(a.astype(np.int16) - b.astype(np.int16))
+        assert diff.max() <= 1, diff.max()
 
 
 def test_layout_flip_mid_run_resets_stateful_carry():

@@ -123,16 +123,32 @@ class ConvertScale(Element):
                 border = argb_to_rgba_floats(self.props.get("border-color"))
         return scale_x, scale_y, border, filt
 
+    def _split_scaled_ok(self, in_spec, out_spec):
+        """Column-phase dataflow at SCALED geometry (round 3b): output
+        phases are row-slices of the dense sampling matrices — bitwise
+        equal to the canonical path for interleaved inputs, <= 1 LSB for
+        presplit ones (convert.can_split_scaled).  4:2:0 OUTPUT
+        additionally needs even height (pack_rgba_split row pairs)."""
+        from tpuvf.core.formats import PACKED_YUV_FORMATS
+
+        return (convert.can_split_scaled(in_spec, out_spec.width,
+                                         out_spec.height)
+                and out_spec.format not in PACKED_YUV_FORMATS
+                and (out_spec.format in RGB_FORMATS
+                     or out_spec.height % 2 == 0))
+
     def split_output_ok(self, in_spec, out_spec):
-        """Column-phase output: the 4:2:0 identity fast path, for RGB or
-        4:2:0 output formats (packed 4:2:2 keeps the canonical layout)."""
+        """Column-phase output: the 4:2:0 identity fast path, or the
+        scaled phase-matrix path, for RGB or 4:2:0 output formats (packed
+        4:2:2 keeps the canonical layout)."""
         scale_x, scale_y, border, _ = self._split_geometry(in_spec, out_spec)
         from tpuvf.core.formats import PACKED_YUV_FORMATS
 
-        return (convert.can_split_420(in_spec, out_spec.width,
-                                      out_spec.height, scale_x, scale_y,
-                                      border)
-                and out_spec.format not in PACKED_YUV_FORMATS)
+        return ((convert.can_split_420(in_spec, out_spec.width,
+                                       out_spec.height, scale_x, scale_y,
+                                       border)
+                 and out_spec.format not in PACKED_YUV_FORMATS)
+                or self._split_scaled_ok(in_spec, out_spec))
 
     def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
         return self.make_process_linked(in_spec, out_spec, static)
@@ -152,13 +168,17 @@ class ConvertScale(Element):
         return True
 
     def split_input_ok(self, in_spec, out_spec):
-        """Consume pre-split 4:2:0 planes (e.g. a split-provisioned source
-        upload) on the identity fast path."""
+        """Consume pre-split planes: 4:2:0 at identity (the fast path), or
+        any split-capable input at scaled geometry (the phase-matrix
+        sampler contracts one tap per input phase — <= 1 ulp from
+        canonical; knife-edge pixels may flip 1 LSB)."""
         scale_x, scale_y, border, _ = self._split_geometry(in_spec, out_spec)
-        return (convert.can_split_420(in_spec, out_spec.width,
-                                      out_spec.height, scale_x, scale_y,
-                                      border)
-                and in_spec.format not in RGB_FORMATS)
+        return ((convert.can_split_420(in_spec, out_spec.width,
+                                       out_spec.height, scale_x, scale_y,
+                                       border)
+                 and in_spec.format not in RGB_FORMATS)
+                or (self._split_scaled_ok(in_spec, out_spec)
+                    and in_spec.width % 2 == 0))
 
     def make_process_linked(self, in_spec: FrameSpec, out_spec: FrameSpec,
                             static, in_split: bool = False,
@@ -203,9 +223,32 @@ class ConvertScale(Element):
                 return out, state
 
             return process_split
+        if ((in_split or out_mode != "full")
+                and self._split_scaled_ok(in_spec, out_spec)
+                and (not in_split or in_spec.width % 2 == 0)):
+            # scaled column-phase path: output phases are row-slices of
+            # the dense sampling matrices (bitwise equal to canonical);
+            # elected only when a boundary is split (canonical is the
+            # cheapest full/full form — no phase interleave at the edge)
+            split_sampler = convert.plan_rgba_sampler_split_scaled(
+                in_spec, out_spec.width, out_spec.height, bufs,
+                filter=filt, scale_x=scale_x, scale_y=scale_y,
+                border=border, matrix_index=matrix_in, presplit=in_split)
+            self._buffers = bufs.buffers
+            pack_mode = {"full": "interleave", "split": "split",
+                         "packed16": "packed16"}[out_mode]
+
+            def process_split_scaled(planes, state, params):
+                ch_e, ch_o = split_sampler(planes, params)
+                out = convert.pack_rgba_split(
+                    ch_e, ch_o, out_spec.format, matrix_out, mode=pack_mode)
+                return out, state
+
+            return process_split_scaled
         if out_mode != "full":
             raise NotImplementedError(
-                "split/packed16 output requires the 4:2:0 identity fast path")
+                "split/packed16 output requires a split-capable geometry "
+                "(4:2:0 identity or the scaled phase-matrix path)")
 
         sampler = convert.plan_rgba_sampler(
             in_spec, out_spec.width, out_spec.height, bufs,

@@ -516,6 +516,209 @@ def plan_rgba_sampler_split(in_spec: FrameSpec, filter: str = LINEAR,
     return run_split
 
 
+def can_split_scaled(in_spec: FrameSpec, out_w: int, out_h: int) -> bool:
+    """Column-phase dataflow at SCALED geometry (round 3b).
+
+    Output phases are ROW-SLICES of the dense sampling matrix — each
+    output element contracts the same weight row against the same
+    operand, so results are bitwise equal to slicing the dense product
+    (verified by tests; PRESPLIT inputs additionally decompose the
+    contraction K axis by phase, which differs from the canonical FMA
+    chain by <= 1 ulp — knife-edge pixels may flip 1 LSB).  Applies to
+    4:2:0 and RGB inputs (packed 4:2:2
+    keeps the canonical layout); needs even output width for equal
+    phases, and even input dims for 4:2:0 chroma.  Letterbox masks slice
+    per phase."""
+    import os
+
+    if os.environ.get("TPUVF_NO_SPLIT_SCALED"):
+        return False
+    if out_w % 2:
+        return False
+    if in_spec.format in (VideoFormat.NV12, VideoFormat.I420):
+        return in_spec.width % 2 == 0 and in_spec.height % 2 == 0
+    return in_spec.format in RGB_FORMATS
+
+
+def plan_cols_phase_sampler(in_w, out_w, filter, scale, bufs, prefix=""):
+    """Phase-decomposed column sampling from a FULL-width operand.
+
+    Returns [run_e, run_o]; run_p(img, params) computes the output's
+    even/odd columns as `img @ w[p::2].T` — a row-slice of the dense
+    sampling matrix, so every output element is the identical dot
+    product (bitwise-equal to slicing the dense result)."""
+    t = sample.texcoords(out_w, scale)
+    mask = sample.coverage_mask(out_w, scale)
+    w = sample.sample_matrix(t, in_w, filter, mask)
+    runs = []
+    for p in (0, 1):
+        wp = np.ascontiguousarray(w[p::2])
+        fetch = bufs.add(wp, f"{prefix}colsP{p}_")
+        plan = sample.blockband_plan(wp)
+
+        def run(img, params, fetch=fetch, plan=plan):
+            wm = fetch(params)
+            if plan is not None:
+                return sample._blockband_cols(img, wm, plan)
+            return jnp.einsum(
+                "...hw,ow->...ho", img, wm,
+                preferred_element_type=jnp.float32,
+                precision=sample.MATMUL_PRECISION,
+            )
+        runs.append(run)
+    return runs
+
+
+def plan_cols_phase_sampler_presplit(in_w, out_w, filter, scale, bufs,
+                                     prefix=""):
+    """Phase-decomposed column sampling from PHASE-SPLIT operands.
+
+    Returns [run_e, run_o]; run_p(img_e, img_o, params) contracts
+    w[p::2][:, 0::2] with the even input phase and w[p::2][:, 1::2]
+    with the odd.  Bilinear rows have <= 2 nonzero taps on CONSECUTIVE
+    input columns (one per phase; edge-clamped taps collapse into a
+    single accumulated weight), so each output element is a two-term
+    sum.  NOT quite bitwise vs the dense contraction: the dense dot's
+    FMA adds w1*y to the UNROUNDED product w0*x, while this sum rounds
+    each product first — <= 1 ulp apart, so knife-edge pixels can flip
+    1 LSB after quantization (tests assert <= 1)."""
+    t = sample.texcoords(out_w, scale)
+    mask = sample.coverage_mask(out_w, scale)
+    w = sample.sample_matrix(t, in_w, filter, mask)
+    runs = []
+    for p in (0, 1):
+        wp = w[p::2]
+        parts = []
+        for q in (0, 1):
+            wq = np.ascontiguousarray(wp[:, q::2])
+            parts.append((bufs.add(wq, f"{prefix}colsP{p}K{q}_"),
+                          sample.blockband_plan(wq)))
+
+        def run(img_e, img_o, params, parts=parts):
+            out = None
+            for (fetch, plan), img in zip(parts, (img_e, img_o)):
+                wm = fetch(params)
+                if plan is not None:
+                    term = sample._blockband_cols(img, wm, plan)
+                else:
+                    term = jnp.einsum(
+                        "...hw,ow->...ho", img, wm,
+                        preferred_element_type=jnp.float32,
+                        precision=sample.MATMUL_PRECISION,
+                    )
+                out = term if out is None else out + term
+            return out
+        runs.append(run)
+    return runs
+
+
+def plan_rgba_sampler_split_scaled(
+    in_spec: FrameSpec,
+    out_w: int,
+    out_h: int,
+    bufs,
+    filter: str = LINEAR,
+    scale_x: float = 1.0,
+    scale_y: float = 1.0,
+    border=None,
+    matrix_index: int | None = None,
+    presplit: bool = False,
+):
+    """Split-output sampler at SCALED geometry: -> (even_chans, odd_chans),
+    each (r, g, b, a) tuples of (out_h, out_w/2) float planes holding the
+    even/odd output COLUMNS.
+
+    Mirrors plan_rgba_sampler's dataflow exactly (rows then columns per
+    plane, yuv_to_rgb after sampling, border fill last): column phases
+    are row-slices of the dense sampling matrices — BITWISE equal to
+    slicing the canonical result (plan_cols_phase_sampler) — and
+    presplit inputs contract one tap per input phase, <= 1 ulp from
+    canonical (plan_cols_phase_sampler_presplit; FMA rounding).  Rows
+    ride plan_axis_sampler
+    (identity/2x/Pallas fast paths, sp all-gather) per plane —
+    column-independent, so per-phase rows match full-width rows."""
+    from tpuvf.kernels.color import as_unit_float
+
+    if matrix_index is None:
+        matrix_index = in_spec.matrix_index
+    fmt = in_spec.format
+    run_rows_y = plan_axis_sampler(
+        in_spec.height, out_h, -2, filter, scale_y, bufs)
+    if fmt not in RGB_FORMATS:
+        cw, ch2 = in_spec.width // 2, in_spec.height // 2
+        run_rows_c = plan_axis_sampler(ch2, out_h, -2, filter, scale_y, bufs)
+        cols_c = plan_cols_phase_sampler(
+            cw, out_w, filter, scale_x, bufs, "c")
+    if presplit:
+        cols_y = plan_cols_phase_sampler_presplit(
+            in_spec.width, out_w, filter, scale_x, bufs, "y")
+    else:
+        cols_y = plan_cols_phase_sampler(
+            in_spec.width, out_w, filter, scale_x, bufs, "y")
+
+    fetch_masks = None
+    bcol = None
+    if border is not None:
+        mx = sample.coverage_mask(out_w, scale_x)
+        my = sample.coverage_mask(out_h, scale_y)
+        if not (mx.all() and my.all()):
+            full = np.logical_and.outer(my, mx)
+            fetch_masks = (bufs.add(np.ascontiguousarray(full[:, 0::2]),
+                                    "border_mask_e"),
+                           bufs.add(np.ascontiguousarray(full[:, 1::2]),
+                                    "border_mask_o"))
+            bcol = np.asarray(border, np.float32).reshape(4)
+
+    def run_split(planes, params):
+        if fmt in RGB_FORMATS:
+            if presplit:
+                names = ("r", "g", "b", "a")
+                phases = ([], [])
+                for n in names:
+                    ve = run_rows_y(as_unit_float(planes[f"{n}_e"]), params)
+                    vo = run_rows_y(as_unit_float(planes[f"{n}_o"]), params)
+                    phases[0].append(cols_y[0](ve, vo, params))
+                    phases[1].append(cols_y[1](ve, vo, params))
+                ch_e, ch_o = tuple(phases[0]), tuple(phases[1])
+            else:
+                x = planes["rgba"]
+                rows = [run_rows_y(dequant(x[..., c, :, :]), params)
+                        for c in range(4)]
+                ch_e = tuple(cols_y[0](r, params) for r in rows)
+                ch_o = tuple(cols_y[1](r, params) for r in rows)
+        else:
+            if presplit:
+                ye = run_rows_y(as_unit_float(planes["y_e"]), params)
+                yo = run_rows_y(as_unit_float(planes["y_o"]), params)
+                y_ph = (cols_y[0](ye, yo, params),
+                        cols_y[1](ye, yo, params))
+            else:
+                yr = run_rows_y(dequant(planes["y"]), params)
+                y_ph = (cols_y[0](yr, params), cols_y[1](yr, params))
+            ur = run_rows_c(as_unit_float(planes["u"]), params)
+            vr = run_rows_c(as_unit_float(planes["v"]), params)
+            chans = []
+            for p in (0, 1):
+                u_p = cols_c[p](ur, params)
+                v_p = cols_c[p](vr, params)
+                r, g, b = color.yuv_to_rgb(y_ph[p], u_p, v_p, matrix_index)
+                chans.append((r, g, b, jnp.ones_like(r)))
+            ch_e, ch_o = chans
+        if fetch_masks is not None:
+            from tpuvf.parallel import spctx
+
+            out = []
+            for chs, fm in zip((ch_e, ch_o), fetch_masks):
+                mask = spctx.shard_rows(fm(params), chs[0].shape[-2])
+                out.append(tuple(
+                    jnp.where(mask, chs[c], np.float32(bcol[c]))
+                    for c in range(4)))
+            ch_e, ch_o = out
+        return ch_e, ch_o
+
+    return run_split
+
+
 def split_rgb_chans(planes: dict) -> tuple:
     """Split-mode RGB boundary planes {"r_e","g_e",...,"a_o"} -> (even_chans,
     odd_chans) f32 tuples.  Boundary planes are f32 quant_sim values from
