@@ -26,10 +26,15 @@ def _element_step(elem, in_spec, out_spec=None):
     out_spec = out_spec or elem.transform_spec(in_spec)
     static = elem.static_config(in_spec, out_spec)
     # mirror Pipeline._link_plan: a single element feeding the sink gets the
-    # packed16 (u16-word, byte-identical) edge layout when it supports it,
-    # and a split-capable consumer gets a split-provisioned source upload
-    edge = "packed16" if elem.split_output_ok(in_spec, out_spec) else "full"
-    src_split = elem.split_input_ok(in_spec, out_spec)
+    # packed16 (u16-word, byte-identical) edge layout when it pays off
+    # (edge_packed16_ok — identity split avoids lane interleaves; the
+    # scaled phase path costs more than canonical standalone), and a
+    # split-capable consumer gets a split-provisioned source upload
+    edge = ("packed16"
+            if (elem.split_output_ok(in_spec, out_spec)
+                and elem.edge_packed16_ok(in_spec, out_spec)) else "full")
+    src_split = (elem.split_input_ok(in_spec, out_spec)
+                 and edge == "packed16")
     proc = elem.make_process_linked(in_spec, out_spec, static,
                                     in_split=src_split, out_mode=edge)
     proc.source_split = src_split

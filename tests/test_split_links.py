@@ -400,23 +400,36 @@ def test_packed_422_output_stays_canonical():
         np.testing.assert_array_equal(a, b)
 
 
-def test_scaling_chain_takes_split_links():
-    """Round 3b: scaled geometry joins the split dataflow — the source
-    provisions a presplit upload and the edge emits packed16
-    (convert.plan_rgba_sampler_split_scaled); output matches the
-    canonical layout within 1 LSB (presplit K decomposition — FMA
-    rounding on knife-edge pixels)."""
-    s = (
+def test_scaled_split_engages_only_on_element_links():
+    """Round 3b: scaled geometry joins the split dataflow, but ONLY where
+    it buys a boundary — a standalone scaled convertscale keeps the
+    canonical edge (the phase formulation costs more than canonical:
+    60.3 vs 76.4 us/frame device, edge_packed16_ok), while a scaled
+    convertscale feeding a split consumer takes the split link."""
+    standalone = (
         "videotestsrc num-buffers=1 ! video/x-raw,format=NV12,width=128,height=64 "
         "! vfmetalconvertscale ! video/x-raw,format=BGRA,width=64,height=32 "
         "! appsink"
     )
-    p = _run(s)
+    p = _run(standalone)
     cs = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfconvertscale")
-    assert p.link_plan.get(cs, (False, "full")) == (True, "packed16")
-    assert p._source_split
-    plain = _run(s, disable_links=True).sinks[0].frames
-    for a, b in zip(p.sinks[0].frames, plain):
+    assert p.link_plan.get(cs, (False, "full")) == (False, "full")
+    assert not p._source_split
+
+    chained = (
+        "videotestsrc num-buffers=1 ! video/x-raw,format=NV12,width=128,height=64 "
+        "! vfmetalconvertscale ! video/x-raw,format=BGRA,width=64,height=32 "
+        "! vfmetalvideofilter brightness=0.1 ! appsink"
+    )
+    p2 = _run(chained)
+    cs2 = next(e.name for e in p2.elements
+               if e.ELEMENT_NAME == "vfconvertscale")
+    assert p2.link_plan.get(cs2, (False, "full"))[1] == "split"
+    assert p2._source_split  # presplit upload feeds the scaled sampler
+    # <= 1 LSB vs the canonical layout (presplit K decomposition - FMA
+    # rounding on knife-edge pixels)
+    plain = _run(chained, disable_links=True).sinks[0].frames
+    for a, b in zip(p2.sinks[0].frames, plain):
         diff = np.abs(a.astype(np.int16) - b.astype(np.int16))
         assert diff.max() <= 1, diff.max()
 

@@ -185,12 +185,23 @@ class Element:
         """True if make_process_linked(in_split=True) is supported."""
         return False
 
-    def edge_packed16_ok(self) -> bool:
+    def edge_packed16_ok(self, in_spec: FrameSpec | None = None,
+                         out_spec: FrameSpec | None = None) -> bool:
         """Whether the sink-edge packed16 layout pays off for this element.
         True when the u16-word combine fuses into an f32 quantize (cs, vf,
         overlay); elements whose phases already live as u8 (the compositor's
         canvas) would pay a pure u8->u16 relayout instead — they keep the
-        canonical edge layout."""
+        canonical edge layout.  Specs let geometry-dependent producers
+        (convertscale's scaled phase-matrix path) opt out."""
+        return True
+
+    def source_split_worth_it(self, in_spec: FrameSpec, out_spec: FrameSpec,
+                              out_mode: str) -> bool:
+        """Whether a split-provisioned SOURCE upload pays off for this
+        element given its negotiated output layout.  Default yes (identity
+        paths avoid device-side u8 relayouts); geometry-dependent
+        consumers (convertscale's scaled phase path, which only pays when
+        its own output is split) override."""
         return True
 
     def make_process_linked(

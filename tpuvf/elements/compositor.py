@@ -318,7 +318,7 @@ class Compositor(Element):
         (the pipeline's sp plan), so pad heights need no divisibility."""
         return True
 
-    def edge_packed16_ok(self) -> bool:
+    def edge_packed16_ok(self, in_spec=None, out_spec=None) -> bool:
         """The canvas is u8 phases; a u16-word edge would be a pure
         u8->u16 relayout (the slow path) — keep the canonical edge."""
         return False

@@ -137,6 +137,31 @@ class ConvertScale(Element):
                 and (out_spec.format in RGB_FORMATS
                      or out_spec.height % 2 == 0))
 
+    def edge_packed16_ok(self, in_spec=None, out_spec=None) -> bool:
+        """Sink-edge packed16 pays only on the 4:2:0 IDENTITY path (it
+        avoids the canonical path's f32 lane interleaves).  At scaled
+        geometry the canonical matmul path has no interleave to avoid —
+        the phase formulation just doubles the row-kernel calls (device
+        trace: 60.3 vs 76.4 us/frame on config 1) — so the scaled split
+        engages only on element links, never for the sink edge."""
+        if in_spec is None or out_spec is None:
+            return True
+        scale_x, scale_y, border, _ = self._split_geometry(in_spec, out_spec)
+        return convert.can_split_420(in_spec, out_spec.width,
+                                     out_spec.height, scale_x, scale_y,
+                                     border)
+
+    def source_split_worth_it(self, in_spec, out_spec, out_mode) -> bool:
+        """Split source uploads always pay on the identity path; at
+        scaled geometry they only pay when the output is also split
+        (otherwise the canonical sampler reads interleaved planes
+        directly and the phase formulation just adds work)."""
+        scale_x, scale_y, border, _ = self._split_geometry(in_spec, out_spec)
+        if convert.can_split_420(in_spec, out_spec.width, out_spec.height,
+                                 scale_x, scale_y, border):
+            return True
+        return out_mode != "full"
+
     def split_output_ok(self, in_spec, out_spec):
         """Column-phase output: the 4:2:0 identity fast path, or the
         scaled phase-matrix path, for RGB or 4:2:0 output formats (packed

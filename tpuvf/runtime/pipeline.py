@@ -774,7 +774,9 @@ class Pipeline:
             if consumer is None:
                 continue
             if isinstance(consumer, SinkElement):
-                if e.edge_packed16_ok():
+                d = info.get(id(e))
+                specs = (d[1], d[2]) if d is not None else (None, None)
+                if e.edge_packed16_ok(*specs):
                     entry(e.name)[1] = "packed16"
             else:
                 ce, ci, co, _ = consumer
@@ -805,6 +807,9 @@ class Pipeline:
         for e, i_s, o_s, pt in info.values():
             if pt or not e.split_input_ok(i_s, o_s):
                 continue
+            out_mode = plan.get(e.name, [False, "full"])[1]
+            if not e.source_split_worth_it(i_s, o_s, out_mode):
+                continue  # e.g. scaled convertscale with a canonical edge
             up = real_upstream(e)
             if (isinstance(up, SourceElement)
                     and len(self._outgoing(up)) == 1):
