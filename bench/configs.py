@@ -34,7 +34,7 @@ def _element_step(elem, in_spec, out_spec=None):
             if (elem.split_output_ok(in_spec, out_spec)
                 and elem.edge_packed16_ok(in_spec, out_spec)) else "full")
     src_split = (elem.split_input_ok(in_spec, out_spec)
-                 and edge == "packed16")
+                 and elem.source_split_worth_it(in_spec, out_spec, edge))
     proc = elem.make_process_linked(in_spec, out_spec, static,
                                     in_split=src_split, out_mode=edge)
     proc.source_split = src_split

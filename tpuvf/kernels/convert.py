@@ -183,6 +183,8 @@ def _use_pallas_banded(in_size, axis, filter, scale) -> bool:
         return False  # row-sharded: the halo-aware XLA upsample runs instead
     if axis != -2 or filter != LINEAR or scale != 1.0:
         return False
+    if in_size < 2:
+        return False  # banded_resample_rows needs >= 2 logical rows
     if in_size % 8 != 0 and os.environ.get("TPUVF_NO_PALLAS_PAD"):
         return False  # A/B knob: re-gate the padded-operand variant
     try:
@@ -235,22 +237,9 @@ def plan_axis_sampler(in_size, out_size, axis, filter, scale, bufs):
                 precision=sample.MATMUL_PRECISION,
             )
         if cols_plan is not None:
-            # block-banded downscale: each 128-column output tile
-            # contracts only its nonzero input span (see _blockband_plan)
-            outs = []
-            for (o0, o1, lo, hi) in cols_plan:
-                if hi == lo:
-                    outs.append(jnp.zeros(
-                        img.shape[:-1] + (o1 - o0,), jnp.float32))
-                    continue
-                seg = jax.lax.slice_in_dim(img, lo, hi, axis=-1)
-                blk = jax.lax.slice(wm, (o0, lo), (o1, hi))
-                outs.append(jnp.einsum(
-                    "...hw,ow->...ho", seg, blk,
-                    preferred_element_type=jnp.float32,
-                    precision=sample.MATMUL_PRECISION,
-                ))
-            return jnp.concatenate(outs, axis=-1)
+            # block-banded scale: each 128-column output tile contracts
+            # only its nonzero input span (sample.blockband_plan)
+            return sample._blockband_cols(img, wm, cols_plan)
         return jnp.einsum(
             "...hw,ow->...ho", img, wm,
             preferred_element_type=jnp.float32,
@@ -536,7 +525,18 @@ def can_split_scaled(in_spec: FrameSpec, out_w: int, out_h: int) -> bool:
     if out_w % 2:
         return False
     if in_spec.format in (VideoFormat.NV12, VideoFormat.I420):
+        if out_w == 2 * in_spec.width or out_w == in_spec.width:
+            # 2x/identity COLUMNS take plan_axis_sampler's dedicated fast
+            # paths on the canonical route (_upsample2x_linear /
+            # passthrough, CLAUDE.md rule); the phase-matrix formulation
+            # would change the FMA order (breaking the bitwise contract)
+            # and cost matmuls where canonical is free — except full
+            # identity, which can_split_420 already handles.  Chroma is
+            # half-width, so its 2x case coincides with luma's identity.
+            return False
         return in_spec.width % 2 == 0 and in_spec.height % 2 == 0
+    if out_w == 2 * in_spec.width or out_w == in_spec.width:
+        return False  # same fast-path rule for RGB planes
     return in_spec.format in RGB_FORMATS
 
 
@@ -546,7 +546,14 @@ def plan_cols_phase_sampler(in_w, out_w, filter, scale, bufs, prefix=""):
     Returns [run_e, run_o]; run_p(img, params) computes the output's
     even/odd columns as `img @ w[p::2].T` — a row-slice of the dense
     sampling matrix, so every output element is the identical dot
-    product (bitwise-equal to slicing the dense result)."""
+    product (bitwise-equal to slicing the dense result).
+
+    Identity columns (the chroma case of every 2x downscale: the phase
+    matrix degenerates to a column selection) skip the matmul and slice
+    — trivially exact."""
+    if scale == 1.0 and out_w == in_w and filter in (LINEAR, NEAREST):
+        return [lambda img, params: img[..., 0::2],
+                lambda img, params: img[..., 1::2]]
     t = sample.texcoords(out_w, scale)
     mask = sample.coverage_mask(out_w, scale)
     w = sample.sample_matrix(t, in_w, filter, mask)
@@ -581,7 +588,12 @@ def plan_cols_phase_sampler_presplit(in_w, out_w, filter, scale, bufs,
     sum.  NOT quite bitwise vs the dense contraction: the dense dot's
     FMA adds w1*y to the UNROUNDED product w0*x, while this sum rounds
     each product first — <= 1 ulp apart, so knife-edge pixels can flip
-    1 LSB after quantization (tests assert <= 1)."""
+    1 LSB after quantization (tests assert <= 1).
+
+    Identity columns pass each input phase straight through (exact)."""
+    if scale == 1.0 and out_w == in_w and filter in (LINEAR, NEAREST):
+        return [lambda img_e, img_o, params: img_e,
+                lambda img_e, img_o, params: img_o]
     t = sample.texcoords(out_w, scale)
     mask = sample.coverage_mask(out_w, scale)
     w = sample.sample_matrix(t, in_w, filter, mask)
