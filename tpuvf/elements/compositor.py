@@ -289,9 +289,17 @@ class Compositor(Element):
                            out_spec: FrameSpec) -> bool:
         """Column-phase output is available when every drawn pad renders at
         its native size (identity sampling keeps columns phase-separable)
-        OR at a geometry the scaled phase-matrix sampler covers
-        (convert.can_split_scaled, round 3b), and the output format has a
-        split layout."""
+        and the output format has a split layout.
+
+        MEASURED (round 3b, scripts/bench_comp_scaled_ab*.py): letting
+        SCALED pads join via the phase-matrix sampler is a 4K loss in
+        BOTH split bodies — split-fast 556-678 / split-cells 472-524 vs
+        interleaved 873-1043 fps (two 1080p/720p pads upscaled to half-
+        canvas).  The per-pad phase sampling (double row-kernel calls +
+        two phase matmuls) costs more than the canonical single full-
+        width sampling, and cells additionally materialize the pad-sized
+        phase planes when slicing.  Scaled pads therefore keep the
+        interleaved renderer."""
         from tpuvf.core.formats import PACKED_YUV_FORMATS
 
         if out_spec.width % 2 or out_spec.format in PACKED_YUV_FORMATS:
@@ -299,9 +307,7 @@ class Compositor(Element):
         draws = self._draw_geometry(pad_specs, out_spec)
         for pad, spec, w, h, _, _ in draws:
             if (w, h) != (spec.width, spec.height):
-                if not convert.can_split_scaled(spec, w, h):
-                    return False
-                continue
+                return False
             if spec.format in RGB_FORMATS:
                 if spec.width % 2:
                     return False
@@ -314,17 +320,6 @@ class Compositor(Element):
         aggregate_split_ok with pad specs instead."""
         return False
 
-    def identity_pads(self, pad_specs: Dict[str, FrameSpec],
-                      out_spec: FrameSpec) -> frozenset:
-        """Pad names drawn at native size — the ones a split-provisioned
-        source upload pays for.  SCALED pads keep canonical uploads: the
-        phase-matrix sampler reads full-width planes directly (bitwise),
-        while a presplit operand would K-decompose the contraction
-        (<= 1 ulp) and double the matmul count."""
-        return frozenset(
-            pad.name for pad, spec, w, h, _, _ in
-            self._draw_geometry(pad_specs, out_spec)
-            if (w, h) == (spec.width, spec.height))
 
     def sp_row_shardable(self, in_spec, out_spec):
         """The masked sp render body handles any BAKED geometry on the
@@ -416,17 +411,10 @@ class Compositor(Element):
                         cw, ch2, w, h, sample.LINEAR, 1.0, 1.0, bufs),
                 }
             split_reader = None
-            if split_out and (w, h) != (spec.width, spec.height):
-                # SCALED pad on the split canvas (round 3b): the phase-
-                # matrix sampler emits pad-sized phase planes directly
-                # (bitwise vs the canonical draw for interleaved inputs,
-                # <= 1 LSB for presplit; convert.can_split_scaled gated
-                # it in aggregate_split_ok)
-                split_reader = convert.plan_rgba_sampler_split_scaled(
-                    spec, w, h, bufs, filter=sample.LINEAR,
-                    matrix_index=spec.matrix_index,
-                    presplit=pad.name in split_pads)
-            elif split_out and spec.format not in RGB_FORMATS:
+            if split_out and spec.format not in RGB_FORMATS:
+                # (scaled pads never reach the split canvas: the phase-
+                # matrix sampler measured SLOWER than the interleaved
+                # renderer — see aggregate_split_ok)
                 split_reader = convert.plan_rgba_sampler_split(
                     spec, matrix_index=spec.matrix_index,
                     presplit=pad.name in split_pads)
@@ -438,7 +426,6 @@ class Compositor(Element):
                     window=(min(h, out_h), min(w, out_w)),
                     samplers=samplers,
                     split_reader=split_reader,
-                    scaled=(w, h) != (spec.width, spec.height),
                     matrix=spec.matrix_index,
                     fmt=spec.format,
                     # obscuring requires an opaque format (no alpha channel),
@@ -887,11 +874,7 @@ class Compositor(Element):
             def _sample_draw_split(p):
                 d = p["d"]
                 planes = pad_inputs[d["pad"].name]
-                if d["scaled"]:
-                    # scaled pad: the phase-matrix sampler resamples to
-                    # pad-sized phases (handles presplit per its flag)
-                    ch_e, ch_o = d["split_reader"](planes, params)
-                elif d["pad"].name in split_pads:
+                if d["pad"].name in split_pads:
                     # source-provisioned split upload (no device relayout)
                     if d["fmt"] in RGB_FORMATS:
                         ch_e, ch_o = convert.split_rgb_chans(planes)
@@ -1006,9 +989,8 @@ class Compositor(Element):
 
                     d = p["d"]
                     if (d["pad"].name not in split_pads
-                            or d["fmt"] not in RGB_FORMATS
-                            or d["scaled"]):
-                        return None  # scaled pads resample — not sliceable
+                            or d["fmt"] not in RGB_FORMATS):
+                        return None
                     planes = pad_inputs[d["pad"].name]
                     k = p["alpha"] * p["draw"]
                     names = ("r", "g", "b", "a")

@@ -125,9 +125,9 @@ class ConvertScale(Element):
 
     def _split_scaled_ok(self, in_spec, out_spec):
         """Column-phase dataflow at SCALED geometry (round 3b): output
-        phases are row-slices of the dense sampling matrices — bitwise
-        equal to the canonical path for interleaved inputs, <= 1 LSB for
-        presplit ones (convert.can_split_scaled).  4:2:0 OUTPUT
+        phases are row-slices of the dense sampling matrices — <= 1 LSB
+        from the canonical path (convert.can_split_scaled; backend
+        K-grouping / presplit FMA rounding).  4:2:0 OUTPUT
         additionally needs even height (pack_rgba_split row pairs)."""
         from tpuvf.core.formats import PACKED_YUV_FORMATS
 
@@ -252,7 +252,7 @@ class ConvertScale(Element):
                 and self._split_scaled_ok(in_spec, out_spec)
                 and (not in_split or in_spec.width % 2 == 0)):
             # scaled column-phase path: output phases are row-slices of
-            # the dense sampling matrices (bitwise equal to canonical);
+            # the dense sampling matrices (<= 1 LSB from canonical);
             # elected only when a boundary is split (canonical is the
             # cheapest full/full form — no phase interleave at the edge)
             split_sampler = convert.plan_rgba_sampler_split_scaled(

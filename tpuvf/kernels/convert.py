@@ -510,11 +510,12 @@ def can_split_scaled(in_spec: FrameSpec, out_w: int, out_h: int) -> bool:
 
     Output phases are ROW-SLICES of the dense sampling matrix — each
     output element contracts the same weight row against the same
-    operand, so results are bitwise equal to slicing the dense product
-    (verified by tests; PRESPLIT inputs additionally decompose the
-    contraction K axis by phase, which differs from the canonical FMA
-    chain by <= 1 ulp — knife-edge pixels may flip 1 LSB).  Applies to
-    4:2:0 and RGB inputs (packed 4:2:2
+    operand.  Results sit within 1 ulp of the canonical product
+    (backends may group the K-reduction differently for the half-width
+    output shape; PRESPLIT inputs additionally decompose the K axis by
+    phase) — knife-edge pixels may flip 1 LSB after quantization, which
+    the parity tests assert.  Applies to 4:2:0 and RGB inputs (packed
+    4:2:2
     keeps the canonical layout); needs even output width for equal
     phases, and even input dims for 4:2:0 chroma.  Letterbox masks slice
     per phase."""
@@ -526,17 +527,18 @@ def can_split_scaled(in_spec: FrameSpec, out_w: int, out_h: int) -> bool:
         return False
     if in_spec.format in (VideoFormat.NV12, VideoFormat.I420):
         if out_w == 2 * in_spec.width or out_w == in_spec.width:
-            # 2x/identity COLUMNS take plan_axis_sampler's dedicated fast
-            # paths on the canonical route (_upsample2x_linear /
-            # passthrough, CLAUDE.md rule); the phase-matrix formulation
-            # would change the FMA order (breaking the bitwise contract)
-            # and cost matmuls where canonical is free — except full
-            # identity, which can_split_420 already handles.  Chroma is
-            # half-width, so its 2x case coincides with luma's identity.
+            # 2x-upsample COLUMNS take plan_axis_sampler's dedicated
+            # _upsample2x_linear fast path on the canonical route
+            # (CLAUDE.md rule); the phase-matrix formulation would change
+            # the FMA order (breaking the bitwise contract) and cost
+            # matmuls where canonical is cheap.  out_w == in_w is luma
+            # identity but CHROMA 2x (chroma is half-width), so both
+            # widths are excluded for 4:2:0.
             return False
         return in_spec.width % 2 == 0 and in_spec.height % 2 == 0
-    if out_w == 2 * in_spec.width or out_w == in_spec.width:
-        return False  # same fast-path rule for RGB planes
+    if out_w == 2 * in_spec.width:
+        return False  # 2x columns: same fast-path + bitwise rule
+    # identity columns are fine for RGB (the phase sampler slices — exact)
     return in_spec.format in RGB_FORMATS
 
 
@@ -545,8 +547,9 @@ def plan_cols_phase_sampler(in_w, out_w, filter, scale, bufs, prefix=""):
 
     Returns [run_e, run_o]; run_p(img, params) computes the output's
     even/odd columns as `img @ w[p::2].T` — a row-slice of the dense
-    sampling matrix, so every output element is the identical dot
-    product (bitwise-equal to slicing the dense result).
+    sampling matrix: the identical dot product mathematically, <= 1 ulp
+    in practice (backend K-reduction grouping can differ for the
+    half-width output shape).
 
     Identity columns (the chroma case of every 2x downscale: the phase
     matrix degenerates to a column selection) skip the matmul and slice

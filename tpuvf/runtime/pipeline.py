@@ -824,19 +824,10 @@ class Pipeline:
             mode = plan.get(e.name, [False, "full"])[1]
             if mode == "full":
                 continue
-            outs = self._outgoing(e)
-            pad_specs = {l.sink_pad: l.spec for l in self._incoming(e)
-                         if l.spec is not None and l.sink_pad is not None}
-            identity = (e.identity_pads(pad_specs, outs[0].spec)
-                        if outs and outs[0].spec is not None and pad_specs
-                        else frozenset())
             pads = set()
             for ln in self._incoming(e):
                 if ln.spec is None or ln.sink_pad is None:
                     continue
-                if ln.sink_pad not in identity:
-                    continue  # scaled pad: canonical upload (see
-                    # Compositor.identity_pads)
                 up = real_upstream(ln.upstream) \
                     if info.get(id(ln.upstream), (None,) * 4)[3] \
                     else ln.upstream
