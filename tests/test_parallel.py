@@ -109,3 +109,111 @@ def test_pipeline_run_batched_on_mesh():
     assert p2.run_batched(8, batch_size=8, mesh=m) == 8
     for a, b in zip(p1.sinks[0].frames, p2.sinks[0].frames):
         np.testing.assert_array_equal(a, b)
+
+
+def test_run_batched_tail_pad_freezes_state():
+    """A short tail batch pads by repeating the last frame; the carried
+    state must FREEZE across the phantom frames (mesh.py scanned __pad__
+    handling) or deinterlace history / the grain counter advance and
+    poison cross-call continuity.  dp=1 publishes the stream state, so a
+    padded mesh run followed by a sequential run must match an all-
+    sequential run bitwise (sp-only/dp=1: batch shapes equal)."""
+    require_devices(1)
+    from tpuvf.cli.launch import parse_pipeline
+
+    desc = ("videotestsrc num-buffers=8 pattern=ball "
+            "! video/x-raw,format=NV12,width=64,height=32,"
+            "interlace-mode=interleaved "
+            "! vfmetaldeinterlace method=weave "
+            "! vfmetalvideofilter noise=0.4 ! appsink")
+    import jax
+    import jax.tree_util as jtu
+
+    ref = parse_pipeline(desc)
+    ref.negotiate(); ref.build(); ref.run(6)  # 6 sequential frames
+
+    p = parse_pipeline(desc)
+    p.negotiate(); p.build()
+    m = pmesh.make_mesh({"dp": 1})
+    # 6 frames at batch_size=4 -> second batch n=2 with pad=2
+    assert p.run_batched(6, batch_size=4, mesh=m) == 6
+    # outputs bitwise (pad outputs dropped)
+    for i, (a, b) in enumerate(zip(ref.sinks[0].frames, p.sinks[0].frames)):
+        for k in a:  # NV12 appsink frames are plane dicts
+            np.testing.assert_array_equal(a[k], b[k],
+                                          err_msg=f"frame {i} plane {k}")
+    # the published carry equals the 6-frame sequential state: the two
+    # phantom pad frames advanced NOTHING (deinterlace prev planes and
+    # the grain frame counter both bitwise)
+    got = jtu.tree_leaves_with_path(
+        jax.tree_util.tree_map(np.asarray, p._state))
+    want = jtu.tree_leaves_with_path(
+        jax.tree_util.tree_map(np.asarray, ref._state))
+    for (ka, a), (_, b) in zip(want, got):
+        np.testing.assert_array_equal(a, b, err_msg=jtu.keystr(ka))
+
+
+def test_run_batched_rebuilds_on_property_change():
+    """Structural property writes between run_batched calls take effect
+    (the passthrough-elision flip case run() already guards per frame)."""
+    from tpuvf.cli.launch import parse_pipeline
+
+    desc = ("videotestsrc num-buffers=4 "
+            "! video/x-raw,format=RGBA,width=32,height=16 "
+            "! vfmetalvideofilter ! appsink")
+    p = parse_pipeline(desc)
+    p.negotiate(); p.build()
+    assert p.run_batched(2, batch_size=2) == 2
+    passthrough = [np.asarray(f) for f in p.sinks[0].frames]
+    vf = next(e for e in p.elements if e.ELEMENT_NAME == "vfvideofilter")
+    vf.set_property("invert", True)  # flips is_passthrough
+    assert p.run_batched(2, batch_size=2) == 2
+    inverted = [np.asarray(f) for f in p.sinks[0].frames[2:]]
+    for a, b in zip(passthrough[:2], inverted):
+        assert not np.array_equal(a[..., :3], b[..., :3]), \
+            "invert=true ignored: run_batched did not rebuild"
+
+
+def test_mesh_without_dp_axis_rejected():
+    require_devices(8)
+    from tpuvf.cli.launch import parse_pipeline
+
+    desc = ("videotestsrc num-buffers=4 "
+            "! video/x-raw,format=RGBA,width=32,height=16 "
+            "! vfmetalvideofilter brightness=0.1 ! appsink")
+    p = parse_pipeline(desc)
+    p.negotiate(); p.build()
+    m = pmesh.make_mesh({"sp": 8})
+    with np.testing.assert_raises_regex(ValueError, "no 'dp' axis"):
+        p.run_batched(4, batch_size=4, mesh=m, sp_axis="sp")
+
+
+def test_run_recovers_after_sink_failure():
+    """A sink failure mid-run must not leave self._state pointing at
+    donated buffers: the pipeline publishes the post-step carry before
+    readback, so a subsequent run() continues the stream."""
+    from tpuvf.cli.launch import parse_pipeline
+    from tpuvf.runtime.pipeline import PipelineError
+
+    desc = ("videotestsrc num-buffers=4 "
+            "! video/x-raw,format=NV12,width=64,height=32,"
+            "interlace-mode=interleaved "
+            "! vfmetaldeinterlace method=weave ! appsink")
+    p = parse_pipeline(desc)
+    p.negotiate(); p.build()
+    sink = p.sinks[0]
+    real_consume = sink.consume
+    calls = {"n": 0}
+
+    def failing_consume(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("disk full")
+        return real_consume(*a, **k)
+
+    sink.consume = failing_consume
+    with np.testing.assert_raises(PipelineError):
+        p.run(4)
+    sink.consume = real_consume
+    # the stream continues — no 'Array has been deleted' on the carry
+    assert p.run(2) == 2

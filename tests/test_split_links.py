@@ -32,7 +32,7 @@ def test_pack_words_u16_bytes_equal_interleave():
 def _run(pipeline_str, disable_links=False, frames=2):
     p = parse_pipeline(pipeline_str)
     if disable_links:
-        p._link_plan = lambda: {}
+        p._link_plan = lambda: ({}, set(), {})
     p.negotiate()
     p.build()
     p.run()
@@ -239,7 +239,7 @@ def test_compositor_split_animated_general_branch(tmp_path):
     def run(disable):
         p = parse_pipeline(s)
         if disable:
-            p._link_plan = lambda: {}
+            p._link_plan = lambda: ({}, set(), {})
         p.negotiate()
         p.build()
         comp = next(e for e in p.elements

@@ -98,6 +98,10 @@ def parallel_batch_fn(step, mesh, params, dp_axis="dp", sp_axis=None,
 
     from tpuvf.parallel import spctx
 
+    if dp_axis not in mesh.shape:
+        raise ValueError(
+            f"mesh {dict(mesh.shape)} has no '{dp_axis}' axis — build it "
+            f"with {{'{dp_axis}': 1, ...}} for sp-only sharding")
     dp = mesh.shape[dp_axis]
     sp_live = sp_axis is not None and sp_axis in mesh.axis_names \
         and mesh.shape[sp_axis] > 1
@@ -142,13 +146,30 @@ def parallel_batch_fn(step, mesh, params, dp_axis="dp", sp_axis=None,
         # output structure (for out_specs) from an abstract trace of the
         # scanned step — same leaf rule as the inputs
         def scanned(pl, st_t, prm):
+            import jax.numpy as jnp
+
+            pl = dict(pl)
+            # "__pad__" (B,) bool marks tail-padding frames (a short final
+            # batch repeats its last frame to keep the compiled shape):
+            # their outputs are dropped by the caller, and the carried
+            # STATE must freeze across them — otherwise phantom frames
+            # advance deinterlace history / the grain frame counter and
+            # poison cross-call stream continuity
+            pad = pl.pop("__pad__", None)
             state = jax.tree_util.tree_map(lambda s: s[0], st_t)
 
-            def body(st, frame):
+            def body(st, xs):
+                if pad is None:
+                    out, st2 = step(xs, st, prm)
+                    return st2, out
+                frame, is_pad = xs
                 out, st2 = step(frame, st, prm)
+                st2 = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(is_pad, old, new), st2, st)
                 return st2, out
 
-            st, outs = jax.lax.scan(body, state, pl)
+            xs = pl if pad is None else (pl, pad)
+            st, outs = jax.lax.scan(body, state, xs)
             return outs, jax.tree_util.tree_map(lambda s: s[None], st)
 
         if sp:
@@ -196,13 +217,17 @@ def parallel_batch_fn(step, mesh, params, dp_axis="dp", sp_axis=None,
             for x, s in zip(leaves, spec_leaves)
         ])
 
+    staged_params = []  # device_put ONCE — weight buffers / LUT tables are
+    # the dominant per-call transfer on the remote-tunnel backend
+
     def run(planes, state, tiled=False):
         dev = put(planes, replicated_inputs)
         st = state if tiled else tile_state(state)
         dev_state = put(st, replicated_state)
-        dev_params = jax.device_put(params, replicated(mesh))
+        if not staged_params:
+            staged_params.append(jax.device_put(params, replicated(mesh)))
         fn = get_fn(planes, st)
         with mesh:
-            return fn(dev, dev_state, dev_params)
+            return fn(dev, dev_state, staged_params[0])
 
     return run

@@ -217,7 +217,8 @@ class Pipeline:
         if not self._negotiated:
             self.negotiate()
         order = self._topo_order()
-        link_plan = self._link_plan()
+        link_plan, self._source_split, self._comp_split_pads = \
+            self._link_plan()
         self.link_plan = link_plan  # exposed for tests/inspection
         folds, folded_ids = self._plan_overlay_folds(link_plan)
         self.overlay_folds = folds  # exposed for tests/inspection
@@ -708,7 +709,9 @@ class Pipeline:
 
     def _link_plan(self) -> Dict[str, tuple]:
         """Negotiate per-element boundary layouts for column-phase dataflow
-        (core.element docs): {element_name: (in_split, out_mode)}.
+        (core.element docs).  PURE — mutates nothing; returns
+        ({element_name: (in_split, out_mode)}, source_split_names,
+        {compositor_name: split_pad_names}); build() assigns the fields.
 
         A producer whose split_output_ok holds gets out_mode "split" when the
         next non-passthrough element downstream consumes phases
@@ -788,8 +791,8 @@ class Pipeline:
         # plane relayout copies, so when a split-capable consumer's REAL
         # upstream is a source, the host repack splits the planes during
         # upload instead (core.frame.split_planes_host) ------------------
-        self._source_split = set()
-        self._comp_split_pads = {}
+        source_split = set()
+        comp_split_pads = {}
 
         def real_upstream(e):
             node = e
@@ -814,7 +817,7 @@ class Pipeline:
             if (isinstance(up, SourceElement)
                     and len(self._outgoing(up)) == 1):
                 entry(e.name)[0] = True
-                self._source_split.add(up.name)
+                source_split.add(up.name)
         # compositor pads: the split fast branch reads pad phases directly,
         # so source-fed full-identity pads upload pre-split (the general/
         # animated branch re-interleaves on u8)
@@ -834,10 +837,11 @@ class Pipeline:
                 if (isinstance(up, SourceElement)
                         and len(self._outgoing(up)) == 1):
                     pads.add(ln.sink_pad)
-                    self._source_split.add(up.name)
+                    source_split.add(up.name)
             if pads:
-                self._comp_split_pads[e.name] = frozenset(pads)
-        return {k: (v[0], v[1]) for k, v in plan.items()}
+                comp_split_pads[e.name] = frozenset(pads)
+        return ({k: (v[0], v[1]) for k, v in plan.items()},
+                source_split, comp_split_pads)
 
     def _static_signature(self):
         """Per-element static config + passthrough decisions — the analog of
@@ -861,11 +865,15 @@ class Pipeline:
                 ))
             except NotImplementedError:  # pragma: no cover
                 continue
-        # boundary-layout decisions are part of the compiled structure
-        sig.append(("__links__", tuple(sorted(self._link_plan().items())),
-                    tuple(sorted(self._source_split)),
+        # boundary-layout decisions are part of the compiled structure.
+        # _link_plan is PURE (no self mutation): the per-frame signature
+        # check must not silently rewrite runtime upload decisions — only
+        # build() assigns the negotiated sets
+        plan, src_split, comp_pads = self._link_plan()
+        sig.append(("__links__", tuple(sorted(plan.items())),
+                    tuple(sorted(src_split)),
                     tuple(sorted((k, tuple(sorted(v)))
-                                 for k, v in self._comp_split_pads.items()))))
+                                 for k, v in comp_pads.items()))))
         return tuple(sig)
 
     def _maybe_rebuild(self):
@@ -1030,34 +1038,38 @@ class Pipeline:
                     dev = cached[1]
                 inputs[s.name] = dict(dev)
                 inputs[s.name]["__meta__"] = meta
+            frame_params = None
             try:
                 frame_params = self._frame_params(dev_params)
                 step_fn = self._select_step(frame_params)
                 with trace(f"tpuvf.step[{i}]"):
                     out, state = step_fn(inputs, state, frame_params)
-                # overlap: consume frame i-1 while frame i computes (jax
-                # dispatch is async; the device round trip of the previous
-                # frame's readback hides behind this frame's compute)
-                if pending is not None:
-                    try:
-                        self._consume_all(sinks, codecs, sink_specs,
-                                          *pending)
-                    except _StageFailure as sf:
-                        # report the CONSUMED frame's index, not i
-                        raise PipelineError(sf.element_name, pending[1],
-                                            sf.cause) from sf
-                pending = (out, i) if sinks else None
-            except PipelineError:
-                raise
+                # publish the carry NOW: the step donated the old state
+                # buffers, so a failure below must not leave self._state
+                # pointing at deleted arrays (unrecoverable without reset)
+                self._state = state
             except _StageFailure as sf:
+                self._flush_pending(sinks, codecs, sink_specs, pending)
                 raise PipelineError(sf.element_name, i, sf.cause) from sf
             except Exception as exc:
                 # per-frame device failure -> flow error with element context
                 # (the MTLCommandBufferStatusError -> GST_FLOW_ERROR analog);
                 # the fused program can't attribute, so bisect eagerly
+                self._flush_pending(sinks, codecs, sink_specs, pending)
                 raise PipelineError(
                     self._locate_failure(inputs, frame_params), i, exc
                 ) from exc
+            # overlap: consume frame i-1 while frame i computes (jax
+            # dispatch is async; the device round trip of the previous
+            # frame's readback hides behind this frame's compute)
+            if pending is not None:
+                try:
+                    self._consume_all(sinks, codecs, sink_specs, *pending)
+                except _StageFailure as sf:
+                    # report the CONSUMED frame's index, not i
+                    raise PipelineError(sf.element_name, pending[1],
+                                        sf.cause) from sf
+            pending = (out, i) if sinks else None
             count += 1
         if pending is not None:
             try:
@@ -1072,6 +1084,18 @@ class Pipeline:
         for s in sinks:
             s.finalize()
         return count
+
+    def _flush_pending(self, sinks, codecs, sink_specs, pending) -> None:
+        """Best-effort delivery of the deferred previous frame before a
+        failure propagates — its compute already succeeded, so a filesink
+        should not end a frame short of the last good output.  Errors here
+        are swallowed: the original failure wins."""
+        if pending is None:
+            return
+        try:
+            self._consume_all(sinks, codecs, sink_specs, *pending)
+        except Exception:  # pragma: no cover - the original failure wins
+            pass
 
     def _validate_sp(self, mesh, sp_axis: str) -> None:
         """Reject spatial row sharding the compiled chain cannot honor:
@@ -1206,6 +1230,9 @@ class Pipeline:
         clear error)."""
         if self._step is None:
             self.build()
+        # property writes since the last build (incl. passthrough flips)
+        # take effect at entry — geometry then stays fixed across the run
+        self._maybe_rebuild()
         sources = self.sources
         sinks = self.sinks
         sink_specs = {s.name: self._incoming(s)[0].spec for s in sinks}
@@ -1231,6 +1258,10 @@ class Pipeline:
         if mesh is not None:
             from tpuvf.parallel.mesh import parallel_batch_fn
 
+            if "dp" not in mesh.shape:
+                raise ValueError(
+                    f"mesh {dict(mesh.shape)} has no 'dp' axis — build it "
+                    f"with {{'dp': 1, ...}} for sp-only sharding")
             if batch_size % mesh.shape["dp"] != 0:
                 raise ValueError(
                     f"batch_size {batch_size} must divide by dp="
@@ -1266,8 +1297,9 @@ class Pipeline:
                                   if sp_live else frozenset()))
         else:
             dp_run = None
-        batch_fn = jax.jit(batch_step)
-        dev_params = jax.device_put(self.params())
+        if dp_run is None:  # the mesh path never uses these
+            batch_fn = jax.jit(batch_step)
+            dev_params = jax.device_put(self.params())
         state = self._state
         dp_state = self._state  # tiled after the first dp_run call
         dp_tiled = False
@@ -1317,6 +1349,13 @@ class Pipeline:
                     k: np.stack([m[k] for m in metas] + [metas[-1][k]] * pad)
                     for k in metas[0]
                 }
+            if pad:
+                # tail padding: mark the phantom frames so the mesh scan
+                # FREEZES the carried state across them (their outputs are
+                # dropped below; without the freeze they would advance
+                # deinterlace history / the grain frame counter and poison
+                # cross-call stream continuity)
+                stacked["__pad__"] = np.arange(batch_size) >= n
             try:
                 if dp_run is not None:
                     outs, dp_state = dp_run(stacked, dp_state,
@@ -1337,6 +1376,7 @@ class Pipeline:
                         for k, v in d.items()
                     }
                     for name, d in stacked.items()
+                    if name != "__pad__"  # batch-level flag, not a source
                 }
                 raise PipelineError(
                     self._locate_failure(first, self.params()), done, exc
