@@ -184,6 +184,24 @@ def config_scale8k4k():
                 in_spec, b, split=getattr(step, "source_split", False)))
 
 
+def config_scale1080to4k():
+    """Beyond-BASELINE: 1080p NV12 -> 4K BGRA 2x-UPSAMPLE + videofilter
+    chain (exercises the phase-stencil 2x column path: the split link's
+    even/odd output columns are the _upsample2x_linear expressions
+    verbatim — no lane interleave, no matmul)."""
+    from __graft_entry__ import _build_chain, _specs
+
+    in_spec, mid_spec, out_spec = _specs(1920, 1080, 3840, 2160)
+    step, state0, params = _build_chain(
+        in_spec, mid_spec, out_spec,
+        {"brightness": 0.05, "contrast": 1.1, "saturation": 1.2})
+    return ("1080p NV12 -> 4K BGRA convertscale+videofilter chain", step,
+            state0, params,
+            lambda b: __import__("tpuvf.runtime.benchmark", fromlist=["x"])
+            .random_planes_for_spec(
+                in_spec, b, split=getattr(step, "source_split", False)))
+
+
 ALL = {
     "convertscale": config_convertscale,
     "transform": config_transform,
@@ -192,4 +210,5 @@ ALL = {
     "compositor": config_compositor,
     "chain8k": config_chain8k,
     "scale8k4k": config_scale8k4k,
+    "scale1080to4k": config_scale1080to4k,
 }

@@ -41,6 +41,7 @@ def run(name: str) -> dict:
         "compositor": (2, 8),
         "chain8k": (2, 8),
         "scale8k4k": (2, 8),
+        "scale1080to4k": (2, 8),
         "transform": (16, 128),
         "convertscale": (8, 64),
         "deinterlace": (8, 32),

@@ -328,7 +328,9 @@ class TestSplitScaled:
     @pytest.mark.parametrize("fmt", ["NV12", "I420", "BGRA"])
     @pytest.mark.parametrize("geom", [((768, 320), (384, 192)),
                                       ((64, 48), (130, 94)),
-                                      ((130, 94), (64, 48))])
+                                      ((130, 94), (64, 48)),
+                                      ((64, 48), (128, 96)),
+                                      ((64, 48), (64, 96))])
     @pytest.mark.parametrize("presplit", [False, True])
     def test_bitwise_vs_canonical(self, fmt, geom, presplit):
         (iw, ih), (ow, oh) = geom
@@ -348,6 +350,20 @@ class TestSplitScaled:
             assert diff.max() <= tol, (
                 f"{fmt} {geom} presplit={presplit} chan {c}: "
                 f"max diff {diff.max()} at {np.argwhere(diff == diff.max())[0]}")
+
+    @pytest.mark.parametrize("fmt", ["NV12", "BGRA"])
+    @pytest.mark.parametrize("filt", [LINEAR, NEAREST])
+    def test_upsample2x_cols_exact(self, fmt, filt):
+        """2x-upsample columns from an interleaved operand are the
+        _upsample2x_linear stencil expressions verbatim — BITWISE equal
+        to the canonical fast path (no K contraction anywhere)."""
+        spec = FrameSpec(VideoFormat(fmt), 64, 48)
+        host = random_host_frame(RNG, spec)
+        want = self._canonical(spec, host, 128, 96, filt=filt)
+        got = self._split(spec, host, 128, 96, filt=filt, presplit=False)
+        for c, (g, w) in enumerate(zip(got, want)):
+            diff = np.abs(g.astype(np.int16) - w.astype(np.int16))
+            assert diff.max() == 0, f"{fmt} {filt} chan {c}: {diff.max()}"
 
     @pytest.mark.parametrize("filt", [LINEAR, NEAREST])
     def test_letterbox_border_bitwise(self, filt):

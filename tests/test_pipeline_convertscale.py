@@ -269,3 +269,34 @@ def test_scaled_split_link_bitwise(monkeypatch):
     # TestSplitScaled in test_kernels_convert.py)
     diff = np.abs(split.astype(np.int16) - canonical.astype(np.int16))
     assert diff.max() <= 1, diff.max()
+
+
+def test_upscale2x_split_link_bitwise(monkeypatch):
+    """A 2x-UPSAMPLE convertscale feeding a split consumer engages the
+    phase-stencil split link; the source stays interleaved
+    (source_split_worth_it: the stencils read the full-width plane), so
+    the output is BITWISE equal to the canonical run."""
+    pipe = ("videotestsrc num-buffers=1 ! "
+            "video/x-raw,format=NV12,width=128,height=64 ! "
+            "vfmetalconvertscale ! "
+            "video/x-raw,format=BGRA,width=256,height=128 ! "
+            "vfmetalvideofilter brightness=0.1 saturation=1.3 ! appsink")
+
+    def run(expect_split):
+        p = parse_pipeline(pipe)
+        p.negotiate(); p.build()
+        cs = next(e.name for e in p.elements
+                  if e.ELEMENT_NAME == "vfconvertscale")
+        in_split, out_mode = p.link_plan.get(cs, (False, "full"))
+        if expect_split:
+            assert (in_split, out_mode) == (False, "split"), p.link_plan
+        else:
+            assert (in_split, out_mode) == (False, "full"), p.link_plan
+        p.run()
+        return np.asarray(p.sinks[0].frames[0])
+
+    split = run(True)
+    monkeypatch.setenv("TPUVF_NO_SPLIT_SCALED", "1")
+    canonical = run(False)
+    diff = np.abs(split.astype(np.int16) - canonical.astype(np.int16))
+    assert diff.max() == 0, diff.max()

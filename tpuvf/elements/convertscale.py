@@ -155,12 +155,19 @@ class ConvertScale(Element):
         """Split source uploads always pay on the identity path; at
         scaled geometry they only pay when the output is also split
         (otherwise the canonical sampler reads interleaved planes
-        directly and the phase formulation just adds work)."""
+        directly and the phase formulation just adds work).  At
+        2x-UPSAMPLE columns the interleaved upload wins even with a split
+        output: the non-presplit phase stencils read the full-width plane
+        directly (the _upsample2x_linear expressions, no matmul), while a
+        presplit upload would force the two-term phase matmuls."""
         scale_x, scale_y, border, _ = self._split_geometry(in_spec, out_spec)
         if convert.can_split_420(in_spec, out_spec.width, out_spec.height,
                                  scale_x, scale_y, border):
             return True
-        return out_mode != "full"
+        if out_mode == "full":
+            return False
+        return not (scale_x == 1.0
+                    and out_spec.width == 2 * in_spec.width)
 
     def split_output_ok(self, in_spec, out_spec):
         """Column-phase output: the 4:2:0 identity fast path, or the

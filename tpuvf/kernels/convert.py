@@ -526,19 +526,10 @@ def can_split_scaled(in_spec: FrameSpec, out_w: int, out_h: int) -> bool:
     if out_w % 2:
         return False
     if in_spec.format in (VideoFormat.NV12, VideoFormat.I420):
-        if out_w == 2 * in_spec.width or out_w == in_spec.width:
-            # 2x-upsample COLUMNS take plan_axis_sampler's dedicated
-            # _upsample2x_linear fast path on the canonical route
-            # (CLAUDE.md rule); the phase-matrix formulation would change
-            # the FMA order (breaking the bitwise contract) and cost
-            # matmuls where canonical is cheap.  out_w == in_w is luma
-            # identity but CHROMA 2x (chroma is half-width), so both
-            # widths are excluded for 4:2:0.
-            return False
         return in_spec.width % 2 == 0 and in_spec.height % 2 == 0
-    if out_w == 2 * in_spec.width:
-        return False  # 2x columns: same fast-path + bitwise rule
-    # identity columns are fine for RGB (the phase sampler slices — exact)
+    # identity columns slice (exact); 2x-upsample columns are phase-clean
+    # stencils (the _upsample2x_linear expressions — bitwise); everything
+    # else is a row-slice of the dense sampling matrix
     return in_spec.format in RGB_FORMATS
 
 
@@ -553,10 +544,25 @@ def plan_cols_phase_sampler(in_w, out_w, filter, scale, bufs, prefix=""):
 
     Identity columns (the chroma case of every 2x downscale: the phase
     matrix degenerates to a column selection) skip the matmul and slice
-    — trivially exact."""
+    — trivially exact.  2x-upsample columns are PHASE-CLEAN: output col
+    2k depends only on input cols k-1,k and col 2k+1 on k,k+1, so each
+    phase is the corresponding _upsample2x_linear stencil expression
+    verbatim (0.25*prev + 0.75*cur / 0.75*cur + 0.25*next) — the same
+    float ops as the canonical fast path with no lane interleave."""
     if scale == 1.0 and out_w == in_w and filter in (LINEAR, NEAREST):
         return [lambda img, params: img[..., 0::2],
                 lambda img, params: img[..., 1::2]]
+    if scale == 1.0 and out_w == 2 * in_w:
+        if filter == LINEAR:
+            return [
+                lambda img, params:
+                    0.25 * _shift_edge(img, -1, -1) + 0.75 * img,
+                lambda img, params:
+                    0.75 * img + 0.25 * _shift_edge(img, -1, +1),
+            ]
+        if filter == NEAREST:
+            # out[2k] and out[2k+1] both sample input col k
+            return [lambda img, params: img, lambda img, params: img]
     t = sample.texcoords(out_w, scale)
     mask = sample.coverage_mask(out_w, scale)
     w = sample.sample_matrix(t, in_w, filter, mask)
