@@ -154,34 +154,31 @@ def config_compositor():
             make_planes)
 
 
-def config_chain8k():
-    """Beyond-BASELINE: the headline chain at 8K (7680x4320)."""
+def _chain_config(title, w_in, h_in, w_out, h_out):
+    """Beyond-BASELINE chain configs share the headline chain builder
+    (NV12 convertscale -> videofilter) at a parameterized geometry."""
     from __graft_entry__ import _build_chain, _specs
 
-    in_spec, mid_spec, out_spec = _specs(7680, 4320, 7680, 4320)
+    in_spec, mid_spec, out_spec = _specs(w_in, h_in, w_out, h_out)
     step, state0, params = _build_chain(
         in_spec, mid_spec, out_spec,
         {"brightness": 0.05, "contrast": 1.1, "saturation": 1.2})
-    return ("8K NV12 convertscale+videofilter chain", step, state0, params,
-            lambda b: __import__("tpuvf.runtime.benchmark", fromlist=["x"])
-            .random_planes_for_spec(
+    return (title, step, state0, params,
+            lambda b: random_planes_for_spec(
                 in_spec, b, split=getattr(step, "source_split", False)))
+
+
+def config_chain8k():
+    """Beyond-BASELINE: the headline chain at 8K (7680x4320)."""
+    return _chain_config("8K NV12 convertscale+videofilter chain",
+                         7680, 4320, 7680, 4320)
 
 
 def config_scale8k4k():
     """Beyond-BASELINE: 8K NV12 -> 4K BGRA downscale + videofilter chain
     (exercises the blockband sampling path at scale)."""
-    from __graft_entry__ import _build_chain, _specs
-
-    in_spec, mid_spec, out_spec = _specs(7680, 4320, 3840, 2160)
-    step, state0, params = _build_chain(
-        in_spec, mid_spec, out_spec,
-        {"brightness": 0.05, "contrast": 1.1, "saturation": 1.2})
-    return ("8K NV12 -> 4K BGRA convertscale+videofilter chain", step,
-            state0, params,
-            lambda b: __import__("tpuvf.runtime.benchmark", fromlist=["x"])
-            .random_planes_for_spec(
-                in_spec, b, split=getattr(step, "source_split", False)))
+    return _chain_config("8K NV12 -> 4K BGRA convertscale+videofilter chain",
+                         7680, 4320, 3840, 2160)
 
 
 def config_scale1080to4k():
@@ -189,17 +186,9 @@ def config_scale1080to4k():
     chain (exercises the phase-stencil 2x column path: the split link's
     even/odd output columns are the _upsample2x_linear expressions
     verbatim — no lane interleave, no matmul)."""
-    from __graft_entry__ import _build_chain, _specs
-
-    in_spec, mid_spec, out_spec = _specs(1920, 1080, 3840, 2160)
-    step, state0, params = _build_chain(
-        in_spec, mid_spec, out_spec,
-        {"brightness": 0.05, "contrast": 1.1, "saturation": 1.2})
-    return ("1080p NV12 -> 4K BGRA convertscale+videofilter chain", step,
-            state0, params,
-            lambda b: __import__("tpuvf.runtime.benchmark", fromlist=["x"])
-            .random_planes_for_spec(
-                in_spec, b, split=getattr(step, "source_split", False)))
+    return _chain_config(
+        "1080p NV12 -> 4K BGRA convertscale+videofilter chain",
+        1920, 1080, 3840, 2160)
 
 
 ALL = {

@@ -24,25 +24,32 @@ def build(variant: str):
     from tpuvf.core.registry import make
     from __graft_entry__ import _specs
 
+    saved = os.environ.get("TPUVF_NO_SPLIT_SCALED")
     if variant == "canonical":
         os.environ["TPUVF_NO_SPLIT_SCALED"] = "1"
     else:
         os.environ.pop("TPUVF_NO_SPLIT_SCALED", None)
-    in_spec, mid_spec, out_spec = _specs(1920, 1080, 3840, 2160)
-    cs = make("vfconvertscale")
-    vf = make("vfvideofilter")
-    for k, v in {"brightness": 0.05, "contrast": 1.1,
-                 "saturation": 1.2}.items():
-        vf.set_property(k, v)
-    split = variant != "canonical"
-    src_split = variant == "presplit"
-    cs_proc = cs.make_process_linked(
-        in_spec, mid_spec, cs.static_config(in_spec, mid_spec),
-        in_split=src_split, out_mode="split" if split else "full")
-    vf_proc = vf.make_process_linked(
-        mid_spec, out_spec, vf.static_config(mid_spec, out_spec),
-        in_split=split, out_mode="packed16")
-    params = {"cs": cs.traced_params(), "vf": vf.traced_params()}
+    try:
+        in_spec, mid_spec, out_spec = _specs(1920, 1080, 3840, 2160)
+        cs = make("vfconvertscale")
+        vf = make("vfvideofilter")
+        for k, v in {"brightness": 0.05, "contrast": 1.1,
+                     "saturation": 1.2}.items():
+            vf.set_property(k, v)
+        split = variant != "canonical"
+        src_split = variant == "presplit"
+        cs_proc = cs.make_process_linked(
+            in_spec, mid_spec, cs.static_config(in_spec, mid_spec),
+            in_split=src_split, out_mode="split" if split else "full")
+        vf_proc = vf.make_process_linked(
+            mid_spec, out_spec, vf.static_config(mid_spec, out_spec),
+            in_split=split, out_mode="packed16")
+        params = {"cs": cs.traced_params(), "vf": vf.traced_params()}
+    finally:
+        if saved is None:
+            os.environ.pop("TPUVF_NO_SPLIT_SCALED", None)
+        else:
+            os.environ["TPUVF_NO_SPLIT_SCALED"] = saved
 
     def step(planes, state, params):
         mid, _ = cs_proc(planes, (), params["cs"])
@@ -50,7 +57,6 @@ def build(variant: str):
         return out, new_state
 
     step.source_split = src_split
-    os.environ.pop("TPUVF_NO_SPLIT_SCALED", None)
     return step, vf.init_state(mid_spec, out_spec), params, in_spec
 
 

@@ -356,14 +356,18 @@ class TestSplitScaled:
     def test_upsample2x_cols_exact(self, fmt, filt):
         """2x-upsample columns from an interleaved operand are the
         _upsample2x_linear stencil expressions verbatim — BITWISE equal
-        to the canonical fast path (no K contraction anywhere)."""
+        to the canonical fast path for stencil-covered planes (all of
+        RGB; NV12 luma).  NV12 CHROMA is a 4x column upsample (no 2x
+        fast path — dense/blockband K contraction), so it carries the
+        scaled-split <= 1 ulp contract, not the bitwise one."""
         spec = FrameSpec(VideoFormat(fmt), 64, 48)
         host = random_host_frame(RNG, spec)
         want = self._canonical(spec, host, 128, 96, filt=filt)
         got = self._split(spec, host, 128, 96, filt=filt, presplit=False)
+        tol = 0 if fmt == "BGRA" else 1
         for c, (g, w) in enumerate(zip(got, want)):
             diff = np.abs(g.astype(np.int16) - w.astype(np.int16))
-            assert diff.max() == 0, f"{fmt} {filt} chan {c}: {diff.max()}"
+            assert diff.max() <= tol, f"{fmt} {filt} chan {c}: {diff.max()}"
 
     @pytest.mark.parametrize("filt", [LINEAR, NEAREST])
     def test_letterbox_border_bitwise(self, filt):

@@ -274,8 +274,11 @@ def test_scaled_split_link_bitwise(monkeypatch):
 def test_upscale2x_split_link_bitwise(monkeypatch):
     """A 2x-UPSAMPLE convertscale feeding a split consumer engages the
     phase-stencil split link; the source stays interleaved
-    (source_split_worth_it: the stencils read the full-width plane), so
-    the output is BITWISE equal to the canonical run."""
+    (source_split_worth_it: the stencils read the full-width plane).
+    Luma rides bitwise-identical stencils; NV12 chroma is a 4x column
+    matmul with the <= 1 ulp scaled-split contract, so the end-to-end
+    assertion is <= 1 LSB (measured 0 on CPU and on the real TPU at 4K,
+    scripts/tpu_upscale_parity.py)."""
     pipe = ("videotestsrc num-buffers=1 ! "
             "video/x-raw,format=NV12,width=128,height=64 ! "
             "vfmetalconvertscale ! "
@@ -299,4 +302,4 @@ def test_upscale2x_split_link_bitwise(monkeypatch):
     monkeypatch.setenv("TPUVF_NO_SPLIT_SCALED", "1")
     canonical = run(False)
     diff = np.abs(split.astype(np.int16) - canonical.astype(np.int16))
-    assert diff.max() == 0, diff.max()
+    assert diff.max() <= 1, diff.max()
