@@ -718,8 +718,17 @@ class Pipeline:
         (split_input_ok), or "packed16" when its output reaches the sink —
         the u16-word layout whose bytes equal the interleaved u8 plane, so
         the column interleave never runs as a separate u8 pass (measured
-        ~0.74 ms of the 0.96 ms 4K chain frame)."""
+        ~0.74 ms of the 0.96 ms 4K chain frame).
+
+        TPUVF_NO_SPLIT_LINKS forces every boundary canonical (the
+        differential link-layout fuzzer's baseline; also an escape hatch
+        — outputs stay within 1 LSB of the planned layouts)."""
+        import os
+
         from tpuvf.elements.compositor import Compositor
+
+        if os.environ.get("TPUVF_NO_SPLIT_LINKS"):
+            return {}, set(), {}
 
         info = {}
         producers = []  # (element, can_split_out)
