@@ -48,3 +48,50 @@ class PngEnc(HostCodec):
         if spec.format == VideoFormat.BGRA:
             arr = arr[..., [2, 1, 0, 3]]
         return png.encode(arr)
+
+
+@register
+class Y4MEnc(HostCodec):
+    """YUV4MPEG2 encoder (`y4menc` analog): accepts I420 and prepends the
+    stream header (geometry, frame rate, aspect, interlacing from the
+    negotiated spec) to the first frame, so
+    `... ! y4menc ! filesink location=out.y4m` produces a playable
+    stream that y4msrc (or any y4mdec) reads back bit-exactly."""
+
+    ELEMENT_NAME = "y4menc"
+    DESCRIPTION = "YUV4MPEG2 (.y4m) encoder"
+    IN_FORMATS = (VideoFormat.I420,)
+    OUT_FORMATS = ()
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self._wrote_header = False
+
+    def transform_spec(self, in_spec, out_filter=None):
+        if in_spec.format != VideoFormat.I420:
+            raise ValueError(
+                f"y4menc accepts I420 only, got {in_spec.format} "
+                f"(insert vfconvertscale upstream)")
+        from tpuvf.io import y4m
+
+        # validate dimensions at negotiate time, not first frame; a
+        # (re)negotiate also restarts the stream, so the next encode
+        # writes a fresh header (filesink reopens its file at prepare)
+        y4m.stream_header(in_spec.width, in_spec.height)
+        self._wrote_header = False
+        return in_spec
+
+    def encode(self, host_frame, spec: FrameSpec) -> bytes:
+        from tpuvf.io import y4m
+
+        out = y4m.encode_frame(host_frame)
+        if not self._wrote_header:
+            self._wrote_header = True
+            interlacing = ("p" if not spec.interlaced
+                           else ("t" if spec.tff else "b"))
+            out = y4m.stream_header(
+                spec.width, spec.height,
+                fps=(spec.fps.num, spec.fps.den),
+                par=(spec.par.num, spec.par.den),
+                interlacing=interlacing) + out
+        return out

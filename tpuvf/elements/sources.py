@@ -1,6 +1,7 @@
-"""Additional sources: appsrc (programmatic frames) and rawvideosrc
-(raw .yuv/.rgba file reader) — how real footage enters the framework in
-place of GStreamer's filesrc/decodebin front ends."""
+"""Additional sources: appsrc (programmatic frames), rawvideosrc
+(raw .yuv/.rgba file reader) and y4msrc (YUV4MPEG2 streams) — how real
+footage enters the framework in place of GStreamer's filesrc/decodebin
+front ends."""
 
 from __future__ import annotations
 
@@ -148,3 +149,59 @@ class RawVideoSrc(SourceElement):
         u = rest[: ch * cw].reshape(ch, cw).copy()
         v = rest[ch * cw:].reshape(ch, cw).copy()
         return {"y": y, "u": u, "v": v}
+
+
+@register
+class Y4MSrc(SourceElement):
+    """Reads YUV4MPEG2 streams (the `filesrc ! y4mdec` analog): geometry,
+    frame rate, pixel aspect and interlacing come from the stream header,
+    so no caps are needed.  C420* maps to I420, C422 to UYVY macro-pixels,
+    Cmono to I420 with flat chroma (tpuvf.io.y4m)."""
+
+    ELEMENT_NAME = "y4msrc"
+    ALIASES = ("y4mdec",)
+    DESCRIPTION = "Reads frames from a YUV4MPEG2 (.y4m) stream"
+    OUT_FORMATS = (VideoFormat.I420, VideoFormat.UYVY)
+    PROPERTIES = (
+        PropertyDescriptor("location", "string", None, "Y4M file path"),
+        PropertyDescriptor("num-buffers", "int", -1,
+                           "Max frames (-1 = whole file)", -1, 2**31 - 1),
+    )
+
+    def _reader(self):
+        from tpuvf.io import y4m
+
+        loc = self.props.get("location")
+        if not loc:
+            raise ValueError("y4msrc requires location=")
+        if not os.path.exists(loc):
+            raise ValueError(f"y4msrc: no such file {loc!r}")
+        cached = getattr(self, "_y4m_reader", None)
+        if cached is None or cached.path != loc:
+            cached = y4m.Reader(loc)
+            self._y4m_reader = cached
+        return cached
+
+    def output_spec(self, out_filter: CapsFilter | None) -> FrameSpec:
+        from tpuvf.core.spec import Fraction
+
+        hdr = self._reader().header
+        fmt = (VideoFormat.UYVY if hdr["colorspace"] == "422"
+               else VideoFormat.I420)
+        spec = FrameSpec(
+            fmt, hdr["width"], hdr["height"],
+            fps=Fraction(*hdr["fps"]), par=Fraction(*hdr["par"]),
+            interlaced=hdr["interlacing"] in ("t", "b"),
+            tff=hdr["interlacing"] != "b",
+        )
+        if out_filter is not None:
+            spec = out_filter.apply(spec)
+        return spec
+
+    def num_frames(self):
+        total = self._reader().num_frames()
+        limit = self.props.get("num-buffers")
+        return total if limit < 0 else min(total, limit)
+
+    def generate(self, frame_index: int, spec: FrameSpec):
+        return self._reader().read_frame(frame_index)
