@@ -51,6 +51,41 @@ class PngEnc(HostCodec):
 
 
 @register
+class JpegEnc(HostCodec):
+    """Baseline JFIF encoder (jpegenc analog): RGB frames -> 4:2:0 JPEG
+    via the native encoder (tpuvf/native/jpegenc.cc — Annex-K tables,
+    IJG quality scaling).  Pairs with the overlay's decoder; use
+    multifilesink location=frame%05d.jpg for per-frame files."""
+
+    ELEMENT_NAME = "jpegenc"
+    DESCRIPTION = "JPEG encoder"
+    IN_FORMATS = RGB_FORMATS
+    OUT_FORMATS = ()
+    PROPERTIES = (
+        PropertyDescriptor("quality", "int", 85, "JPEG quality", 1, 100),
+    )
+
+    def transform_spec(self, in_spec, out_filter=None):
+        if not self.accepts_format(in_spec.format):
+            raise ValueError(
+                f"jpegenc accepts RGB formats only, got {in_spec.format} "
+                f"(insert vfconvertscale upstream)")
+        from tpuvf import native
+
+        if not native.available():  # pragma: no cover - toolchain baked in
+            raise ValueError("jpegenc needs the native library (g++)")
+        return in_spec
+
+    def encode(self, host_frame, spec: FrameSpec) -> bytes:
+        from tpuvf.native import jpeg as njpeg
+
+        arr = np.asarray(host_frame)
+        if spec.format == VideoFormat.BGRA:
+            arr = arr[..., [2, 1, 0, 3]]
+        return njpeg.encode(arr, self.props.get("quality"))
+
+
+@register
 class Y4MEnc(HostCodec):
     """YUV4MPEG2 encoder (`y4menc` analog): accepts I420 and prepends the
     stream header (geometry, frame rate, aspect, interlacing from the

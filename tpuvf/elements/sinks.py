@@ -103,3 +103,56 @@ class FileSink(SinkElement):
         if self._fh:
             self._fh.close()
             self._fh = None
+
+
+@register
+class MultiFileSink(SinkElement):
+    """Writes each frame to its own file (multifilesink analog):
+    `location` is a printf-style pattern, e.g. frame%05d.png — the
+    natural sink for per-frame encoders (pngenc, jpegenc)."""
+
+    ELEMENT_NAME = "multifilesink"
+    DESCRIPTION = "Writes each frame to a separate file"
+    PROPERTIES = (
+        PropertyDescriptor("location", "string", None,
+                           "File pattern with a frame-index directive, "
+                           "e.g. frame%05d.png"),
+        PropertyDescriptor("index", "int", 0, "First frame index",
+                           0, 2**31 - 1),
+    )
+
+    def prepare(self, in_spec):
+        loc = self.props.get("location")
+        if not loc:
+            raise ValueError("multifilesink requires location=")
+        try:
+            first = loc % self.props.get("index")
+        except TypeError:
+            raise ValueError(
+                f"multifilesink location needs a %d-style index "
+                f"directive, got {loc!r}")
+        if first == loc % (self.props.get("index") + 1):
+            raise ValueError(
+                f"multifilesink location pattern {loc!r} does not vary "
+                f"with the frame index")
+        self.paths: list = []
+
+    def consume(self, host_frame, spec, frame_index):
+        path = self.props.get("location") % (
+            self.props.get("index") + frame_index)
+        with open(path, "wb") as fh:
+            if isinstance(host_frame, (bytes, bytearray)):
+                fh.write(host_frame)
+            elif isinstance(host_frame, dict):
+                fmt = spec.format
+                if fmt == VideoFormat.NV12:
+                    order = ("y", "uv")
+                elif fmt == VideoFormat.I420:
+                    order = ("y", "u", "v")
+                else:
+                    order = tuple(sorted(host_frame))
+                for k in order:
+                    fh.write(np.ascontiguousarray(host_frame[k]).tobytes())
+            else:
+                fh.write(np.ascontiguousarray(host_frame).tobytes())
+        self.paths.append(path)

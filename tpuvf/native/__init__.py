@@ -15,9 +15,21 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libtpuvf_native.so")
 
 
-def build(quiet: bool = True) -> str:
-    """Compile the shared library if missing; returns its path."""
+def _stale() -> bool:
     if not os.path.exists(_SO):
+        return True
+    so_mtime = os.path.getmtime(_SO)
+    for name in os.listdir(_DIR):
+        if name.endswith(".cc") or name == "Makefile":
+            if os.path.getmtime(os.path.join(_DIR, name)) > so_mtime:
+                return True  # source newer than the library: rebuild
+    return False
+
+
+def build(quiet: bool = True) -> str:
+    """Compile the shared library if missing or older than its sources;
+    returns its path."""
+    if _stale():
         subprocess.run(
             ["make", "-C", _DIR],
             check=True,

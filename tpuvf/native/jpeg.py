@@ -50,3 +50,38 @@ def decode(data: bytes) -> np.ndarray:
     if rc != 0:
         raise JpegError(_ERRORS.get(rc, f"decode error {rc}"))
     return out
+
+
+def _enc_fn():
+    lib = _lib_mod._load()
+    f = lib.vf_jpeg_encode
+    f.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
+    f.restype = ctypes.c_int64
+    return f
+
+
+def encode(rgba: np.ndarray, quality: int = 85) -> bytes:
+    """(H, W, 4) uint8 RGBA -> baseline JFIF bytes (4:2:0, Annex-K
+    tables, IJG quality scaling; jpegenc.cc)."""
+    f = _enc_fn()
+    rgba = np.ascontiguousarray(rgba, np.uint8)
+    if rgba.ndim != 3 or rgba.shape[2] != 4:
+        raise JpegError(f"encode expects (H, W, 4) RGBA, got {rgba.shape}")
+    h, w = rgba.shape[:2]
+    cap = w * h * 4 + (1 << 16)
+    out = np.empty(cap, np.uint8)
+    n = f(rgba.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+          w, h, int(quality),
+          out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n == -1:  # pathological content: retry with a worst-case buffer
+        cap = w * h * 12 + (1 << 16)
+        out = np.empty(cap, np.uint8)
+        n = f(rgba.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+              w, h, int(quality),
+              out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
+    if n < 0:
+        raise JpegError(f"encode error {n}")
+    return out[:n].tobytes()
