@@ -106,19 +106,22 @@ def _run(desc):
     return [_planes(f) for f in p.sinks[0].frames], p.link_plan
 
 
-def _run_one(seed):
+def _run_one(seed, monkeypatch):
     rng = np.random.default_rng(10_000 + seed)
     desc = _desc(rng)
+    # a pre-existing escape-hatch export would make BOTH runs canonical
+    # (vacuously green); monkeypatch restores the user's value afterwards
+    monkeypatch.delenv("TPUVF_NO_SPLIT_LINKS", raising=False)
     try:
         planned, plan = _run(desc)
     except (ValueError, NotImplementedError):
         return  # clean build-time rejection: fine (covered by fuzz_sp)
-    os.environ["TPUVF_NO_SPLIT_LINKS"] = "1"
+    monkeypatch.setenv("TPUVF_NO_SPLIT_LINKS", "1")
     try:
         canonical, plan_off = _run(desc)
         assert plan_off == {}, plan_off
     finally:
-        os.environ.pop("TPUVF_NO_SPLIT_LINKS", None)
+        monkeypatch.delenv("TPUVF_NO_SPLIT_LINKS", raising=False)
     assert len(planned) == len(canonical), desc
     for i, (fa, fb) in enumerate(zip(planned, canonical)):
         assert fa.keys() == fb.keys(), desc
@@ -135,5 +138,5 @@ N_SEEDS = int(os.environ.get("TPUVF_FUZZ_SEEDS", "25"))
 
 
 @pytest.mark.parametrize("seed", range(N_SEEDS))
-def test_link_layout_differential(seed):
-    _run_one(seed)
+def test_link_layout_differential(seed, monkeypatch):
+    _run_one(seed, monkeypatch)

@@ -151,3 +151,58 @@ class TestPipeline:
             p = parse_pipeline("y4msrc location=/tmp/definitely-not-here.y4m "
                                "! fakesink")
             p.negotiate()
+
+    def test_caps_contradicting_header_rejected(self, tmp_path):
+        """Caps that contradict the stream header fail at negotiate (the
+        not-negotiated analog) instead of delivering header-shaped frames
+        under a lying spec."""
+        path = tmp_path / "c.y4m"
+        _run("videotestsrc num-buffers=1 "
+             "! video/x-raw,format=I420,width=64,height=48 "
+             f"! y4menc ! filesink location={path}")
+        with pytest.raises(ValueError, match="contradicts the stream"):
+            p = parse_pipeline(
+                f"y4msrc location={path} "
+                "! video/x-raw,format=I420,width=32,height=32 ! fakesink")
+            p.negotiate()
+        # consistent caps still negotiate
+        p = _run(f"y4msrc location={path} "
+                 "! video/x-raw,format=I420,width=64,height=48 ! appsink")
+        assert len(p.sinks[0].frames) == 1
+
+    def test_truncated_final_frame_dropped(self, tmp_path):
+        """A cut-off last frame (interrupted writer) is excluded from
+        num_frames instead of crashing mid-run."""
+        path = tmp_path / "t.y4m"
+        _run("videotestsrc num-buffers=3 "
+             "! video/x-raw,format=I420,width=32,height=16 "
+             f"! y4menc ! filesink location={path}")
+        data = open(path, "rb").read()
+        open(path, "wb").write(data[:-100])  # cut into the last frame
+        p = _run(f"y4msrc location={path} ! appsink")
+        assert len(p.sinks[0].frames) == 2
+
+    def test_rewritten_file_not_stale(self, tmp_path):
+        """Rewriting the file at the same path between pipelines re-reads
+        the header (the reader cache keys on mtime+size)."""
+        import os
+
+        path = tmp_path / "r.y4m"
+        from tpuvf.core.registry import make
+
+        src = make("y4msrc")
+        src.set_property("location", str(path))
+
+        def write(w, h, n):
+            _run(f"videotestsrc num-buffers={n} "
+                 f"! video/x-raw,format=I420,width={w},height={h} "
+                 f"! y4menc ! filesink location={path}")
+
+        write(32, 16, 1)
+        spec1 = src.output_spec(None)
+        assert (spec1.width, spec1.height) == (32, 16)
+        write(64, 48, 2)
+        os.utime(path, ns=(1, 1))  # force a distinct mtime either way
+        spec2 = src.output_spec(None)
+        assert (spec2.width, spec2.height) == (64, 48)
+        assert src.num_frames() == 2

@@ -11,6 +11,27 @@ from tpuvf.core.spec import FrameSpec
 import numpy as np
 
 
+def _write_frame(fh, host_frame, spec) -> None:
+    """Raw-video byte layout shared by filesink and multifilesink:
+    encoder bytes pass through; plane dicts follow the GStreamer raw
+    order (NV12: Y, UV; I420: Y, U, V); arrays dump directly."""
+    if isinstance(host_frame, (bytes, bytearray)):
+        fh.write(host_frame)
+        return
+    if isinstance(host_frame, dict):
+        fmt = spec.format
+        if fmt == VideoFormat.NV12:
+            order = ("y", "uv")
+        elif fmt == VideoFormat.I420:
+            order = ("y", "u", "v")
+        else:
+            order = tuple(sorted(host_frame))
+        for k in order:
+            fh.write(np.ascontiguousarray(host_frame[k]).tobytes())
+        return
+    fh.write(np.ascontiguousarray(host_frame).tobytes())
+
+
 @register
 class FakeSink(SinkElement):
     """Discards frames (the fakesink used by every reference smoke test)."""
@@ -83,21 +104,7 @@ class FileSink(SinkElement):
         self._fh = open(loc, "wb")
 
     def consume(self, host_frame, spec, frame_index):
-        fmt = spec.format
-        if isinstance(host_frame, (bytes, bytearray)):
-            self._fh.write(host_frame)  # upstream encoder output
-            return
-        if isinstance(host_frame, dict):
-            if fmt == VideoFormat.NV12:
-                order = ("y", "uv")
-            elif fmt == VideoFormat.I420:
-                order = ("y", "u", "v")
-            else:
-                order = tuple(sorted(host_frame))
-            for k in order:
-                self._fh.write(np.ascontiguousarray(host_frame[k]).tobytes())
-        else:
-            self._fh.write(np.ascontiguousarray(host_frame).tobytes())
+        _write_frame(self._fh, host_frame, spec)
 
     def finalize(self):
         if self._fh:
@@ -141,18 +148,5 @@ class MultiFileSink(SinkElement):
         path = self.props.get("location") % (
             self.props.get("index") + frame_index)
         with open(path, "wb") as fh:
-            if isinstance(host_frame, (bytes, bytearray)):
-                fh.write(host_frame)
-            elif isinstance(host_frame, dict):
-                fmt = spec.format
-                if fmt == VideoFormat.NV12:
-                    order = ("y", "uv")
-                elif fmt == VideoFormat.I420:
-                    order = ("y", "u", "v")
-                else:
-                    order = tuple(sorted(host_frame))
-                for k in order:
-                    fh.write(np.ascontiguousarray(host_frame[k]).tobytes())
-            else:
-                fh.write(np.ascontiguousarray(host_frame).tobytes())
+            _write_frame(fh, host_frame, spec)
         self.paths.append(path)

@@ -176,11 +176,14 @@ class Y4MSrc(SourceElement):
             raise ValueError("y4msrc requires location=")
         if not os.path.exists(loc):
             raise ValueError(f"y4msrc: no such file {loc!r}")
-        cached = getattr(self, "_y4m_reader", None)
-        if cached is None or cached.path != loc:
-            cached = y4m.Reader(loc)
-            self._y4m_reader = cached
-        return cached
+        st = os.stat(loc)
+        key = (loc, st.st_mtime_ns, st.st_size)
+        if getattr(self, "_y4m_key", None) != key:
+            # key includes mtime+size: rewriting the file at the same
+            # path between runs must not reuse stale header/offsets
+            self._y4m_reader = y4m.Reader(loc)
+            self._y4m_key = key
+        return self._y4m_reader
 
     def output_spec(self, out_filter: CapsFilter | None) -> FrameSpec:
         from tpuvf.core.spec import Fraction
@@ -195,7 +198,19 @@ class Y4MSrc(SourceElement):
             tff=hdr["interlacing"] != "b",
         )
         if out_filter is not None:
-            spec = out_filter.apply(spec)
+            filtered = out_filter.apply(spec)
+            # geometry and format come from the stream; caps that
+            # contradict the header must fail at negotiate (GStreamer's
+            # not-negotiated), not deliver header-shaped frames under a
+            # lying spec
+            for field in ("format", "width", "height"):
+                got = getattr(filtered, field)
+                want = getattr(spec, field)
+                if got != want:
+                    raise ValueError(
+                        f"y4msrc: caps {field}={got} contradicts the "
+                        f"stream header ({field}={want})")
+            spec = filtered
         return spec
 
     def num_frames(self):

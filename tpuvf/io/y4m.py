@@ -106,6 +106,9 @@ class Reader:
 
     def _index(self) -> list:
         if self._offsets is None:
+            import os
+
+            size = os.path.getsize(self.path)
             offsets = []
             with open(self.path, "rb") as fh:
                 fh.seek(self._data_start)
@@ -117,6 +120,9 @@ class Reader:
                         raise Y4MError(
                             f"expected FRAME marker at byte "
                             f"{fh.tell() - len(line)}")
+                    if fh.tell() + self._frame_size > size:
+                        break  # truncated final frame (e.g. a file still
+                        # being written): expose only complete frames
                     offsets.append(fh.tell())
                     fh.seek(self._frame_size, 1)
             self._offsets = offsets

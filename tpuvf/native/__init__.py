@@ -28,13 +28,20 @@ def _stale() -> bool:
 
 def build(quiet: bool = True) -> str:
     """Compile the shared library if missing or older than its sources;
-    returns its path."""
+    returns its path.  Serialized across processes with a lock file (the
+    Makefile links to a temp name + atomic rename, so an existing mapping
+    keeps its inode and a concurrent loader never sees a partial file)."""
     if _stale():
-        subprocess.run(
-            ["make", "-C", _DIR],
-            check=True,
-            capture_output=quiet,
-        )
+        import fcntl
+
+        with open(os.path.join(_DIR, ".build.lock"), "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            if _stale():  # another process may have built while we waited
+                subprocess.run(
+                    ["make", "-C", _DIR],
+                    check=True,
+                    capture_output=quiet,
+                )
     return _SO
 
 
