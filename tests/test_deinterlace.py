@@ -1,6 +1,25 @@
 """vfdeinterlace tests: golden parity incl. temporal state + smoke cases."""
 
 import numpy as np
+
+
+def test_bob_linear_carry_no_state():
+    """bob/linear never read the previous frame, so they carry NO state
+    (a full prev round trip per frame otherwise — ~8 MB at 1080p);
+    weave/greedyh keep the prev-frame carry."""
+    from tpuvf.core.registry import make
+    from tpuvf.core.spec import FrameSpec
+    from tpuvf.core.formats import VideoFormat
+
+    spec = FrameSpec(VideoFormat.I420, 64, 48, interlaced=True)
+    for method, want_state in ((0, False), (2, False), (1, True),
+                               (3, True)):
+        e = make("vfdeinterlace")
+        e.set_property("method", method)
+        out = e.transform_spec(spec)
+        e.make_process_linked(spec, out, e.static_config(spec, out))
+        state = e.init_state(spec, out)
+        assert bool(state) == want_state, (method, state.keys())
 import pytest
 
 from tests.oracle import element_ref, metal_ref

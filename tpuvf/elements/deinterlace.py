@@ -107,6 +107,15 @@ class Deinterlace(Element):
                 or self._phase_capable(in_spec, out_spec))
 
     def init_state(self, in_spec, out_spec):
+        if self.props.get("method") in (METHOD_BOB, METHOD_LINEAR):
+            # bob/linear never read the previous frame: carrying it would
+            # cost a full state round trip per frame for nothing (~8 MB at
+            # 1080p).  The reference blits input->prevFrame regardless of
+            # method (metaldeinterlacerenderer.m:394-405), so switching to
+            # weave/greedyh mid-stream here falls back to bob for ONE
+            # frame where the reference would weave against the last
+            # bob-era frame — the documented deviation.
+            return {}
         if getattr(self, "_linked_phase", False):
             # per-channel planes (tuple pytree): stacking to (4, H, W/2)
             # u8 cost a relayout copy on BOTH sides of the state boundary
@@ -196,6 +205,8 @@ class Deinterlace(Element):
             return tuple(jnp.where(has_prev, g, fb)
                          for g, fb in zip(gh, fallback))
 
+        stateless = method in (METHOD_BOB, METHOD_LINEAR)
+
         def process(planes, state, params):
             tff = resolve_tff(params)
             ch_e, ch_o = reader(planes, params)
@@ -204,6 +215,13 @@ class Deinterlace(Element):
             cur_q_o = tuple(quant(c) for c in ch_o)
             cur_e = tuple(dequant(c) for c in cur_q_e)
             cur_o = tuple(dequant(c) for c in cur_q_o)
+            if stateless:  # bob/linear: no prev-frame carry (init_state)
+                out_e = run_method(cur_e, None, None, tff, params)
+                out_o = run_method(cur_o, None, None, tff, params)
+                out = convert.pack_rgba_split(
+                    out_e, out_o, out_spec.format, matrix_out,
+                    mode=pack_mode)
+                return out, state
             prev_e = tuple(dequant(p) for p in state["prev_e"])
             prev_o = tuple(dequant(p) for p in state["prev_o"])
             has_prev = state["has_prev"]
@@ -257,14 +275,15 @@ class Deinterlace(Element):
             chans = sampler.tuple(planes, params)
             cur_q_t = tuple(quant(c) for c in chans)
             cur_t = tuple(dequant(c) for c in cur_q_t)
+            if method in (METHOD_BOB, METHOD_LINEAR):
+                # stateless (init_state returns {}): no prev-frame carry
+                out_t = kdeint.bob_t(cur_t, tff)
+                return (convert.pack_rgba_t(out_t, out_spec.format,
+                                            matrix_out), state)
             prev_t = tuple(dequant(p) for p in state["prev"])
             has_prev = state["has_prev"]
 
-            if method == METHOD_BOB:
-                out_t = kdeint.bob_t(cur_t, tff)
-            elif method == METHOD_LINEAR:
-                out_t = kdeint.bob_t(cur_t, tff)  # same 2-tap average
-            elif method == METHOD_WEAVE:
+            if method == METHOD_WEAVE:
                 woven = kdeint.weave_t(cur_t, prev_t, tff)
                 fallback = kdeint.bob_t(cur_t, tff)
                 out_t = tuple(jnp.where(has_prev, wv, fb)
