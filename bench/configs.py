@@ -181,6 +181,14 @@ def config_scale8k4k():
                          7680, 4320, 3840, 2160)
 
 
+def config_headline():
+    """The bench.py headline chain (4K NV12 -> 4K BGRA convertscale ->
+    videofilter) as a registry entry so profile_config.py / run_all can
+    target it directly."""
+    return _chain_config("4K NV12 convertscale+videofilter chain",
+                         3840, 2160, 3840, 2160)
+
+
 def config_scale1080to4k():
     """Beyond-BASELINE: 1080p NV12 -> 4K BGRA 2x-UPSAMPLE + videofilter
     chain (exercises the phase-stencil 2x column path: the split link's
@@ -192,6 +200,7 @@ def config_scale1080to4k():
 
 
 ALL = {
+    "headline": config_headline,
     "convertscale": config_convertscale,
     "transform": config_transform,
     "videofilter": config_videofilter,

@@ -87,9 +87,10 @@ def test_driver_entry_compiles():
 
     fn, args = ge.entry()
     out, state = jax.jit(fn)(*args)
-    # packed16 edge layout: u16 words, two horizontal pixels per word
-    assert out["rgba"].shape == (4, 480, 320)
-    assert out["rgba"].dtype == jnp.uint16
+    # packed32 edge layout: u32 pixel words, one per even/odd output column
+    assert out["w_e"].shape == (480, 320)
+    assert out["w_o"].shape == (480, 320)
+    assert out["w_e"].dtype == jnp.uint32
 
 
 def test_pipeline_run_batched_on_mesh():

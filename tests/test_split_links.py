@@ -54,7 +54,7 @@ def test_chain_link_plan_negotiated():
     cs, vf = names["vfconvertscale"], names["vfvideofilter"]
     # cs consumes split from the SOURCE (host-provisioned upload) too
     assert plan[cs] == (True, "split")
-    assert plan[vf] == (True, "packed16")
+    assert plan[vf] == (True, "packed32")  # RGB edge: u32 pixel words
 
 
 def test_chain_bit_exact_vs_unlinked():
@@ -75,7 +75,7 @@ def test_vf_to_vf_420_split_link_bit_exact():
     p = _run(s)
     names = [e.name for e in p.elements if e.ELEMENT_NAME == "vfvideofilter"]
     assert p.link_plan[names[0]] == (True, "split")
-    assert p.link_plan[names[1]] == (True, "packed16")
+    assert p.link_plan[names[1]] == (True, "packed16")  # NV12 edge
     plain = _run(s, disable_links=True).sinks[0].frames
     for a, b in zip(p.sinks[0].frames, plain):
         np.testing.assert_array_equal(a["y"], b["y"])
@@ -89,7 +89,7 @@ def test_packed16_edge_single_element():
     )
     p = _run(s)
     cs = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfconvertscale")
-    assert p.link_plan[cs] == (True, "packed16")
+    assert p.link_plan[cs] == (True, "packed32")
     plain = _run(s, disable_links=True).sinks[0].frames
     for a, b in zip(p.sinks[0].frames, plain):
         np.testing.assert_array_equal(a, b)
@@ -102,7 +102,7 @@ def test_sharpness_chain_still_links():
     s = CHAIN.replace("saturation=1.3", "saturation=1.3 sharpness=0.5")
     p = _run(s)
     vf = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfvideofilter")
-    assert p.link_plan[vf] == (True, "packed16")
+    assert p.link_plan[vf] == (True, "packed32")
     plain = _run(s, disable_links=True).sinks[0].frames
     for a, b in zip(p.sinks[0].frames, plain):
         np.testing.assert_array_equal(a, b)
@@ -126,10 +126,23 @@ def test_split_through_passthrough_elements():
     cs = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfconvertscale")
     vf = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfvideofilter")
     assert p.link_plan[cs] == (True, "split")
-    assert p.link_plan[vf] == (True, "packed16")
+    assert p.link_plan[vf] == (True, "packed32")
     plain = _run(s, disable_links=True).sinks[0].frames
     for a, b in zip(p.sinks[0].frames, plain):
         np.testing.assert_array_equal(a, b)
+
+
+def test_pack_words_u32_bytes_equal_interleaved_bgra():
+    rng = np.random.default_rng(1)
+    q = tuple(jnp.asarray(rng.integers(0, 256, (16, 64), np.uint8))
+              for _ in range(4))  # r, g, b, a phase planes
+    words = np.asarray(convert.pack_words_u32(q, convert.VideoFormat.BGRA))
+    assert words.dtype == np.uint32 and words.shape == (16, 64)
+    b = words.view(np.uint8).reshape(16, 64, 4)
+    np.testing.assert_array_equal(b[..., 0], np.asarray(q[2]))  # B first
+    np.testing.assert_array_equal(b[..., 1], np.asarray(q[1]))
+    np.testing.assert_array_equal(b[..., 2], np.asarray(q[0]))
+    np.testing.assert_array_equal(b[..., 3], np.asarray(q[3]))
 
 
 def test_lut_and_grain_through_split_link():
@@ -207,7 +220,7 @@ def test_compositor_overlay_split_chain(tmp_path, x1):
                 if e.ELEMENT_NAME == "vfcompositor")
     ov = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfoverlay")
     assert p.link_plan[comp] == (False, "split")
-    assert p.link_plan[ov] == (True, "packed16")
+    assert p.link_plan[ov] == (True, "packed32")
     plain = _run(s, disable_links=True).sinks[0].frames
     for a, b in zip(p.sinks[0].frames, plain):
         np.testing.assert_array_equal(a, b)
@@ -306,7 +319,8 @@ def test_deinterlace_split_chain_bit_exact(method, fmt):
     vf = next(e.name for e in p.elements
               if e.ELEMENT_NAME == "vfvideofilter")
     assert p.link_plan[di] == (True, "split")
-    assert p.link_plan[vf] == (True, "packed16")
+    assert p.link_plan[vf] == (
+        True, "packed32" if fmt == "BGRA" else "packed16")
     plain = _run(s, disable_links=True).sinks[0].frames
     assert len(p.sinks[0].frames) == 3
     for a, b in zip(p.sinks[0].frames, plain):

@@ -195,6 +195,18 @@ class Element:
         (convertscale's scaled phase-matrix path) opt out."""
         return True
 
+    def edge_packed32_ok(self, in_spec: FrameSpec | None = None,
+                         out_spec: FrameSpec | None = None) -> bool:
+        """Whether the sink-edge packed32 layout (u32 PIXEL words per column
+        phase, output byte order baked in — kernels.convert.pack_words_u32)
+        is supported for RGB output.  Per-channel u16 edges made XLA split
+        the 4K emit into two fusions with six f32 plane intermediates
+        (~190 us/frame); the single-u32-word emit is ONE fusion and the
+        scan-output stack fuses into it (headline device 364 -> 256
+        us/frame, scripts/bench_emit_ab.py).  Only consulted when
+        edge_packed16_ok already holds and the output format carries RGB."""
+        return False
+
     def source_split_worth_it(self, in_spec: FrameSpec, out_spec: FrameSpec,
                               out_mode: str) -> bool:
         """Whether a split-provisioned SOURCE upload pays off for this

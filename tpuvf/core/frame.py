@@ -170,6 +170,16 @@ def planes_to_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
             planes[k] = v.view(np.uint8).reshape(v.shape[:-1] + (2 * v.shape[-1],))
     nat = _get_native()
     if fmt in RGB_FORMATS:
+        if "w_e" in planes:
+            # pipeline-edge "packed32" planes: u32 PIXEL words per column
+            # phase, bytes already in the host format's order
+            # (kernels.convert.pack_words_u32) — interleave the two phase
+            # word streams and view as bytes
+            we, wo = planes["w_e"], planes["w_o"]
+            out = np.empty((we.shape[0], 2 * we.shape[1]), np.uint32)
+            out[:, 0::2] = we
+            out[:, 1::2] = wo
+            return out.view(np.uint8).reshape(we.shape[0], 2 * we.shape[1], 4)
         if nat is not None:
             return nat.planar_to_interleaved(planes["rgba"], _RGB_PERMS[fmt])
         rgba = planes["rgba"].transpose(1, 2, 0)

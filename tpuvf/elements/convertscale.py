@@ -151,6 +151,12 @@ class ConvertScale(Element):
                                      out_spec.height, scale_x, scale_y,
                                      border)
 
+    def edge_packed32_ok(self, in_spec=None, out_spec=None) -> bool:
+        """RGB sink edges emit u32 pixel words (one fusion; the
+        per-channel u16 emit split into two fusions with six f32 4K
+        intermediates — kernels.convert.pack_words_u32)."""
+        return True
+
     def source_split_worth_it(self, in_spec, out_spec, out_mode) -> bool:
         """Split source uploads always pay on the identity path; at
         scaled geometry they only pay when the output is also split
@@ -246,7 +252,8 @@ class ConvertScale(Element):
                 presplit=in_split)
             self._buffers = bufs.buffers
             pack_mode = {"full": "interleave", "split": "split",
-                         "packed16": "packed16"}[out_mode]
+                         "packed16": "packed16",
+                         "packed32": "packed32"}[out_mode]
 
             def process_split(planes, state, params):
                 ch_e, ch_o = split_sampler(planes, params)
@@ -268,7 +275,8 @@ class ConvertScale(Element):
                 border=border, matrix_index=matrix_in, presplit=in_split)
             self._buffers = bufs.buffers
             pack_mode = {"full": "interleave", "split": "split",
-                         "packed16": "packed16"}[out_mode]
+                         "packed16": "packed16",
+                         "packed32": "packed32"}[out_mode]
 
             def process_split_scaled(planes, state, params):
                 ch_e, ch_o = split_sampler(planes, params)

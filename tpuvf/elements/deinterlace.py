@@ -89,6 +89,12 @@ class Deinterlace(Element):
     def split_output_ok(self, in_spec, out_spec):
         return self._phase_capable(in_spec, out_spec)
 
+    def edge_packed32_ok(self, in_spec=None, out_spec=None) -> bool:
+        """RGB sink edges emit u32 pixel words (one fusion; the
+        per-channel u16 emit split into two fusions with six f32 4K
+        intermediates — kernels.convert.pack_words_u32)."""
+        return True
+
     def dp_shard_safe(self, in_spec, out_spec):
         """bob/linear ignore the prev-frame carry; weave/greedyh read it, so
         batch-splitting ONE stream across dp shards would give each shard
@@ -189,7 +195,8 @@ class Deinterlace(Element):
                 in_spec, filter=NEAREST, matrix_index=matrix_in)
         self._buffers = {}
         pack_mode = {"full": "interleave", "split": "split",
-                     "packed16": "packed16"}[out_mode]
+                     "packed16": "packed16",
+                         "packed32": "packed32"}[out_mode]
 
         def run_method(cur_t, prev_t, has_prev, tff, params):
             if method in (METHOD_BOB, METHOD_LINEAR):

@@ -149,6 +149,12 @@ class Overlay(Element):
     def split_output_ok(self, in_spec, out_spec):
         return self._phase_capable(in_spec, out_spec)
 
+    def edge_packed32_ok(self, in_spec=None, out_spec=None) -> bool:
+        """RGB sink edges emit u32 pixel words (one fusion; the
+        per-channel u16 emit split into two fusions with six f32 4K
+        intermediates — kernels.convert.pack_words_u32)."""
+        return True
+
     def sp_row_shardable(self, in_spec, out_spec):
         """The rect blend is row-local: the padded full-frame overlay
         fields slice down to each shard's rows (spctx.shard_rows); the
@@ -276,7 +282,8 @@ class Overlay(Element):
                     in_spec, matrix_index=in_spec.matrix_index)
             self._buffers = bufs.buffers
             pack_mode = {"full": "interleave", "split": "split",
-                         "packed16": "packed16"}[out_mode]
+                         "packed16": "packed16",
+                         "packed32": "packed32"}[out_mode]
 
             def process_split(planes, state, params):
                 from tpuvf.parallel import spctx

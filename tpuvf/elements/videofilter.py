@@ -209,6 +209,12 @@ class VideoFilter(Element):
     def split_output_ok(self, in_spec, out_spec):
         return self._phase_capable(in_spec, out_spec)
 
+    def edge_packed32_ok(self, in_spec=None, out_spec=None) -> bool:
+        """RGB sink edges emit u32 pixel words (one fusion; the
+        per-channel u16 emit split into two fusions with six f32 4K
+        intermediates — kernels.convert.pack_words_u32)."""
+        return True
+
     def dp_shard_safe(self, in_spec, out_spec):
         """The frame counter feeds only the grain hash (m:183-205): with
         noise disabled the output is frame-index-independent and a single
@@ -272,7 +278,8 @@ class VideoFilter(Element):
             x_even = np.arange(w // 2, dtype=np.float32) * 2.0
             x_odd = x_even + 1.0
             pack_mode = {"full": "interleave", "split": "split",
-                         "packed16": "packed16"}[out_mode]
+                         "packed16": "packed16",
+                         "packed32": "packed32"}[out_mode]
 
             def process_split(planes, state, params):
                 ch_e, ch_o = reader(planes, params)

@@ -777,6 +777,25 @@ def _join_phases(e: jnp.ndarray, o: jnp.ndarray, mode: str) -> jnp.ndarray:
     return interleave_cols_u8(e, o)
 
 
+def pack_words_u32(chans_q, out_format: VideoFormat) -> jnp.ndarray:
+    """One column phase's quantized (r, g, b, a) u8 planes -> (.., H, W/2)
+    uint32 PIXEL words in the output format's byte order (BGRA: b | g<<8 |
+    r<<16 | a<<24).  Little-endian byte layout == this phase's pixels of the
+    interleaved host frame, so the edge emit is ONE fusion with a single
+    u32 output per phase instead of four per-channel u16 planes — the
+    per-channel layout made XLA split the emit into two fusions with six
+    f32 4K intermediates materialized between them (~190 us/frame of the
+    round-3 headline's 364 us; HLO dump scripts/dump_hlo.py).  The host
+    interleaves the two phase word streams (core.frame.planes_to_host)."""
+    r, g, b, a = chans_q
+    order = ((b, g, r, a) if out_format == VideoFormat.BGRA
+             else (r, g, b, a))
+    w = order[0].astype(jnp.uint32)
+    w = w | (order[1].astype(jnp.uint32) << np.uint32(8))
+    w = w | (order[2].astype(jnp.uint32) << np.uint32(16))
+    return w | (order[3].astype(jnp.uint32) << np.uint32(24))
+
+
 def pack_rgba_split(chans_e, chans_o, out_format: VideoFormat,
                     matrix_index: int, mode: str = "interleave") -> dict:
     """pack_rgba_t from column-phase planes.  Quantization happens per phase
@@ -825,9 +844,14 @@ def pack_rgba_split(chans_e, chans_o, out_format: VideoFormat,
     qe = tuple(quant(c) for c in chans_e)
     qo = tuple(quant(c) for c in chans_o)
     if out_format in RGB_FORMATS:
+        if mode == "packed32":
+            return {"w_e": pack_words_u32(qe, out_format),
+                    "w_o": pack_words_u32(qo, out_format)}
         rgba = jnp.stack(
             [_join_phases(a, b, mode) for a, b in zip(qe, qo)], axis=-3)
         return {"rgba": rgba}
+    if mode == "packed32":
+        raise ValueError("packed32 links apply to RGB output formats only")
     de = tuple(dequant(q) for q in qe[:3])
     do = tuple(dequant(q) for q in qo[:3])
     ye, _, _ = color.rgb_to_yuv(*de, matrix_index)

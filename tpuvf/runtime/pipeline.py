@@ -789,7 +789,16 @@ class Pipeline:
                 d = info.get(id(e))
                 specs = (d[1], d[2]) if d is not None else (None, None)
                 if e.edge_packed16_ok(*specs):
-                    entry(e.name)[1] = "packed16"
+                    from tpuvf.core.formats import RGB_FORMATS
+
+                    mode = "packed16"
+                    if (specs[1] is not None
+                            and specs[1].format in RGB_FORMATS
+                            and e.edge_packed32_ok(*specs)):
+                        # RGB edges emit u32 pixel words: one fusion, no
+                        # per-channel u16 planes (element.edge_packed32_ok)
+                        mode = "packed32"
+                    entry(e.name)[1] = mode
             else:
                 ce, ci, co, _ = consumer
                 if ce.split_input_ok(ci, co):
