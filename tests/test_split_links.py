@@ -32,7 +32,7 @@ def test_pack_words_u16_bytes_equal_interleave():
 def _run(pipeline_str, disable_links=False, frames=2):
     p = parse_pipeline(pipeline_str)
     if disable_links:
-        p._link_plan = lambda: ({}, set(), {})
+        p._link_plan = lambda: ({}, {}, {})
     p.negotiate()
     p.build()
     p.run()
@@ -52,9 +52,10 @@ def test_chain_link_plan_negotiated():
     plan = p.link_plan
     names = {e.ELEMENT_NAME: e.name for e in p.elements}
     cs, vf = names["vfconvertscale"], names["vfvideofilter"]
-    # cs consumes split from the SOURCE (host-provisioned upload) too
-    assert plan[cs] == (True, "split")
-    assert plan[vf] == (True, "packed32")  # RGB edge: u32 pixel words
+    # round 3d: the whole 4:2:0-identity chain upgrades to QUAD
+    # (row x col phase) links with a quad-provisioned source upload
+    assert plan[cs] == ("quad", "quad")
+    assert plan[vf] == ("quad", "packed32q")  # RGB edge: u32 word quads
 
 
 def test_chain_bit_exact_vs_unlinked():
@@ -74,8 +75,8 @@ def test_vf_to_vf_420_split_link_bit_exact():
     )
     p = _run(s)
     names = [e.name for e in p.elements if e.ELEMENT_NAME == "vfvideofilter"]
-    assert p.link_plan[names[0]] == (True, "split")
-    assert p.link_plan[names[1]] == (True, "packed16")  # NV12 edge
+    assert p.link_plan[names[0]] == ("quad", "quad")
+    assert p.link_plan[names[1]] == ("quad", "packed16q")  # NV12 edge
     plain = _run(s, disable_links=True).sinks[0].frames
     for a, b in zip(p.sinks[0].frames, plain):
         np.testing.assert_array_equal(a["y"], b["y"])
@@ -89,7 +90,7 @@ def test_packed16_edge_single_element():
     )
     p = _run(s)
     cs = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfconvertscale")
-    assert p.link_plan[cs] == (True, "packed32")
+    assert p.link_plan[cs] == ("quad", "packed32q")
     plain = _run(s, disable_links=True).sinks[0].frames
     for a, b in zip(p.sinks[0].frames, plain):
         np.testing.assert_array_equal(a, b)
@@ -125,8 +126,9 @@ def test_split_through_passthrough_elements():
     p = _run(s)
     cs = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfconvertscale")
     vf = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfvideofilter")
-    assert p.link_plan[cs] == (True, "split")
-    assert p.link_plan[vf] == (True, "packed32")
+    # round 3d: quad links walk THROUGH passthrough elements too
+    assert p.link_plan[cs] == ("quad", "quad")
+    assert p.link_plan[vf] == ("quad", "packed32q")
     plain = _run(s, disable_links=True).sinks[0].frames
     for a, b in zip(p.sinks[0].frames, plain):
         np.testing.assert_array_equal(a, b)
@@ -252,7 +254,7 @@ def test_compositor_split_animated_general_branch(tmp_path):
     def run(disable):
         p = parse_pipeline(s)
         if disable:
-            p._link_plan = lambda: ({}, set(), {})
+            p._link_plan = lambda: ({}, {}, {})
         p.negotiate()
         p.build()
         comp = next(e for e in p.elements

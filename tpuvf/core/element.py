@@ -207,6 +207,25 @@ class Element:
         edge_packed16_ok already holds and the output format carries RGB."""
         return False
 
+    # -- QUAD (row x column phase) dataflow (round 3d) ----------------------
+    # The row-phase extension of the column-split links: planes carry FOUR
+    # (row, col) output phases, so row stencils (the 4:2:0 chroma row
+    # 2x-upsample, deinterlace fields) never interleave rows on device —
+    # the host repack interleaves rows+columns in the same pass that
+    # already interleaves columns for packed16/32.  Negotiated only along
+    # chains whose head is quad-provisioned by the source upload
+    # (Pipeline._link_plan); not composable with sp row sharding (a quad
+    # element reports sp_row_shardable False while quad-linked).
+
+    def quad_output_ok(self, in_spec: FrameSpec, out_spec: FrameSpec) -> bool:
+        """True if make_process_linked(out_mode="quad"/"packed32q"/
+        "packed16q") is supported for this configuration."""
+        return False
+
+    def quad_input_ok(self, in_spec: FrameSpec, out_spec: FrameSpec) -> bool:
+        """True if make_process_linked(in_split="quad") is supported."""
+        return False
+
     def source_split_worth_it(self, in_spec: FrameSpec, out_spec: FrameSpec,
                               out_mode: str) -> bool:
         """Whether a split-provisioned SOURCE upload pays off for this

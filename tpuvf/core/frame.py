@@ -170,6 +170,20 @@ def planes_to_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
             planes[k] = v.view(np.uint8).reshape(v.shape[:-1] + (2 * v.shape[-1],))
     nat = _get_native()
     if fmt in RGB_FORMATS:
+        if "w_ee" in planes:
+            # pipeline-edge "packed32q" planes: u32 PIXEL words per QUAD
+            # (row x col) phase (kernels.convert.pack_rgba_quad) — the
+            # rows+columns interleave in one repack pass
+            quads = [np.ascontiguousarray(planes[f"w_{ph}"])
+                     for ph in ("ee", "eo", "oe", "oo")]
+            if nat is not None:
+                out = nat.interleave4_u32(*quads)
+            else:
+                h2, w2 = quads[0].shape
+                out = np.empty((2 * h2, 2 * w2), np.uint32)
+                out[0::2, 0::2], out[0::2, 1::2] = quads[0], quads[1]
+                out[1::2, 0::2], out[1::2, 1::2] = quads[2], quads[3]
+            return out.view(np.uint8).reshape(out.shape[0], out.shape[1], 4)
         if "w_e" in planes:
             # pipeline-edge "packed32" planes: u32 PIXEL words per column
             # phase, bytes already in the host format's order
@@ -186,6 +200,15 @@ def planes_to_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
         if fmt == VideoFormat.BGRA:
             rgba = rgba[..., [2, 1, 0, 3]]
         return np.ascontiguousarray(rgba)
+    if "y_qe" in planes and fmt in (VideoFormat.NV12, VideoFormat.I420):
+        # pipeline-edge "packed16q" y: the u16 prepass above already turned
+        # each row-phase word plane into its full-width u8 rows — the row
+        # interleave is contiguous row copies
+        ye, yo = planes["y_qe"], planes["y_qo"]
+        y = np.empty((h, w), np.uint8)
+        y[0::2] = ye
+        y[1::2] = yo
+        planes = dict(planes, y=y)
     if fmt == VideoFormat.NV12:
         if nat is not None:
             uv = nat.interleave2(planes["u"], planes["v"])
@@ -214,6 +237,37 @@ def planes_to_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
             )
         return raw.reshape(h, 4 * cw)
     raise ValueError(f"unknown format {fmt}")
+
+
+def quad_planes_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
+    """Canonical planes -> QUAD (row x column phase) planes, on the host.
+
+    The quad-link source provisioning (the row-phase analog of
+    split_planes_host): 4:2:0 luma splits into four (H/2, W/2) phase
+    planes in one native pass (vf_split_quad); chroma stays whole — every
+    quad phase reads it through the 2-tap row/column stencils
+    (kernels.convert.plan_rgba_sampler_quad).  RGB frames split every
+    channel.  Layout matches the "quad" link convention."""
+    nat = _get_native()
+
+    def quad(plane):
+        if nat is not None:
+            return nat.split_quad(plane)
+        return tuple(np.ascontiguousarray(plane[rp::2, cp::2])
+                     for rp in (0, 1) for cp in (0, 1))
+
+    names = ("ee", "eo", "oe", "oo")
+    if spec.format in RGB_FORMATS:
+        rgba = planes["rgba"]
+        out = {}
+        for c, n in enumerate(("r", "g", "b", "a")):
+            for ph, q in zip(names, quad(rgba[c])):
+                out[f"{n}_{ph}"] = q
+        return out
+    out = {f"y_{ph}": q for ph, q in zip(names, quad(planes["y"]))}
+    out["u"] = planes["u"]
+    out["v"] = planes["v"]
+    return out
 
 
 def split_planes_host(planes: Dict[str, np.ndarray], spec: FrameSpec):

@@ -188,6 +188,26 @@ class ConvertScale(Element):
                  and out_spec.format not in PACKED_YUV_FORMATS)
                 or self._split_scaled_ok(in_spec, out_spec))
 
+    def quad_output_ok(self, in_spec, out_spec):
+        """QUAD (row x col phase) dataflow: the 4:2:0 identity fast path
+        with a non-packed output — the chroma row 2x-upsample becomes
+        phase-local 2-tap stencils fused into the emit (no full-height f32
+        intermediates; headline device 254 -> 190 us/frame,
+        scripts/bench_rowphase.py)."""
+        from tpuvf.core.formats import PACKED_YUV_FORMATS
+
+        scale_x, scale_y, border, _ = self._split_geometry(in_spec, out_spec)
+        return (convert.can_split_420(in_spec, out_spec.width,
+                                      out_spec.height, scale_x, scale_y,
+                                      border)
+                and out_spec.format not in PACKED_YUV_FORMATS)
+
+    def quad_input_ok(self, in_spec, out_spec):
+        """Consume quad planes: 4:2:0 identity only (the quad sampler's
+        luma is a per-phase passthrough)."""
+        return (self.quad_output_ok(in_spec, out_spec)
+                and in_spec.format not in RGB_FORMATS)
+
     def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
         return self.make_process_linked(in_spec, out_spec, static)
 
@@ -202,8 +222,10 @@ class ConvertScale(Element):
         (core.frame unpack_422/pack_422) — device planes are planar with
         FULL-height chroma, the nearest decode samples them per row, and
         the 4:2:2 output pack is a horizontal pair average
-        (convert._pack_yuv_channels)."""
-        return True
+        (convert._pack_yuv_channels).  QUAD-linked builds opt out: row
+        phases don't compose with row shards (local phase rows are not
+        global rows)."""
+        return not getattr(self, "_linked_quad", False)
 
     def split_input_ok(self, in_spec, out_spec):
         """Consume pre-split planes: 4:2:0 at identity (the fast path), or
@@ -221,6 +243,12 @@ class ConvertScale(Element):
     def make_process_linked(self, in_spec: FrameSpec, out_spec: FrameSpec,
                             static, in_split: bool = False,
                             out_mode: str = "full"):
+        quad = (in_split == "quad"
+                or out_mode in ("quad", "packed32q", "packed16q"))
+        self._linked_quad = quad
+        if quad:
+            return self._make_process_quad(in_spec, out_spec, static,
+                                           out_mode)
         if in_split and not self.split_input_ok(in_spec, out_spec):
             raise NotImplementedError(
                 "convertscale consumes split input only on the 4:2:0 "
@@ -303,3 +331,30 @@ class ConvertScale(Element):
             return convert.pack_rgba_t(chans, out_spec.format, matrix_out), state
 
         return process
+
+    def _make_process_quad(self, in_spec, out_spec, static, out_mode):
+        """QUAD (row x col phase) path: 4:2:0 identity geometry, inputs
+        always quad-provisioned ({"y_ee",...,"u","v"} — u8 from the host
+        upload or f32 quant_sim from a quad boundary).  yuv_to_rgb clamps
+        its output, so the RGB-format quantize elides its redundant clip
+        (unit_range, bit-identical)."""
+        if not self.quad_output_ok(in_spec, out_spec):
+            raise NotImplementedError(
+                "convertscale quad links require the 4:2:0 identity fast "
+                "path with a non-packed output")
+        cfg = dict(static)
+        filt = NEAREST if cfg["method"] == METHOD_NEAREST else LINEAR
+        matrix_in = in_spec.matrix_index
+        matrix_out = out_spec.matrix_index
+        sampler_q = convert.plan_rgba_sampler_quad(
+            in_spec, filter=filt, matrix_index=matrix_in)
+        self._buffers = {}
+
+        def process_quad(planes, state, params):
+            chq = sampler_q(planes, params)
+            out = convert.pack_rgba_quad(
+                chq, out_spec.format, matrix_out, mode=out_mode,
+                unit_range=True)
+            return out, state
+
+        return process_quad

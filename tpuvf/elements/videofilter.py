@@ -225,11 +225,33 @@ class VideoFilter(Element):
         """Every stage is row-local or halo-aware: the adjust chain is
         elementwise with global-row coordinate fields (vignette, grain),
         the LUT gather is per-pixel, the blur's 4-row vertical reach and
-        the 4:2:0 chroma row-upsample go through spctx.pad_rows_edge."""
+        the 4:2:0 chroma row-upsample go through spctx.pad_rows_edge.
+        QUAD-linked builds opt out (row phases are not row shards)."""
         from tpuvf.core.formats import RGB_FORMATS
 
+        if getattr(self, "_linked_quad", False):
+            return False
         return (in_spec.format in RGB_FORMATS
                 or self._phase_capable(in_spec, out_spec))
+
+    def _quad_capable(self, in_spec, out_spec) -> bool:
+        """QUAD (row x col phase) dataflow: phase-capable formats with even
+        height, no LUT (the per-phase gather would split the two measured
+        -optimal gather sites into four) and no sharpness (the 9-tap
+        vertical blur would need cross-ROW-phase stencils — not built).
+        Vignette/grain are fine: their row coordinates ride y_index."""
+        if not self._phase_capable(in_spec, out_spec):
+            return False
+        if in_spec.height % 2:
+            return False
+        return (self._lut is None
+                and abs(self.props.get("sharpness")) <= 0.001)
+
+    def quad_input_ok(self, in_spec, out_spec):
+        return self._quad_capable(in_spec, out_spec)
+
+    def quad_output_ok(self, in_spec, out_spec):
+        return self._quad_capable(in_spec, out_spec)
 
     def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
         return self.make_process_linked(in_spec, out_spec, static)
@@ -248,6 +270,46 @@ class VideoFilter(Element):
         from tpuvf.kernels.sample import WeightBuffers
 
         bufs = WeightBuffers(self.name)
+        quad = (in_split == "quad"
+                or out_mode in ("quad", "packed32q", "packed16q"))
+        self._linked_quad = quad
+        if quad:
+            if not self._quad_capable(in_spec, out_spec):
+                raise NotImplementedError(
+                    "videofilter quad links require a phase-capable format "
+                    "with even height, no LUT, no sharpness")
+            if in_spec.format in RGB_FORMATS:
+                reader_q = lambda planes, params: \
+                    convert.split_rgb_chans_quad(planes)
+            else:
+                reader_q = convert.plan_rgba_sampler_quad(
+                    in_spec, matrix_index=matrix_in)
+            self._buffers = bufs.buffers
+            x_base = np.arange(w // 2, dtype=np.float32) * 2.0
+            y_base = np.arange(h // 2, dtype=np.float32) * 2.0
+
+            def process_quad(planes, state, params):
+                chq = reader_q(planes, params)
+                frame_index = state["frame_index"]
+                outq = {}
+                for ph, ch in chq.items():
+                    outq[ph] = kfilter.apply_color_adjustments_t(
+                        ch, params, frame_index, w, h, gates=gates,
+                        x_index=x_base + (0.0 if ph[1] == "e" else 1.0),
+                        y_index=y_base + (0.0 if ph[0] == "e" else 1.0))
+                # the adjust chain output is [0,1]-bounded (its tail clip,
+                # elided or not) -> the pack quantize skips its clip
+                out = convert.pack_rgba_quad(
+                    outq, out_spec.format, matrix_out, mode=out_mode,
+                    unit_range=True)
+                new_state = {
+                    "frame_index":
+                        (state["frame_index"]
+                         + np.uint32(1)).astype(jnp.uint32)
+                }
+                return out, new_state
+
+            return process_quad
         phase_capable = self._phase_capable(in_spec, out_spec)
         if (in_split or out_mode != "full") and not phase_capable:
             raise NotImplementedError(

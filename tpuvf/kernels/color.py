@@ -75,6 +75,21 @@ def quant_sim(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0) * np.float32(1.0 / 255.0)
 
 
+def quant_unit(x: jnp.ndarray) -> jnp.ndarray:
+    """quant() for values ALREADY in [0,1]: the clip is elided — round and
+    scale are bit-identical by clip idempotence.  Callers must guarantee
+    the range statically (yuv_to_rgb clamps its output; the videofilter
+    chain is [1e-4, 1]-bounded when no sepia/noise gate is on).  Saves ~8
+    us/frame of the 4K quad emit (scripts/bench_rowphase.py B2)."""
+    return jnp.round(x * 255.0).astype(jnp.uint8)
+
+
+def quant_sim_unit(x: jnp.ndarray) -> jnp.ndarray:
+    """quant_sim() for values already in [0,1] (clip elided, bit-identical
+    — see quant_unit)."""
+    return jnp.round(x * 255.0) * np.float32(1.0 / 255.0)
+
+
 def quant_units(x: jnp.ndarray) -> jnp.ndarray:
     """float -> bfloat16 holding the quantized INTEGER value round(clip(x)
     * 255) in 0..255 — every such integer is exact in bf16 (8 explicit

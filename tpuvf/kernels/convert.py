@@ -505,6 +505,160 @@ def plan_rgba_sampler_split(in_spec: FrameSpec, filter: str = LINEAR,
     return run_split
 
 
+QUAD_PHASES = ("ee", "eo", "oe", "oo")  # "<row><col>" phase: e=even, o=odd
+
+
+def plan_rgba_sampler_quad(in_spec: FrameSpec, filter: str = LINEAR,
+                           matrix_index: int | None = None):
+    """420 planes at identity size -> {phase: (r, g, b, a)} QUAD planes,
+    each (H/2, W/2), holding the (row, column) output phases.
+
+    The row-phase extension of plan_rgba_sampler_split (round 3d): with the
+    OUTPUT row-split too, the chroma row 2x-upsample never interleaves —
+    each row phase is one of the _upsample2x_linear 2-tap stencil
+    expressions verbatim (0.25*prev + 0.75*cur / 0.75*cur + 0.25*next),
+    so the whole chain fuses into per-phase emits with no full-height f32
+    intermediate (the column-split path materialized two (2160,1920) f32
+    chroma planes at 4K — ~77 us/frame of the 254 us headline trace;
+    scripts/bench_rowphase.py measured the quad at 190-198).
+
+    Values are BIT-identical to the canonical path per phase: luma is a
+    dequant passthrough and the chroma taps match sample_axis's 2x fast
+    path expression for expression (reference sampler semantics:
+    metalconvertscale_shaders.h:91-148, half-texel linear chroma).
+
+    Inputs are always quad-provisioned: {"y_ee","y_eo","y_oe","y_oo"}
+    (u8 from the host upload repack, or f32 quant_sim from a quad
+    boundary) plus full {"u","v"} chroma."""
+    from tpuvf.kernels.color import as_unit_float
+
+    if matrix_index is None:
+        matrix_index = in_spec.matrix_index
+
+    def run_quad(planes, params):
+        ys = {ph: as_unit_float(planes[f"y_{ph}"]) for ph in QUAD_PHASES}
+        uf = as_unit_float(planes["u"])
+        vf = as_unit_float(planes["v"])
+        out = {}
+        for rp in ("e", "o"):
+            if filter == LINEAR:
+                if rp == "e":  # output rows 2k: 0.25*c[k-1] + 0.75*c[k]
+                    u_r = 0.25 * _shift_edge(uf, -2, -1) + 0.75 * uf
+                    v_r = 0.25 * _shift_edge(vf, -2, -1) + 0.75 * vf
+                else:          # output rows 2k+1: 0.75*c[k] + 0.25*c[k+1]
+                    u_r = 0.75 * uf + 0.25 * _shift_edge(uf, -2, +1)
+                    v_r = 0.75 * vf + 0.25 * _shift_edge(vf, -2, +1)
+                u_e = 0.25 * _shift_edge(u_r, -1, -1) + 0.75 * u_r
+                u_o = 0.75 * u_r + 0.25 * _shift_edge(u_r, -1, +1)
+                v_e = 0.25 * _shift_edge(v_r, -1, -1) + 0.75 * v_r
+                v_o = 0.75 * v_r + 0.25 * _shift_edge(v_r, -1, +1)
+            else:  # NEAREST: every output pixel reads chroma (y//2, x//2)
+                u_e = u_o = uf
+                v_e = v_o = vf
+            for cp, uu, vv in (("e", u_e, v_e), ("o", u_o, v_o)):
+                y = ys[rp + cp]
+                r, g, b = color.yuv_to_rgb(y, uu, vv, matrix_index)
+                out[rp + cp] = (r, g, b, jnp.ones_like(r))
+        return out
+
+    return run_quad
+
+
+def split_rgb_chans_quad(planes):
+    """Quad-boundary RGB planes {"r_ee",...} -> {phase: (r, g, b, a)}
+    dequantized f32 tuples (planes are f32 quant_sim values from
+    pack_rgba_quad, or u8 from a quad-provisioned RGB upload)."""
+    from tpuvf.kernels.color import as_unit_float
+
+    return {
+        ph: tuple(as_unit_float(planes[f"{n}_{ph}"])
+                  for n in ("r", "g", "b", "a"))
+        for ph in QUAD_PHASES
+    }
+
+
+def pack_rgba_quad(chans: dict, out_format: VideoFormat, matrix_index: int,
+                   mode: str, unit_range: bool = False) -> dict:
+    """pack_rgba_split from QUAD (row x column) phase planes.
+
+    chans: {phase: (r, g, b, a) float planes}, phases in QUAD_PHASES.
+    Modes:
+    - "quad":     f32 quant_sim boundary planes {"r_ee",...} (RGB out) or
+                  {"y_ee",..., "u","v"} (4:2:0 out — the 2x2 chroma box
+                  average consumes the phases directly: row pairs are the
+                  cross-ROW-phase average, column pairs the cross-COLUMN
+                  -phase average, the same float ops in the same order as
+                  rgb_to_chroma_downsampled, so values are bit-identical
+                  and chroma needs NO interleave at all)
+    - "packed32q": {"w_ee",...} u32 pixel words per phase (RGB out); the
+                  host interleaves rows+columns in the same repack pass
+                  that interleaves columns for packed32
+                  (core.frame.planes_to_host)
+    - "packed16q": {"y_qe","y_qo"} u16 word planes (column phases joined
+                  per row phase) + {"u","v"} u8 (4:2:0 out)
+
+    unit_range: the producer guarantees [0,1] values (yuv_to_rgb output /
+    the gate-bounded filter chain), so the RGB quantize elides its
+    redundant clip — bit-identical by clip idempotence (measured 8
+    us/frame of the 4K quad emit, scripts/bench_rowphase.py B2)."""
+    from tpuvf.kernels.color import quant_sim, quant_sim_unit, quant_unit
+
+    if mode == "quad":
+        sim = quant_sim_unit if unit_range else quant_sim
+        f = {ph: tuple(sim(c) for c in chans[ph]) for ph in QUAD_PHASES}
+        if out_format in RGB_FORMATS:
+            names = ("r", "g", "b", "a")
+            return {f"{n}_{ph}": v
+                    for ph in QUAD_PHASES for n, v in zip(names, f[ph])}
+        if out_format in (VideoFormat.NV12, VideoFormat.I420):
+            out = {}
+            for ph in QUAD_PHASES:
+                yph, _, _ = color.rgb_to_yuv(*f[ph][:3], matrix_index)
+                out[f"y_{ph}"] = quant_sim(yph)
+            half = np.float32(0.5)
+
+            def box(ci):
+                # row pairs first (cross row phases), then column pairs —
+                # matching rgb_to_chroma_downsampled / pack_rgba_split
+                ae = (f["ee"][ci] + f["oe"][ci]) * half
+                ao = (f["eo"][ci] + f["oo"][ci]) * half
+                return (ae + ao) * half
+
+            _, u, v = color.rgb_to_yuv(box(0), box(1), box(2), matrix_index)
+            out["u"] = quant_sim(u)
+            out["v"] = quant_sim(v)
+            return out
+        raise ValueError("quad links support RGB and 4:2:0 outputs only")
+    qfn = quant_unit if unit_range else quant
+    if mode == "packed32q":
+        if out_format not in RGB_FORMATS:
+            raise ValueError("packed32q applies to RGB output formats only")
+        return {f"w_{ph}": pack_words_u32(tuple(qfn(c) for c in chans[ph]),
+                                          out_format)
+                for ph in QUAD_PHASES}
+    if mode == "packed16q":
+        if out_format not in (VideoFormat.NV12, VideoFormat.I420):
+            raise ValueError("packed16q applies to 4:2:0 output formats")
+        q = {ph: tuple(quant(c) for c in chans[ph]) for ph in QUAD_PHASES}
+        d = {ph: tuple(dequant(c) for c in q[ph][:3]) for ph in QUAD_PHASES}
+        yq = {}
+        for ph in QUAD_PHASES:
+            yph, _, _ = color.rgb_to_yuv(*d[ph], matrix_index)
+            yq[ph] = quant(yph)
+        half = np.float32(0.5)
+
+        def box(ci):
+            ae = (d["ee"][ci] + d["oe"][ci]) * half
+            ao = (d["eo"][ci] + d["oo"][ci]) * half
+            return (ae + ao) * half
+
+        _, u, v = color.rgb_to_yuv(box(0), box(1), box(2), matrix_index)
+        return {"y_qe": pack_words_u16(yq["ee"], yq["eo"]),
+                "y_qo": pack_words_u16(yq["oe"], yq["oo"]),
+                "u": quant(u), "v": quant(v)}
+    raise ValueError(f"unknown quad pack mode {mode}")
+
+
 def can_split_scaled(in_spec: FrameSpec, out_w: int, out_h: int) -> bool:
     """Column-phase dataflow at SCALED geometry (round 3b).
 

@@ -120,7 +120,7 @@ def apply_color_adjustments(rgba, p, frame_index, width, height, gates=None):
 
 
 def apply_color_adjustments_t(chans, p, frame_index, width, height,
-                              gates=None, x_index=None):
+                              gates=None, x_index=None, y_index=None):
     """Per-channel-tuple variant of apply_color_adjustments: channels stay
     separate (r, g, b, a) so XLA fuses the whole chain without the
     (4, H, W) stack materializations (1.66x end-to-end at 4K).
@@ -128,7 +128,12 @@ def apply_color_adjustments_t(chans, p, frame_index, width, height,
     x_index: optional 1-D array of the true pixel x positions of the plane
     columns (for column-phase half-width planes: arange(W/2)*2 + phase);
     `width` stays the FULL frame width for texcoord normalization.  Defaults
-    to arange(width)."""
+    to arange(width).
+
+    y_index: optional 1-D array of the true pixel y positions of the plane
+    rows (for ROW-phase half-height planes: arange(H/2)*2 + phase);
+    `height` stays the FULL frame height.  Defaults to the spatial-sharding
+    -aware global row index."""
     if gates is None:
         gates = dict.fromkeys(
             ("hue", "gamma", "sepia", "invert", "chroma_key", "vignette",
@@ -212,8 +217,12 @@ def apply_color_adjustments_t(chans, p, frame_index, width, height,
     # falloff/grain depend on the frame-space position (parallel.spctx).
     from tpuvf.parallel import spctx
 
-    local_rows = r.shape[-2] if hasattr(r, "shape") and r.ndim >= 2 else height
-    y_rows = spctx.global_rows(local_rows, height)
+    if y_index is not None:
+        y_rows = jnp.asarray(y_index, F32)
+    else:
+        local_rows = (r.shape[-2] if hasattr(r, "shape") and r.ndim >= 2
+                      else height)
+        y_rows = spctx.global_rows(local_rows, height)
     tx = (x_index + 0.5) / F32(width)
     ty = (y_rows + 0.5) / F32(height)
     if gates["vignette"]:
@@ -237,6 +246,15 @@ def apply_color_adjustments_t(chans, p, frame_index, width, height,
         g = jnp.where(do_noise, g + n, g)
         b = jnp.where(do_noise, b + n, b)
 
+    if not (gates["sepia"] or gates["noise"]):
+        # the gamma-stage clamp bounded r/g/b to [1e-4, 1] and every later
+        # active stage preserves [0, 1] (invert: 1-x; chroma key: alpha
+        # only; vignette: x*vig with vig in [0,1]) — the final clip is a
+        # no-op, elided bit-identically (clip idempotence; ~8 us/frame of
+        # the 4K quad emit, scripts/bench_rowphase.py B2).  Sepia's matrix
+        # rows sum past 1 and grain adds +-0.25*noise, so those gates keep
+        # the clip.
+        return (r, g, b, alpha)
     return (jnp.clip(r, 0.0, 1.0), jnp.clip(g, 0.0, 1.0),
             jnp.clip(b, 0.0, 1.0), alpha)
 

@@ -23,6 +23,10 @@ def _load():
         _lib.vf_planar_to_interleaved.argtypes = [u8p, u8p, i64, i64, i32p]
         _lib.vf_deinterleave2.argtypes = [u8p, u8p, u8p, i64]
         _lib.vf_interleave2.argtypes = [u8p, u8p, u8p, i64]
+        _lib.vf_split_quad.argtypes = [u8p, u8p, u8p, u8p, u8p, i64, i64]
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        _lib.vf_interleave4_u32.argtypes = [u32p, u32p, u32p, u32p, u32p,
+                                            i64, i64]
         _lib.vf_unpack_422.argtypes = [u8p, u8p, u8p, u8p, i64, i64,
                                        ctypes.c_int, ctypes.c_int,
                                        ctypes.c_int, ctypes.c_int]
@@ -83,6 +87,33 @@ def interleave2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     h, n = a.shape
     dst = np.empty((h, 2 * n), np.uint8)
     lib.vf_interleave2(_u8ptr(a), _u8ptr(b), _u8ptr(dst), h * n)
+    return dst
+
+
+def split_quad(src: np.ndarray):
+    """(h, w) uint8 -> (ee, eo, oe, oo) (h/2, w/2) row x col phase planes."""
+    lib = _load()
+    src = np.ascontiguousarray(src, np.uint8)
+    h, w = src.shape
+    quads = tuple(np.empty((h // 2, w // 2), np.uint8) for _ in range(4))
+    lib.vf_split_quad(_u8ptr(src), *(_u8ptr(q) for q in quads), h, w)
+    return quads
+
+
+def interleave4_u32(ee: np.ndarray, eo: np.ndarray, oe: np.ndarray,
+                    oo: np.ndarray) -> np.ndarray:
+    """Four (h2, w2) uint32 word planes -> (2*h2, 2*w2) uint32 interleaved
+    (dst[2r+rp, 2c+cp] = phase[rp][cp][r, c])."""
+    lib = _load()
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+
+    def p32(a):
+        return a.ctypes.data_as(u32p)
+
+    quads = [np.ascontiguousarray(a, np.uint32) for a in (ee, eo, oe, oo)]
+    h2, w2 = quads[0].shape
+    dst = np.empty((2 * h2, 2 * w2), np.uint32)
+    lib.vf_interleave4_u32(*(p32(q) for q in quads), p32(dst), h2, w2)
     return dst
 
 

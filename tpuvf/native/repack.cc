@@ -68,6 +68,51 @@ void vf_interleave2(const uint8_t* a, const uint8_t* b, uint8_t* dst,
   }
 }
 
+// (h, w) u8 plane -> four (h/2, w/2) QUAD phase planes (row x col parity):
+// ee = src[0::2, 0::2], eo = src[0::2, 1::2], oe = src[1::2, 0::2],
+// oo = src[1::2, 1::2].  The quad-link source provisioning
+// (core.frame.split_planes_host) — the row+column analog of
+// vf_deinterleave2, one pass over the source.
+void vf_split_quad(const uint8_t* src, uint8_t* ee, uint8_t* eo, uint8_t* oe,
+                   uint8_t* oo, int64_t h, int64_t w) {
+  const int64_t h2 = h / 2, w2 = w / 2;
+  for (int64_t r = 0; r < h2; ++r) {
+    const uint8_t* row_e = src + (2 * r) * w;
+    const uint8_t* row_o = src + (2 * r + 1) * w;
+    uint8_t* pee = ee + r * w2;
+    uint8_t* peo = eo + r * w2;
+    uint8_t* poe = oe + r * w2;
+    uint8_t* poo = oo + r * w2;
+    for (int64_t c = 0; c < w2; ++c) {
+      pee[c] = row_e[2 * c];
+      peo[c] = row_e[2 * c + 1];
+      poe[c] = row_o[2 * c];
+      poo[c] = row_o[2 * c + 1];
+    }
+  }
+}
+
+// four (h2, w2) u32 word planes -> (2*h2, 2*w2) u32 interleaved (the
+// packed32q sink edge: dst[2r+rp][2c+cp] = phase[rp][cp][r][c])
+void vf_interleave4_u32(const uint32_t* ee, const uint32_t* eo,
+                        const uint32_t* oe, const uint32_t* oo, uint32_t* dst,
+                        int64_t h2, int64_t w2) {
+  for (int64_t r = 0; r < h2; ++r) {
+    const uint32_t* pee = ee + r * w2;
+    const uint32_t* peo = eo + r * w2;
+    const uint32_t* poe = oe + r * w2;
+    const uint32_t* poo = oo + r * w2;
+    uint32_t* de = dst + (2 * r) * (2 * w2);
+    uint32_t* do_ = dst + (2 * r + 1) * (2 * w2);
+    for (int64_t c = 0; c < w2; ++c) {
+      de[2 * c] = pee[c];
+      de[2 * c + 1] = peo[c];
+      do_[2 * c] = poe[c];
+      do_[2 * c + 1] = poo[c];
+    }
+  }
+}
+
 // packed 4:2:2 [q0 q1 q2 q3] x (h * w/2) -> y (h, w), u, v (h, w/2)
 // order: positions of (u, y0, v, y1) within the quad; UYVY = (0, 1, 2, 3),
 // YUY2 = (1, 0, 3, 2)

@@ -90,8 +90,9 @@ def random_planes_for_spec(spec, batch, rng=None, split=False):
     """Random device-resident canonical planes with a leading batch axis.
 
     split=True produces the column-phase SPLIT upload layout
-    (core.frame.split_planes_host): what the pipeline feeds a chain whose
-    first element consumes split-provisioned sources."""
+    (core.frame.split_planes_host); split="quad" the QUAD row x col phase
+    layout (core.frame.quad_planes_host): what the pipeline feeds a chain
+    whose first element consumes provisioned sources."""
     import jax.numpy as jnp
 
     rng = rng or np.random.default_rng(0)
@@ -100,7 +101,23 @@ def random_planes_for_spec(spec, batch, rng=None, split=False):
         shape = (batch,) + ((p.channels,) if p.channels > 1 else ()) + (
             p.height, p.width)
         out[p.name] = rng.integers(0, 256, shape, dtype=np.uint8)
-    if split:
+    if split == "quad":
+        from tpuvf.core.formats import RGB_FORMATS
+
+        def quad(x):
+            return {ph: np.ascontiguousarray(x[..., rp::2, cp::2])
+                    for ph, (rp, cp) in zip(("ee", "eo", "oe", "oo"),
+                                            ((0, 0), (0, 1), (1, 0), (1, 1)))}
+
+        if spec.format in RGB_FORMATS:
+            rgba = out.pop("rgba")
+            for c, n in enumerate(("r", "g", "b", "a")):
+                for ph, v in quad(rgba[:, c]).items():
+                    out[f"{n}_{ph}"] = v
+        else:
+            for ph, v in quad(out.pop("y")).items():
+                out[f"y_{ph}"] = v
+    elif split:
         from tpuvf.core.formats import RGB_FORMATS
 
         if spec.format in RGB_FORMATS:

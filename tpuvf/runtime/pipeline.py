@@ -76,7 +76,7 @@ class Pipeline:
         self._step = None
         self._state = None
         self._negotiated = False
-        self._source_split = set()
+        self._source_split = {}
         self._comp_split_pads = {}
         self._sp_replicated = set()
         self._sp_rep_sources = set()
@@ -728,7 +728,7 @@ class Pipeline:
         from tpuvf.elements.compositor import Compositor
 
         if os.environ.get("TPUVF_NO_SPLIT_LINKS"):
-            return {}, set(), {}
+            return {}, {}, {}
 
         info = {}
         producers = []  # (element, can_split_out)
@@ -808,8 +808,9 @@ class Pipeline:
         # -- source provisioning: device-side u8 deinterleaves cost full-
         # plane relayout copies, so when a split-capable consumer's REAL
         # upstream is a source, the host repack splits the planes during
-        # upload instead (core.frame.split_planes_host) ------------------
-        source_split = set()
+        # upload instead (core.frame.split_planes_host / quad_planes_host;
+        # values: "cols" | "quad") ---------------------------------------
+        source_split: Dict[str, str] = {}
         comp_split_pads = {}
 
         def real_upstream(e):
@@ -835,7 +836,7 @@ class Pipeline:
             if (isinstance(up, SourceElement)
                     and len(self._outgoing(up)) == 1):
                 entry(e.name)[0] = True
-                source_split.add(up.name)
+                source_split[up.name] = "cols"
         # compositor pads: the split fast branch reads pad phases directly,
         # so source-fed full-identity pads upload pre-split (the general/
         # animated branch re-interleaves on u8)
@@ -855,9 +856,69 @@ class Pipeline:
                 if (isinstance(up, SourceElement)
                         and len(self._outgoing(up)) == 1):
                     pads.add(ln.sink_pad)
-                    source_split.add(up.name)
+                    source_split[up.name] = "cols"
             if pads:
                 comp_split_pads[e.name] = frozenset(pads)
+
+        # -- QUAD (row x col phase) upgrade: a chain whose head reads a
+        # quad-provisioned 4:2:0 source and stays quad-capable through
+        # every element to the SINK swaps its links for quad layouts —
+        # the chroma row 2x-upsample then fuses into the per-phase emits
+        # instead of materializing full-height f32 planes (headline 4K
+        # device 254 -> 190 us/frame, scripts/bench_rowphase.py).  Not
+        # composable with sp row sharding: run_batched(sp_axis=...)
+        # disables quad links and rebuilds (self._quad_links_enabled).
+        if (not os.environ.get("TPUVF_NO_QUAD_LINKS")
+                and getattr(self, "_quad_links_enabled", True)):
+            from tpuvf.core.formats import RGB_FORMATS as _RGB
+            from tpuvf.core.formats import VideoFormat as _VF
+
+            for e, i_s, o_s, pt in list(info.values()):
+                if pt or i_s.format not in (_VF.NV12, _VF.I420):
+                    continue  # the win is the chroma row-stencil fusion
+                up = real_upstream(e)
+                if not (isinstance(up, SourceElement)
+                        and len(self._outgoing(up)) == 1):
+                    continue
+                if not (e.quad_input_ok(i_s, o_s)
+                        and e.quad_output_ok(i_s, o_s)):
+                    continue
+                chain = [(e, i_s, o_s)]
+                node, reaches_sink = e, False
+                while True:
+                    outs = self._outgoing(node)
+                    if len(outs) != 1:
+                        break
+                    node = outs[0].downstream
+                    d = info.get(id(node))
+                    if d is None:
+                        reaches_sink = isinstance(node, SinkElement)
+                        break
+                    if d[3]:
+                        continue  # passthrough forwards the dict untouched
+                    ce, ci, co, _ = d
+                    if not (ce.quad_input_ok(ci, co)
+                            and ce.quad_output_ok(ci, co)):
+                        break
+                    chain.append((ce, ci, co))
+                if not reaches_sink:
+                    continue
+                tail, t_i, t_o = chain[-1]
+                if t_o.format in _RGB:
+                    if not (tail.edge_packed16_ok(t_i, t_o)
+                            and tail.edge_packed32_ok(t_i, t_o)):
+                        continue
+                    edge = "packed32q"
+                elif t_o.format in (_VF.NV12, _VF.I420):
+                    if not tail.edge_packed16_ok(t_i, t_o):
+                        continue
+                    edge = "packed16q"
+                else:
+                    continue
+                for ce, _, _ in chain[:-1]:
+                    plan[ce.name] = ["quad", "quad"]
+                plan[tail.name] = ["quad", edge]
+                source_split[up.name] = "quad"
         return ({k: (v[0], v[1]) for k, v in plan.items()},
                 source_split, comp_split_pads)
 
@@ -889,7 +950,7 @@ class Pipeline:
         # build() assigns the negotiated sets
         plan, src_split, comp_pads = self._link_plan()
         sig.append(("__links__", tuple(sorted(plan.items())),
-                    tuple(sorted(src_split)),
+                    tuple(sorted(src_split.items())),
                     tuple(sorted((k, tuple(sorted(v)))
                                  for k, v in comp_pads.items()))))
         return tuple(sig)
@@ -919,7 +980,7 @@ class Pipeline:
         self._sp_replicated = set()
         self._sp_rep_sources = set()
         self._sp_graph_ok = True
-        self._source_split = set()
+        self._source_split = {}
         self._comp_split_pads = {}
         self._codec_chain = {}
         self._state = None
@@ -1047,9 +1108,13 @@ class Pipeline:
                     host = s.generate(gen_j, spec)
                     planes = host_to_planes(host, spec)
                     if s.name in self._source_split:
-                        from tpuvf.core.frame import split_planes_host
+                        from tpuvf.core.frame import (quad_planes_host,
+                                                      split_planes_host)
 
-                        planes = split_planes_host(planes, spec)
+                        if self._source_split[s.name] == "quad":
+                            planes = quad_planes_host(planes, spec)
+                        else:
+                            planes = split_planes_host(planes, spec)
                     dev = {k: jax.device_put(v) for k, v in planes.items()}
                     gen_cache[s.name] = (gen_j, dev)
                 else:
@@ -1127,6 +1192,15 @@ class Pipeline:
         sp = mesh.shape[sp_axis]
         if sp <= 1:
             return
+        if any(v == "quad" for v in self._source_split.values()):
+            # quad (row x col phase) links don't compose with row shards
+            # (local phase rows are not global rows); fall back to the
+            # column-split plan and rebuild — outputs stay within the
+            # documented 1-LSB layout tolerance
+            _log.info("sp row sharding requested: disabling quad links "
+                      "and rebuilding with the column-split plan")
+            self._quad_links_enabled = False
+            self.build()
         if not self._sp_graph_ok:
             raise ValueError(
                 "graph cannot row-shard: a branch feeds both an aggregator "
@@ -1261,18 +1335,6 @@ class Pipeline:
         out_fps, clock_infos = self._clock()
         num_frames = self._clock_num_frames(out_fps, clock_infos, num_frames)
 
-        # geometry is fixed across a batch (params staged per run);
-        # _select_step applies the same mismatch-fallback guard as run()
-        step = self._select_step(self.params())
-
-        def batch_step(inputs, state, params):
-            def body(st, frame_inputs):
-                out, st2 = step(frame_inputs, st, params)
-                return st2, out
-
-            st, outs = jax.lax.scan(body, state, inputs)
-            return outs, st
-
         if mesh is not None:
             from tpuvf.parallel.mesh import parallel_batch_fn
 
@@ -1304,7 +1366,24 @@ class Pipeline:
                         f"independent_streams=True if the dp shards map to "
                         f"independent streams, or run with dp=1")
             if sp_axis is not None:
+                # may REBUILD the chain (quad links fall back to the
+                # column-split plan under sp) — select the step after
                 self._validate_sp(mesh, sp_axis)
+
+        codecs = self._codec_chain  # re-read: _validate_sp may have rebuilt
+        # geometry is fixed across a batch (params staged per run);
+        # _select_step applies the same mismatch-fallback guard as run()
+        step = self._select_step(self.params())
+
+        def batch_step(inputs, state, params):
+            def body(st, frame_inputs):
+                out, st2 = step(frame_inputs, st, params)
+                return st2, out
+
+            st, outs = jax.lax.scan(body, state, inputs)
+            return outs, st
+
+        if mesh is not None:
             sp_live = (sp_axis is not None and sp_axis in mesh.axis_names
                        and mesh.shape[sp_axis] > 1)
             dp_run = parallel_batch_fn(
@@ -1353,9 +1432,13 @@ class Pipeline:
                     if gen_cache[0] != gen_j:
                         hp = host_to_planes(s.generate(gen_j, spec), spec)
                         if s.name in self._source_split:
-                            from tpuvf.core.frame import split_planes_host
+                            from tpuvf.core.frame import (quad_planes_host,
+                                                          split_planes_host)
 
-                            hp = split_planes_host(hp, spec)
+                            if self._source_split[s.name] == "quad":
+                                hp = quad_planes_host(hp, spec)
+                            else:
+                                hp = split_planes_host(hp, spec)
                         gen_cache = (gen_j, hp)
                     frames.append(gen_cache[1])
                     metas.append(meta)
