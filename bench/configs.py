@@ -25,11 +25,41 @@ from tpuvf.runtime.benchmark import random_planes_for_spec
 def _element_step(elem, in_spec, out_spec=None):
     out_spec = out_spec or elem.transform_spec(in_spec)
     static = elem.static_config(in_spec, out_spec)
-    # mirror Pipeline._link_plan: a single element feeding the sink gets the
-    # packed16 (u16-word, byte-identical) edge layout when it pays off
-    # (edge_packed16_ok — identity split avoids lane interleaves; the
-    # scaled phase path costs more than canonical standalone), and a
-    # split-capable consumer gets a split-provisioned source upload
+    # mirror Pipeline._link_plan: a quad-capable 4:2:0 element gets the
+    # QUAD (row x col phase) layout with a quad-provisioned source and a
+    # packed32q/packed16q sink edge; otherwise a single element feeding
+    # the sink gets the packed16 (u16-word, byte-identical) edge layout
+    # when it pays off (edge_packed16_ok — identity split avoids lane
+    # interleaves; the scaled phase path costs more than canonical
+    # standalone), and a split-capable consumer gets a split-provisioned
+    # source upload
+    import os
+
+    from tpuvf.core.formats import RGB_FORMATS
+
+    if (not os.environ.get("TPUVF_NO_QUAD_LINKS")
+            and in_spec.format in (VideoFormat.NV12, VideoFormat.I420)
+            and elem.quad_input_ok(in_spec, out_spec)
+            and elem.quad_output_ok(in_spec, out_spec)):
+        if out_spec.format in RGB_FORMATS:
+            q_edge = ("packed32q"
+                      if (elem.edge_packed16_ok(in_spec, out_spec)
+                          and elem.edge_packed32_ok(in_spec, out_spec))
+                      else None)
+        elif out_spec.format in (VideoFormat.NV12, VideoFormat.I420):
+            q_edge = ("packed16q"
+                      if elem.edge_packed16_ok(in_spec, out_spec) else None)
+        else:
+            q_edge = None
+        if q_edge is not None:
+            proc = elem.make_process_linked(in_spec, out_spec, static,
+                                            in_split="quad", out_mode=q_edge)
+            # benches feed no per-buffer metadata: the baked-field-order
+            # fast body IS the stream semantics (deinterlace TFF variants)
+            proc = getattr(proc, "variants", {}).get("fast", proc)
+            proc.source_split = "quad"
+            return proc, elem.init_state(in_spec, out_spec), \
+                elem.traced_params()
     edge = ("packed16"
             if (elem.split_output_ok(in_spec, out_spec)
                 and elem.edge_packed16_ok(in_spec, out_spec)) else "full")

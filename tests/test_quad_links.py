@@ -219,3 +219,185 @@ def test_interleave4_u32_native_matches_numpy():
     ref[0::2, 0::2], ref[0::2, 1::2] = quads[0], quads[1]
     ref[1::2, 0::2], ref[1::2, 1::2] = quads[2], quads[3]
     np.testing.assert_array_equal(got, ref)
+
+
+# -- deinterlace: fields ARE row phases (round 3d) ---------------------------
+
+
+@pytest.mark.parametrize("method", ["bob", "weave", "linear", "greedyh"])
+def test_quad_deinterlace_bit_exact(method):
+    desc = (f"videotestsrc num-buffers=3 pattern=ball "
+            "! video/x-raw,format=I420,width=96,height=48,"
+            "interlace-mode=interleaved "
+            f"! vfmetaldeinterlace method={method} motion-threshold=0.3 "
+            "! appsink")
+    p = _run(desc)
+    name = next(e.name for e in p.elements
+                if e.ELEMENT_NAME == "vfdeinterlace")
+    assert p.link_plan[name] == ("quad", "packed16q")
+    _assert_bit_exact(desc)
+
+
+def test_quad_deinterlace_in_chain_bit_exact():
+    # stateful quad boundary mid-chain: deinterlace ! videofilter, RGB edge
+    _assert_bit_exact(
+        "videotestsrc num-buffers=3 pattern=smpte "
+        "! video/x-raw,format=NV12,width=128,height=64,"
+        "interlace-mode=interleaved "
+        "! vfmetaldeinterlace method=greedyh "
+        "! vfmetalvideofilter contrast=1.2 vignette=0.3 ! appsink")
+
+
+def test_quad_deinterlace_fast_variant_selected():
+    # a steady stream runs the baked-field-order fast body every frame
+    p = parse_pipeline(
+        "videotestsrc num-buffers=3 "
+        "! video/x-raw,format=I420,width=64,height=32,"
+        "interlace-mode=interleaved "
+        "! vfmetaldeinterlace method=greedyh ! appsink")
+    p.negotiate(); p.build()
+    picks = []
+    orig = p._variant_step
+    p._variant_step = lambda names: (picks.append(set(names)), orig(names))[1]
+    p.run()
+    name = next(e.name for e in p.elements
+                if e.ELEMENT_NAME == "vfdeinterlace")
+    assert picks and all(name in s for s in picks)
+
+
+def test_quad_deinterlace_mid_stream_tff_flip():
+    """A flipped buffer falls back to the general (traced-TFF) body and
+    still deinterlaces with ITS field order; steady buffers run fast."""
+    from tpuvf.core.spec import FrameSpec as FS
+
+    w, h = 32, 16
+    spec = FS(VideoFormat.I420, w, h, interlaced=True)
+    rng = np.random.default_rng(11)
+
+    def host():
+        return {"y": rng.integers(0, 256, (h, w), np.uint8),
+                "u": rng.integers(0, 256, (h // 2, w // 2), np.uint8),
+                "v": rng.integers(0, 256, (h // 2, w // 2), np.uint8)}
+
+    hosts = [host() for _ in range(3)]
+    tffs = [True, False, True]
+
+    def run_stream(layout=None):
+        sel = " field-layout=" + layout if layout else ""
+        p = parse_pipeline(
+            f"appsrc format=I420 width={w} height={h} "
+            f"! video/x-raw,interlace-mode=interleaved "
+            f"! vfmetaldeinterlace method=bob{sel} ! appsink")
+        return p
+
+    p = run_stream()
+    for hf, tf in zip(hosts, tffs):
+        p.sources[0].push(hf, tff=tf)
+    p.sources[0].end_of_stream()
+    p.negotiate(); p.build(); p.run()
+    name = next(e.name for e in p.elements
+                if e.ELEMENT_NAME == "vfdeinterlace")
+    assert p.link_plan[name] == ("quad", "packed16q")
+    frames = p.sinks[0].frames
+    assert len(frames) == 3
+
+    def forced(hf, layout):
+        q = run_stream(layout)
+        q.sources[0].push(hf)
+        q.sources[0].end_of_stream()
+        q.negotiate(); q.build(); q.run()
+        return q.sinks[0].frames[0]
+
+    for i, (hf, tf) in enumerate(zip(hosts, tffs)):
+        layout = "top-field-first" if tf else "bottom-field-first"
+        want = forced(hf, layout)
+        for k in want:
+            np.testing.assert_array_equal(
+                np.asarray(frames[i][k]), np.asarray(want[k]),
+                err_msg=f"frame {i} tff={tf} {k}")
+    # the two field orders genuinely differ on this data
+    a = forced(hosts[1], "top-field-first")
+    b = forced(hosts[1], "bottom-field-first")
+    assert any((np.asarray(a[k]) != np.asarray(b[k])).any() for k in a)
+
+
+# -- overlay: rect quad slices (round 3d) ------------------------------------
+
+
+def _overlay_png(tmp_path):
+    from tpuvf.io import png as pngio
+
+    img = np.zeros((20, 24, 4), np.uint8)
+    img[..., 1] = 200
+    img[..., 3] = 150
+    path = str(tmp_path / "quad-ov.png")
+    pngio.write(path, img)
+    return path
+
+
+@pytest.mark.parametrize("x,y", [(5, 7), (0, 0), (11, 3)])
+def test_quad_overlay_420_edge(tmp_path, x, y):
+    """4:2:0 overlay chains negotiate quad; the output matches canonical
+    within the repo's 1-LSB layout tolerance — chroma boxes straddling the
+    rect's row edge mix blended and unblended pixels whose sub-ulp FMA
+    contraction differs between program shapes (CLAUDE.md cross-program
+    -shape chaos); luma and fully-inside/outside boxes are bitwise."""
+    ov = _overlay_png(tmp_path)
+    desc = ("videotestsrc num-buffers=2 pattern=smpte "
+            "! video/x-raw,format=NV12,width=96,height=48 "
+            f"! vfmetaloverlay location={ov} x={x} y={y} alpha=0.6 "
+            "! vfmetalvideofilter brightness=0.1 ! appsink")
+    p = _run(desc)
+    name = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfoverlay")
+    assert p.link_plan[name] == ("quad", "quad")
+    plain = _run(desc, disable_links=True)
+    for fa, fb in zip(_frames(p), _frames(plain)):
+        for k in fa:
+            d = np.abs(np.asarray(fa[k]).astype(np.int32)
+                       - np.asarray(fb[k]).astype(np.int32))
+            assert d.max() <= 1, k
+            assert (d > 0).mean() < 1e-2, k
+        np.testing.assert_array_equal(np.asarray(fa["y"]),
+                                      np.asarray(fb["y"]))
+
+
+def test_quad_overlay_rgb_edge_bit_exact(tmp_path):
+    ov = _overlay_png(tmp_path)
+    desc = ("videotestsrc num-buffers=2 "
+            "! video/x-raw,format=NV12,width=64,height=32 "
+            "! vfmetalconvertscale ! video/x-raw,format=BGRA "
+            f"! vfmetaloverlay location={ov} x=3 y=5 ! appsink")
+    p = _run(desc)
+    name = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfoverlay")
+    assert p.link_plan[name] == ("quad", "packed32q")
+    _assert_bit_exact(desc)
+
+
+@pytest.mark.parametrize("sharp", [0.7, -0.5])
+def test_quad_sharpness_bit_exact(sharp):
+    # blur9_h_split per row phase + blur9_v_split per column phase, RGBA8
+    # boundaries between passes — bit-exact incl. cross-phase edge clamps
+    desc = (f"videotestsrc num-buffers=2 pattern=smpte "
+            "! video/x-raw,format=NV12,width=96,height=48 "
+            f"! vfmetalvideofilter sharpness={sharp} contrast=1.2 "
+            "! appsink")
+    p = _run(desc)
+    vf = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfvideofilter")
+    assert p.link_plan[vf] == ("quad", "packed16q")
+    _assert_bit_exact(desc)
+
+
+def test_blur9_v_split_matches_full():
+    import jax.numpy as jnp
+
+    from tpuvf.kernels import filter as kf
+
+    rng = np.random.default_rng(2)
+    for h, w in ((16, 24), (6, 10)):
+        img = rng.random((h, w)).astype(np.float32)
+        full = np.asarray(kf.blur9(jnp.asarray(img), axis=-2))
+        be, bo = kf.blur9_v_split(jnp.asarray(img[0::2]),
+                                  jnp.asarray(img[1::2]))
+        got = np.empty_like(img)
+        got[0::2], got[1::2] = np.asarray(be), np.asarray(bo)
+        np.testing.assert_array_equal(got, full, err_msg=f"{h}x{w}")

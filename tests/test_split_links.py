@@ -97,13 +97,14 @@ def test_packed16_edge_single_element():
 
 
 def test_sharpness_chain_still_links():
-    # the horizontal blur decomposes into phase-local stencils
-    # (blur9_h_split, bit-exact incl. cross-phase edge clamps), so
-    # sharpened chains keep the split links
+    # the 9-tap blur decomposes per axis into phase-local stencils
+    # (blur9_h_split / blur9_v_split, bit-exact incl. cross-phase edge
+    # clamps), so sharpened chains keep phase links — since round 3d the
+    # full QUAD plan (the vertical blur crosses row phases in-plane)
     s = CHAIN.replace("saturation=1.3", "saturation=1.3 sharpness=0.5")
     p = _run(s)
     vf = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfvideofilter")
-    assert p.link_plan[vf] == (True, "packed32")
+    assert p.link_plan[vf] == ("quad", "packed32q")
     plain = _run(s, disable_links=True).sinks[0].frames
     for a, b in zip(p.sinks[0].frames, plain):
         np.testing.assert_array_equal(a, b)
@@ -320,9 +321,15 @@ def test_deinterlace_split_chain_bit_exact(method, fmt):
               if e.ELEMENT_NAME == "vfdeinterlace")
     vf = next(e.name for e in p.elements
               if e.ELEMENT_NAME == "vfvideofilter")
-    assert p.link_plan[di] == (True, "split")
-    assert p.link_plan[vf] == (
-        True, "packed32" if fmt == "BGRA" else "packed16")
+    if fmt == "BGRA":
+        # RGB heads keep the column-split plan (the quad win is the 4:2:0
+        # chroma row-stencil fusion)
+        assert p.link_plan[di] == (True, "split")
+        assert p.link_plan[vf] == (True, "packed32")
+    else:
+        # round 3d: 4:2:0 deinterlace chains upgrade to QUAD links
+        assert p.link_plan[di] == ("quad", "quad")
+        assert p.link_plan[vf] == ("quad", "packed16q")
     plain = _run(s, disable_links=True).sinks[0].frames
     assert len(p.sinks[0].frames) == 3
     for a, b in zip(p.sinks[0].frames, plain):

@@ -89,6 +89,25 @@ class Deinterlace(Element):
     def split_output_ok(self, in_spec, out_spec):
         return self._phase_capable(in_spec, out_spec)
 
+    # -- QUAD (row x col phase) dataflow: fields ARE row phases, so the
+    # kept field becomes a pure passthrough and interpolation/motion run
+    # only on the discarded phase (kernels.deinterlace row-phase helpers).
+    # The field-layout=auto per-buffer TFF flag is handled with host-
+    # selected program variants: the fast body bakes the stream's field
+    # order (half the stencil/motion work), the general body keeps the
+    # traced select for mid-stream flips (variant_select, same mechanism
+    # as the compositor's fast/general render bodies).
+
+    def _quad_capable(self, in_spec, out_spec) -> bool:
+        return (self._phase_capable(in_spec, out_spec)
+                and in_spec.height % 2 == 0)
+
+    def quad_input_ok(self, in_spec, out_spec):
+        return self._quad_capable(in_spec, out_spec)
+
+    def quad_output_ok(self, in_spec, out_spec):
+        return self._quad_capable(in_spec, out_spec)
+
     def edge_packed32_ok(self, in_spec=None, out_spec=None) -> bool:
         """RGB sink edges emit u32 pixel words (one fusion; the
         per-channel u16 emit split into two fusions with six f32 4K
@@ -106,13 +125,18 @@ class Deinterlace(Element):
         """All four methods are ±1-row stencils (halo-aware via
         spctx.pad_rows_edge) over the kept-field parity mask; local parity
         equals global parity because the sp gate enforces even rows per
-        shard.  The prev-frame state shards with the planes."""
+        shard.  The prev-frame state shards with the planes.  QUAD-linked
+        builds opt out (row phases are not row shards)."""
         from tpuvf.core.formats import RGB_FORMATS
 
+        if getattr(self, "_linked_quad", False):
+            return False
         return (in_spec.format in RGB_FORMATS
                 or self._phase_capable(in_spec, out_spec))
 
     def init_state(self, in_spec, out_spec):
+        from tpuvf.kernels.convert import QUAD_PHASES
+
         if self.props.get("method") in (METHOD_BOB, METHOD_LINEAR):
             # bob/linear never read the previous frame: carrying it would
             # cost a full state round trip per frame for nothing (~8 MB at
@@ -122,6 +146,16 @@ class Deinterlace(Element):
             # frame where the reference would weave against the last
             # bob-era frame — the documented deviation.
             return {}
+        if getattr(self, "_linked_quad", False):
+            # RGBA8 prev-frame texture as QUAD (row x col) phase planes —
+            # per-channel tuples for the same anti-relayout reason as the
+            # split state below
+            plane = lambda: np.zeros(
+                (in_spec.height // 2, in_spec.width // 2), np.uint8)
+            state = {f"prev_{ph}": tuple(plane() for _ in range(4))
+                     for ph in QUAD_PHASES}
+            state["has_prev"] = np.bool_(False)
+            return state
         if getattr(self, "_linked_phase", False):
             # per-channel planes (tuple pytree): stacking to (4, H, W/2)
             # u8 cost a relayout copy on BOTH sides of the state boundary
@@ -145,6 +179,17 @@ class Deinterlace(Element):
     def make_process_linked(self, in_spec: FrameSpec, out_spec: FrameSpec,
                             static, in_split: bool = False,
                             out_mode: str = "full"):
+        quad = (in_split == "quad"
+                or out_mode in ("quad", "packed32q", "packed16q"))
+        self._linked_quad = quad
+        if quad:
+            self._linked_phase = False
+            if not self._quad_capable(in_spec, out_spec):
+                raise NotImplementedError(
+                    "deinterlace quad links require a phase-capable format "
+                    "with even height")
+            return self._make_process_quad(in_spec, out_spec, static,
+                                           out_mode)
         self._linked_phase = in_split or out_mode != "full"
         if self._linked_phase:
             if not self._phase_capable(in_spec, out_spec):
@@ -244,6 +289,125 @@ class Deinterlace(Element):
             return out, new_state
 
         return process
+
+    def _make_process_quad(self, in_spec, out_spec, static, out_mode):
+        """QUAD (row x col phase) path: fields ARE row phases.
+
+        The kept field is a PURE PASSTHROUGH phase; interpolation and
+        motion run only on the discarded phase (kernels.deinterlace
+        interp_even_t/interp_odd_t/discard_phase_t — the _bob_interp taps
+        verbatim, bit-identical per pixel).  With field-layout=auto the
+        per-buffer TFF flag is honored via host-selected variants: 'fast'
+        bakes the stream's field order (half the stencil/motion work of
+        the masked full-height formulation), 'general' keeps the traced
+        per-buffer select (both phases computed) for mid-stream flips —
+        the pipeline picks per frame from the buffer metadata, so steady
+        streams run fast and a flip costs one extra compile, not a wrong
+        frame (gstvfmetaldeinterlace.m:169-185 semantics)."""
+        from tpuvf.core.formats import RGB_FORMATS
+        from tpuvf.kernels.convert import QUAD_PHASES
+        from tpuvf.kernels.color import dequant as _dq
+
+        cfg = dict(static)
+        method = {METHOD_BOB: "bob", METHOD_WEAVE: "weave",
+                  METHOD_LINEAR: "linear", METHOD_GREEDYH: "greedyh"}[
+                      cfg["method"]]
+        layout = cfg["field-layout"]
+        static_tff = bool(in_spec.tff if layout == FIELD_AUTO else (
+            layout == FIELD_TFF))
+        matrix_in = in_spec.matrix_index
+        matrix_out = out_spec.matrix_index
+        if in_spec.format in RGB_FORMATS:
+            reader = lambda planes, params: convert.split_rgb_chans_quad(
+                planes)
+        else:
+            reader = convert.plan_rgba_sampler_quad(
+                in_spec, filter=NEAREST, matrix_index=matrix_in)
+        self._buffers = {}
+        stateless = method in ("bob", "linear")
+
+        def body(planes, state, params, tff):
+            chq = reader(planes, params)
+            # RGBA8 texture boundary per phase (m:204-293)
+            cur_q = {ph: tuple(quant(c) for c in chq[ph])
+                     for ph in QUAD_PHASES}
+            cur = {ph: tuple(_dq(c) for c in cur_q[ph])
+                   for ph in QUAD_PHASES}
+            if stateless:
+                prev, has_prev = None, None
+            else:
+                prev = {ph: tuple(_dq(p) for p in state[f"prev_{ph}"])
+                        for ph in QUAD_PHASES}
+                has_prev = state["has_prev"]
+            thresh = params.get("motion-threshold")
+
+            def discard(ph, interp_t):
+                return kdeint.discard_phase_t(
+                    method, cur[ph], None if stateless else prev[ph],
+                    interp_t, has_prev, thresh)
+
+            outq = {}
+            for cp in ("e", "o"):
+                e_t, o_t = cur["e" + cp], cur["o" + cp]
+                if tff is True:  # kept = even rows: odd phase interpolated
+                    outq["e" + cp] = e_t
+                    outq["o" + cp] = discard(
+                        "o" + cp, kdeint.interp_odd_t(e_t, o_t))
+                elif tff is False:  # kept = odd rows
+                    outq["o" + cp] = o_t
+                    outq["e" + cp] = discard(
+                        "e" + cp, kdeint.interp_even_t(e_t, o_t))
+                else:  # traced per-buffer flag: both candidates, scalar mix
+                    d_e = discard("e" + cp, kdeint.interp_even_t(e_t, o_t))
+                    d_o = discard("o" + cp, kdeint.interp_odd_t(e_t, o_t))
+                    outq["e" + cp] = tuple(
+                        jnp.where(tff, e, d) for e, d in zip(e_t, d_e))
+                    outq["o" + cp] = tuple(
+                        jnp.where(tff, d, o) for d, o in zip(d_o, o_t))
+            out = convert.pack_rgba_quad(outq, out_spec.format, matrix_out,
+                                         mode=out_mode)
+            if stateless:
+                return out, state
+            new_state = {f"prev_{ph}": cur_q[ph] for ph in QUAD_PHASES}
+            new_state["has_prev"] = jnp.asarray(True)
+            return out, new_state
+
+        def process_fast(planes, state, params):
+            return body(planes, state, params, static_tff)
+
+        if layout != FIELD_AUTO:
+            return process_fast  # field order pinned: one (fast) body
+
+        def resolve_tff(params):
+            meta = params.get("__meta__") or {}
+            tff_flag = meta.get("tff")
+            return static_tff if tff_flag is None else (tff_flag != 0)
+
+        def process_general(planes, state, params):
+            return body(planes, state, params, resolve_tff(params))
+
+        def variant_select(elem_params) -> str:
+            """'fast' iff this frame's buffer TFF flag matches the baked
+            stream field order (or carries none) — checked on the HOST, so
+            the baked-order program runs without the traced double-compute;
+            a flipped buffer falls back to the general body."""
+            meta = elem_params.get("__meta__")
+            if not isinstance(meta, dict):
+                return "general"  # no host-visible flag (batched path)
+            tff_flag = meta.get("tff")
+            if tff_flag is None:
+                return "fast"
+            try:
+                return ("fast"
+                        if bool(np.asarray(tff_flag).item()) == static_tff
+                        else "general")
+            except Exception:  # traced/stacked flag: stay on general
+                return "general"
+
+        process_general.variants = {"general": process_general,
+                                    "fast": process_fast}
+        process_general.variant_select = variant_select
+        return process_general
 
     def _make_process_full(self, in_spec: FrameSpec, out_spec: FrameSpec,
                            static):

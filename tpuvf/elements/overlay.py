@@ -149,6 +149,20 @@ class Overlay(Element):
     def split_output_ok(self, in_spec, out_spec):
         return self._phase_capable(in_spec, out_spec)
 
+    # -- QUAD (row x col phase) dataflow: the rect blend partitions freely
+    # into (row, col) canvas phases; the overlay rect's quad slices are cut
+    # host-side (both parities static per build)
+
+    def _quad_capable(self, in_spec, out_spec) -> bool:
+        return (self._phase_capable(in_spec, out_spec)
+                and in_spec.height % 2 == 0)
+
+    def quad_input_ok(self, in_spec, out_spec):
+        return self._quad_capable(in_spec, out_spec)
+
+    def quad_output_ok(self, in_spec, out_spec):
+        return self._quad_capable(in_spec, out_spec)
+
     def edge_packed32_ok(self, in_spec=None, out_spec=None) -> bool:
         """RGB sink edges emit u32 pixel words (one fusion; the
         per-channel u16 emit split into two fusions with six f32 4K
@@ -162,6 +176,8 @@ class Overlay(Element):
         from tpuvf.core.formats import RGB_FORMATS
 
         self._sync_image()
+        if getattr(self, "_linked_quad", False):
+            return False  # row phases are not row shards
         if self._image is None or in_spec.format != out_spec.format:
             return False
         if in_spec.format in RGB_FORMATS:
@@ -216,6 +232,59 @@ class Overlay(Element):
             "element": self,
         }
 
+    def _make_process_quad(self, in_spec, out_spec, bufs, cfg, out_mode):
+        """QUAD (row x col phase) path: the overlay rect slices into four
+        (row, col) parity pieces host-side; each phase blend is the split
+        path's expression verbatim (video*(1-a) + overlay*a on the
+        premultiplied image), so values are bit-identical per pixel."""
+        from tpuvf.core.formats import RGB_FORMATS
+        from tpuvf.kernels.convert import QUAD_PHASES
+
+        w, h = in_spec.width, in_spec.height
+        rx0, rx1, ry0, ry1 = cfg["rect"]
+        ov_rect = cfg["planes"]  # (4, rh, rw) f32 premultiplied
+
+        # column parity spans (phase plane index space)
+        ce = ((rx0 + 1) // 2, (rx1 + 1) // 2)   # even canvas columns
+        co = (rx0 // 2, rx1 // 2)               # odd canvas columns
+        re = ((ry0 + 1) // 2, (ry1 + 1) // 2)   # even canvas rows
+        ro = (ry0 // 2, ry1 // 2)               # odd canvas rows
+        fetches = {}
+        for ph in QUAD_PHASES:
+            (r0, r1) = re if ph[0] == "e" else ro
+            (c0, c1) = ce if ph[1] == "e" else co
+            if r1 <= r0 or c1 <= c0:
+                continue
+            roff = 2 * r0 - ry0 + (0 if ph[0] == "e" else 1)
+            coff = 2 * c0 - rx0 + (0 if ph[1] == "e" else 1)
+            piece = np.ascontiguousarray(ov_rect[:, roff::2, coff::2])
+            fetches[ph] = (bufs.add(piece, f"overlay_{ph}"),
+                           ((r0, h // 2 - r1), (c0, w // 2 - c1)))
+
+        if in_spec.format in RGB_FORMATS:
+            reader = lambda planes, params: convert.split_rgb_chans_quad(
+                planes)
+        else:
+            reader = convert.plan_rgba_sampler_quad(
+                in_spec, matrix_index=in_spec.matrix_index)
+        self._buffers = bufs.buffers
+        matrix_out = out_spec.matrix_index
+
+        def process_quad(planes, state, params):
+            chq = {ph: list(t) for ph, t in reader(planes, params).items()}
+            for ph, (fetch, pad_hw) in fetches.items():
+                ov = jnp.asarray(fetch(params))
+                a = jnp.pad(ov[3] * params["alpha"], pad_hw)
+                for c in range(3):
+                    ovc = jnp.pad(ov[c], pad_hw)
+                    chq[ph][c] = chq[ph][c] * (1.0 - a) + ovc * a
+            out = convert.pack_rgba_quad(
+                {ph: tuple(t) for ph, t in chq.items()},
+                out_spec.format, matrix_out, mode=out_mode)
+            return out, state
+
+        return process_quad
+
     def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
         return self.make_process_linked(in_spec, out_spec, static)
 
@@ -237,6 +306,15 @@ class Overlay(Element):
 
         bufs = WeightBuffers(self.name)
         matrix_out = out_spec.matrix_index
+        quad = (in_split == "quad"
+                or out_mode in ("quad", "packed32q", "packed16q"))
+        self._linked_quad = quad
+        if quad:
+            if not self._quad_capable(in_spec, out_spec):
+                raise NotImplementedError(
+                    "overlay quad links require even dimensions")
+            return self._make_process_quad(in_spec, out_spec, bufs,
+                                           cfg, out_mode)
         phase_mode = in_split or out_mode != "full"
         if phase_mode and not self._phase_capable(in_spec, out_spec):
             raise NotImplementedError(

@@ -236,16 +236,17 @@ class VideoFilter(Element):
 
     def _quad_capable(self, in_spec, out_spec) -> bool:
         """QUAD (row x col phase) dataflow: phase-capable formats with even
-        height, no LUT (the per-phase gather would split the two measured
-        -optimal gather sites into four) and no sharpness (the 9-tap
-        vertical blur would need cross-ROW-phase stencils — not built).
+        height and no LUT (the per-phase gather would split the two
+        measured-optimal gather sites into four).  Sharpness is fine: the
+        9-tap blur decomposes per axis into cross-phase phase-local
+        stencils (kfilter.blur9_h_split per row phase, blur9_v_split per
+        column phase — both bit-exact incl. the cross-phase edge clamps).
         Vignette/grain are fine: their row coordinates ride y_index."""
         if not self._phase_capable(in_spec, out_spec):
             return False
         if in_spec.height % 2:
             return False
-        return (self._lut is None
-                and abs(self.props.get("sharpness")) <= 0.001)
+        return self._lut is None
 
     def quad_input_ok(self, in_spec, out_spec):
         return self._quad_capable(in_spec, out_spec)
@@ -277,7 +278,7 @@ class VideoFilter(Element):
             if not self._quad_capable(in_spec, out_spec):
                 raise NotImplementedError(
                     "videofilter quad links require a phase-capable format "
-                    "with even height, no LUT, no sharpness")
+                    "with even height and no LUT")
             if in_spec.format in RGB_FORMATS:
                 reader_q = lambda planes, params: \
                     convert.split_rgb_chans_quad(planes)
@@ -297,8 +298,46 @@ class VideoFilter(Element):
                         ch, params, frame_index, w, h, gates=gates,
                         x_index=x_base + (0.0 if ph[1] == "e" else 1.0),
                         y_index=y_base + (0.0 if ph[0] == "e" else 1.0))
+                if use_sharpness:
+                    # RGBA8 boundaries between the blur phases, per quad
+                    # phase (the reference renders each pass to an RGBA8
+                    # texture); H blur crosses COLUMN phases per row
+                    # phase, V blur crosses ROW phases per column phase
+                    q1 = {ph: tuple(quant(c) for c in outq[ph])
+                          for ph in outq}
+                    bh = {}
+                    for rp in ("e", "o"):
+                        pairs = [kfilter.blur9_h_split(
+                            dequant(qe), dequant(qo))
+                            for qe, qo in zip(q1[rp + "e"], q1[rp + "o"])]
+                        bh[rp + "e"] = tuple(quant(p[0]) for p in pairs)
+                        bh[rp + "o"] = tuple(quant(p[1]) for p in pairs)
+                    bv = {}
+                    for cp in ("e", "o"):
+                        pairs = [kfilter.blur9_v_split(
+                            dequant(qe), dequant(qo))
+                            for qe, qo in zip(bh["e" + cp], bh["o" + cp])]
+                        bv["e" + cp] = tuple(quant(p[0]) for p in pairs)
+                        bv["o" + cp] = tuple(quant(p[1]) for p in pairs)
+                    amount = params["sharpness"]
+
+                    def unsharp_phase(orig_q, blur_q):
+                        res = []
+                        for c in range(3):
+                            o = dequant(orig_q[c])
+                            bl = dequant(blur_q[c])
+                            sharp = jnp.clip(o + (o - bl) * amount,
+                                             0.0, 1.0)
+                            mixed = o + (bl - o) * jnp.abs(amount)
+                            res.append(jnp.where(amount > 0, sharp, mixed))
+                        res.append(dequant(orig_q[3]))  # alpha preserved
+                        return tuple(res)
+
+                    outq = {ph: unsharp_phase(q1[ph], bv[ph])
+                            for ph in q1}
                 # the adjust chain output is [0,1]-bounded (its tail clip,
-                # elided or not) -> the pack quantize skips its clip
+                # elided or not) -> the pack quantize skips its clip; the
+                # unsharp output is clipped/convex-mixed in [0,1] too
                 out = convert.pack_rgba_quad(
                     outq, out_spec.format, matrix_out, mode=out_mode,
                     unit_range=True)

@@ -72,6 +72,58 @@ def greedyh(cur, prev, tff: bool, motion_threshold):
     return jnp.where(keep, cur, repl)
 
 
+# -- ROW-PHASE (field) formulation for the quad dataflow (round 3d) ---------
+# Fields ARE row phases: with the frame carried as even/odd row planes the
+# kept field is a PURE PASSTHROUGH and interpolation/motion run only on the
+# discarded phase — half the stencil and motion work of the masked
+# full-height formulation, and no row-parity select at all.  The taps are
+# the _bob_interp expressions verbatim (same adds, same order, same edge
+# clamps), so per-pixel values are bit-identical to the canonical kernels.
+
+def interp_even_t(e_t, o_t):
+    """Bob interpolation at EVEN output rows 2k: (cur[2k-1] + cur[2k+1])
+    * 0.5 = (O[k-1] + O[k]) * 0.5; the row -1 edge clamp folds to full row
+    0, which is the even phase's own first row (metaldeinterlace_shaders.h
+    :88-114 edge behavior via _shift_rows)."""
+    def one(e, o):
+        above = jnp.concatenate([e[..., :1, :], o[..., :-1, :]], axis=-2)
+        return (above + o) * 0.5
+
+    return tuple(one(e, o) for e, o in zip(e_t, o_t))
+
+
+def interp_odd_t(e_t, o_t):
+    """Bob interpolation at ODD output rows 2k+1: (cur[2k] + cur[2k+2])
+    * 0.5 = (E[k] + E[k+1]) * 0.5; the row-H edge clamp folds to full row
+    H-1, the odd phase's own last row."""
+    def one(e, o):
+        below = jnp.concatenate([e[..., 1:, :], o[..., -1:, :]], axis=-2)
+        return (e + below) * 0.5
+
+    return tuple(one(e, o) for e, o in zip(e_t, o_t))
+
+
+def discard_phase_t(method: str, cur_t, prev_t, interp_t, has_prev,
+                    motion_threshold):
+    """The DISCARDED row phase's output planes.
+
+    cur_t/prev_t: this phase's current/previous planes; interp_t: the bob
+    interpolation computed from both phases (interp_even_t/interp_odd_t).
+    bob/linear ignore prev; weave takes prev wholesale; greedyh selects
+    prev vs interp per pixel on motion (metaldeinterlace_shaders.h:156-218)
+    — all with the first-frame bob fallback folded in (has_prev)."""
+    if method in ("bob", "linear"):
+        return interp_t
+    if method == "weave":
+        return tuple(jnp.where(has_prev, p, i)
+                     for p, i in zip(prev_t, interp_t))
+    motion = jnp.sqrt(sum((c - p) ** 2
+                          for c, p in zip(cur_t[:3], prev_t[:3])))
+    low = motion < motion_threshold
+    return tuple(jnp.where(has_prev, jnp.where(low, p, i), i)
+                 for p, i in zip(prev_t, interp_t))
+
+
 # -- per-channel-tuple variants (no (4, H, W) stacks; see CLAUDE.md) --------
 
 def bob_t(cur_t, tff: bool):

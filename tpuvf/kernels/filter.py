@@ -462,6 +462,49 @@ def blur9_h_split(e: jnp.ndarray, o: jnp.ndarray):
     return be, bo
 
 
+def blur9_v_split(e: jnp.ndarray, o: jnp.ndarray):
+    """Vertical 9-tap blur on even/odd ROW-phase planes -> (be, bo).
+
+    The sublane-axis mirror of blur9_h_split, for the QUAD dataflow:
+    BIT-exact vs blur9(row-interleaved, axis=-2).  Tap i of output row r
+    reads clip(r-4+i, 0, H-1); for even output rows 2k the even-i taps
+    live on the e phase at j = k-2+i/2 and odd-i taps on the o phase at
+    j = k+(i-5)//2 (odd outputs symmetrically).  Edge clamping CROSSES
+    phases: a tap clipped to row 0 reads e[0] and one clipped to H-1
+    (odd, H even) reads o[H/2-1]."""
+    import jax
+
+    from tpuvf.kernels.convert import _shift_edge
+
+    half = e.shape[-2]
+    row = jax.lax.broadcasted_iota(jnp.int32, e.shape[-2:], 0)
+    row = jnp.broadcast_to(row, e.shape)
+    first_e = jax.lax.slice_in_dim(e, 0, 1, axis=-2)
+    last_o = jax.lax.slice_in_dim(o, half - 1, half, axis=-2)
+
+    def tap(base, j_off):
+        shifted = _shift_edge(base, -2, j_off)
+        if j_off < 0:
+            shifted = jnp.where(row < -j_off, first_e, shifted)
+        elif j_off > 0:
+            shifted = jnp.where(row >= half - j_off, last_o, shifted)
+        return shifted
+
+    be = None
+    bo = None
+    for i, w in enumerate(BLUR_WEIGHTS):
+        wf = F32(w)
+        if i % 2 == 0:
+            te = tap(e, i // 2 - 2)          # row 2(k-2+i/2)
+            to = tap(o, i // 2 - 2)          # row 2(k-2+i/2)+1
+        else:
+            te = tap(o, (i - 5) // 2)        # row 2k-4+i (odd)
+            to = tap(e, (i - 3) // 2)        # row 2k+1-4+i (even)
+        be = te * wf if be is None else be + te * wf
+        bo = to * wf if bo is None else bo + to * wf
+    return be, bo
+
+
 def blur9(img, axis: int):
     """9-tap Gaussian along one axis with edge clamping (blurHorizontal /
     blurVertical, h:265-299).  img: (..., 4, H, W) float32.

@@ -429,6 +429,13 @@ class Pipeline:
             st for st in stages
             if not st.passthrough and hasattr(st.process, "variants")
         ]
+        # which SOURCE's per-buffer metadata reaches each variant stage
+        # (meta rides linear chains unchanged and resets at aggregators) —
+        # lets variant_select see the frame's flags (deinterlace TFF)
+        self._meta_root = {
+            st.element.name: self._meta_source_of(st.element)
+            for st in self._variant_stages
+        }
         self._make_step = make_step
         self._step_cache: Dict[frozenset, object] = {}
         # legacy single-stage views (tests/introspection)
@@ -1124,7 +1131,9 @@ class Pipeline:
             frame_params = None
             try:
                 frame_params = self._frame_params(dev_params)
-                step_fn = self._select_step(frame_params)
+                step_fn = self._select_step(
+                    frame_params,
+                    metas={s.name: selection[s.name][1] for s in sources})
                 with trace(f"tpuvf.step[{i}]"):
                     out, state = step_fn(inputs, state, frame_params)
                 # publish the carry NOW: the step donated the old state
@@ -1235,15 +1244,41 @@ class Pipeline:
                     f"h % sp == 0 with even rows/shard >= 4 (field parity, "
                     f"chroma half-rows and the 4-row blur halo)")
 
-    def _select_step(self, frame_params):
+    def _meta_source_of(self, elem):
+        """The source whose per-buffer metadata reaches `elem` (walking the
+        linear upstream chain; aggregators reset the stream so the walk
+        stops there), or None."""
+        from tpuvf.elements.compositor import Compositor
+
+        node = elem
+        while True:
+            inc = self._incoming(node)
+            if not inc:
+                return None
+            up = inc[0].upstream
+            if isinstance(up, SourceElement):
+                return up.name
+            if isinstance(up, Compositor):
+                return None
+            node = up
+
+    def _select_step(self, frame_params, metas=None):
         """Pick the jitted program variant combination for this frame's
-        params (host check; each combination compiles once, cached)."""
+        params (host check; each combination compiles once, cached).
+        `metas` ({source_name: buffer metadata dict}) lets flag-dependent
+        variants (deinterlace TFF) see this frame's host-visible flags."""
         stages = getattr(self, "_variant_stages", None)
         if not stages:
             return self._step
+        meta_root = getattr(self, "_meta_root", {})
         fast = []
         for st in stages:
             elem_params = frame_params.get(st.element.name, {})
+            if metas:
+                src = meta_root.get(st.element.name)
+                if src is not None and src in metas:
+                    elem_params = dict(elem_params)
+                    elem_params["__meta__"] = metas[src]
             try:
                 if st.process.variant_select(elem_params) == "fast":
                     fast.append(st.element.name)
