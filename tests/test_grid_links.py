@@ -1,0 +1,310 @@
+"""GRID16 (4x4 row x col phase) link layout (round 3e).
+
+The 2x-upscale extension of the quad links: at EXACTLY 2x/2x
+4:2:0 -> RGB geometry every bilinear tap is phase-fixed (luma .25/.75,
+chroma .375/.625 and .125/.875), so the head convertscale reads the
+quad-provisioned source and emits SIXTEEN (row mod 4, col mod 4) output
+phase planes; downstream grid-capable elements stay per-phase to a
+packed32g sink edge and the whole upscale chain fuses with zero
+resampling materialization (421 -> 233 us/frame at 1080p->4K on v5e,
+scripts/bench_upscale_p44.py).
+
+Parity: the grid stencils are the canonical 2x fast-path expressions
+regrouped by output phase, but XLA contracts FMAs differently across the
+two program shapes (the repo-wide rule, CLAUDE.md round 3) — knife-edge
+pixels may flip 1 LSB, so the chain comparisons assert max 1 LSB with a
+small flip fraction (several cases measure bit-exact; e.g. brightness=0.1
+alone flips ~1.3% by 1 LSB on CPU).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tpuvf.cli.launch import parse_pipeline
+from tpuvf.core.formats import VideoFormat
+from tpuvf.core.spec import FrameSpec
+
+
+def _run(desc, disable_links=False):
+    p = parse_pipeline(desc)
+    if disable_links:
+        p._link_plan = lambda: ({}, {}, {})
+    p.negotiate()
+    p.build()
+    p.run()
+    return p
+
+
+def _frames(p):
+    out = []
+    for f in p.sinks[0].frames:
+        out.append(f if isinstance(f, dict) else {"rgba": f})
+    return out
+
+
+def _assert_within_1lsb(desc):
+    a = _frames(_run(desc))
+    b = _frames(_run(desc, disable_links=True))
+    assert len(a) == len(b)
+    for fa, fb in zip(a, b):
+        assert fa.keys() == fb.keys()
+        for k in fa:
+            diff = np.abs(np.asarray(fa[k]).astype(np.int32)
+                          - np.asarray(fb[k]).astype(np.int32))
+            assert diff.max() <= 1, (k, int(diff.max()))
+            assert (diff > 0).mean() < 0.02, (k, float((diff > 0).mean()))
+
+
+CHAIN = (
+    "videotestsrc num-buffers=2 ! video/x-raw,format=NV12,width=96,height=52 "
+    "! vfmetalconvertscale ! video/x-raw,format=BGRA,width=192,height=104 "
+    "! vfmetalvideofilter brightness=0.1 contrast=1.2 saturation=1.3 "
+    "! appsink"
+)
+
+
+def test_grid_negotiated_and_close():
+    p = _run(CHAIN)
+    names = {e.ELEMENT_NAME: e.name for e in p.elements}
+    assert p.link_plan[names["vfconvertscale"]] == ("quad", "grid")
+    assert p.link_plan[names["vfvideofilter"]] == ("grid", "packed32g")
+    assert list(p._source_split.values()) == ["quad"]
+    _assert_within_1lsb(CHAIN)
+
+
+def test_grid_head_only_packed32g_edge():
+    desc = ("videotestsrc num-buffers=2 pattern=ball "
+            "! video/x-raw,format=I420,width=96,height=52 "
+            "! vfmetalconvertscale "
+            "! video/x-raw,format=RGBA,width=192,height=104 ! appsink")
+    p = _run(desc)
+    cs = next(e.name for e in p.elements
+              if e.ELEMENT_NAME == "vfconvertscale")
+    assert p.link_plan[cs] == ("quad", "packed32g")
+    _assert_within_1lsb(desc)
+
+
+def test_grid_snow_content_close():
+    # random content exercises the quantize knife edges
+    _assert_within_1lsb(
+        "videotestsrc num-buffers=2 pattern=snow "
+        "! video/x-raw,format=NV12,width=64,height=36 "
+        "! vfmetalconvertscale ! video/x-raw,format=BGRA,"
+        "width=128,height=72 "
+        "! vfmetalvideofilter contrast=1.4 vignette=0.4 ! appsink")
+
+
+def test_grid_all_gates_close():
+    _assert_within_1lsb(
+        "videotestsrc num-buffers=2 ! video/x-raw,format=NV12,"
+        "width=64,height=36 "
+        "! vfmetalconvertscale ! video/x-raw,format=BGRA,"
+        "width=128,height=72 "
+        "! vfmetalvideofilter gamma=0.8 hue=0.3 invert=true sepia=0.5 "
+        "chroma-key-enabled=true ! appsink")
+
+
+def test_grid_grain_coordinates():
+    # grain hashes the TRUE pixel coordinates: the grid path feeds
+    # x_index/y_index at stride 4 per phase — hash INPUTS match the
+    # canonical program, but grain is FMA-chaotic across program shapes
+    # (CLAUDE.md): compare with the repo's tolerance-and-outliers rule.
+    desc = ("videotestsrc num-buffers=3 pattern=smpte "
+            "! video/x-raw,format=NV12,width=64,height=36 "
+            "! vfmetalconvertscale ! video/x-raw,format=BGRA,"
+            "width=128,height=72 "
+            "! vfmetalvideofilter noise=0.5 vignette=0.3 saturation=1.4 "
+            "! appsink")
+    a = _frames(_run(desc))
+    b = _frames(_run(desc, disable_links=True))
+    assert len(a) == len(b)
+    for fa, fb in zip(a, b):
+        for k in fa:
+            diff = np.abs(np.asarray(fa[k]).astype(np.int32)
+                          - np.asarray(fb[k]).astype(np.int32))
+            assert (diff > 2).mean() < 1e-3, k
+            assert np.median(diff) <= 1, k
+
+
+def test_grid_through_passthrough_elements():
+    # queue/identity forward the phase dict untouched
+    _assert_within_1lsb(
+        "videotestsrc num-buffers=2 ! video/x-raw,format=NV12,"
+        "width=64,height=36 "
+        "! vfmetalconvertscale ! video/x-raw,format=BGRA,"
+        "width=128,height=72 ! queue "
+        "! vfmetalvideofilter brightness=0.1 ! identity ! appsink")
+
+
+def test_sharpness_falls_back_to_split_plan():
+    # the 9-tap blur's mod-4 cross-phase stencils aren't built: the chain
+    # keeps the 2-phase split plan (which carries sharpness) and still runs
+    desc = ("videotestsrc num-buffers=1 ! video/x-raw,format=NV12,"
+            "width=64,height=36 "
+            "! vfmetalconvertscale ! video/x-raw,format=BGRA,"
+            "width=128,height=72 "
+            "! vfmetalvideofilter sharpness=0.5 ! appsink")
+    p = _run(desc)
+    assert all(m[1] not in ("grid", "packed32g")
+               for m in p.link_plan.values())
+
+
+def test_lut_falls_back(tmp_path):
+    lut = tmp_path / "id.cube"
+    lines = ["LUT_3D_SIZE 2"]
+    for b in range(2):
+        for g in range(2):
+            for r in range(2):
+                lines.append(f"{r:.1f} {g:.1f} {b:.1f}")
+    lut.write_text("\n".join(lines) + "\n")
+    p = _run(
+        "videotestsrc num-buffers=1 ! video/x-raw,format=NV12,"
+        "width=64,height=36 ! vfmetalconvertscale "
+        "! video/x-raw,format=BGRA,width=128,height=72 "
+        f"! vfmetalvideofilter lut-file={lut} ! appsink")
+    assert all(m[1] not in ("grid", "packed32g")
+               for m in p.link_plan.values())
+
+
+def test_non_2x_geometry_keeps_other_plans():
+    # 1.5x is not a grid geometry: the scaled split plan (or canonical)
+    # applies instead
+    p = _run(
+        "videotestsrc num-buffers=1 ! video/x-raw,format=NV12,"
+        "width=64,height=36 ! vfmetalconvertscale "
+        "! video/x-raw,format=BGRA,width=96,height=54 "
+        "! vfmetalvideofilter brightness=0.1 ! appsink")
+    assert all(m[1] not in ("grid", "packed32g")
+               for m in p.link_plan.values())
+
+
+def test_non_mod4_input_dims_still_grid():
+    # 4:2:0 inputs are always even, so every exactly-2x case qualifies
+    # (2 * even is mod 4); 62x38 -> 124x76 exercises the non-mod-4 input
+    desc = ("videotestsrc num-buffers=1 ! video/x-raw,format=NV12,"
+            "width=62,height=38 ! vfmetalconvertscale "
+            "! video/x-raw,format=BGRA,width=124,height=76 "
+            "! vfmetalvideofilter brightness=0.1 ! appsink")
+    p = _run(desc)
+    assert any(m[1] in ("grid", "packed32g") for m in p.link_plan.values())
+    _assert_within_1lsb(desc)
+
+
+def test_overlay_downstream_breaks_grid(tmp_path):
+    # an ACTIVE overlay isn't grid-capable: the chain keeps the 2-phase
+    # plan (a file-less overlay is soft-fail passthrough and forwards the
+    # grid dict untouched — covered by the passthrough test above)
+    from PIL import Image
+
+    png = tmp_path / "ov.png"
+    Image.new("RGBA", (8, 8), (255, 0, 0, 128)).save(png)
+    desc = ("videotestsrc num-buffers=1 ! video/x-raw,format=NV12,"
+            "width=64,height=36 ! vfmetalconvertscale "
+            "! video/x-raw,format=BGRA,width=128,height=72 "
+            "! vfmetalvideofilter brightness=0.1 "
+            f"! vfmetaloverlay location={png} ! appsink")
+    p = _run(desc)
+    assert all(m[1] not in ("grid", "packed32g")
+               for m in p.link_plan.values())
+
+
+def test_no_quad_links_escape_hatch(monkeypatch):
+    monkeypatch.setenv("TPUVF_NO_QUAD_LINKS", "1")
+    p = _run(CHAIN)
+    assert all(m[1] not in ("grid", "packed32g")
+               for m in p.link_plan.values())
+
+
+def test_sp_request_rebuilds_without_grid():
+    import jax
+
+    from tpuvf.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    p = _run(CHAIN)
+    assert any(v == "quad" for v in p._source_split.values())
+    mesh = make_mesh({"dp": 1, "sp": 2})
+    p.run_batched(2, batch_size=2, mesh=mesh, sp_axis="sp")
+    assert all(v != "quad" for v in p._source_split.values())
+    assert all(m[1] not in ("grid", "packed32g")
+               for m in p.link_plan.values())
+
+
+# -- kernel/host-edge unit tests --------------------------------------------
+
+
+def test_interleave16_numpy_vs_native():
+    from tpuvf.core.frame import _get_native
+
+    nat = _get_native()
+    if nat is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(7)
+    grid = [rng.integers(0, 2**32, (6, 10), dtype=np.uint32)
+            for _ in range(16)]
+    out = nat.interleave16_u32(grid)
+    ref = np.empty((24, 40), np.uint32)
+    for i, g in enumerate(grid):
+        ref[i // 4::4, i % 4::4] = g
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_pack_rgba_grid16_words_match_per_phase_pack():
+    import jax.numpy as jnp
+
+    from tpuvf.kernels import convert
+
+    rng = np.random.default_rng(3)
+    chans = {
+        ph: tuple(jnp.asarray(rng.random((4, 8)).astype(np.float32))
+                  for _ in range(4))
+        for ph in convert.GRID16_PHASES
+    }
+    out = convert.pack_rgba_grid16(chans, VideoFormat.BGRA, 0,
+                                   mode="packed32g", unit_range=True)
+    wg = np.asarray(out["w_g"])
+    assert wg.shape == (16, 4, 8)
+    for i, ph in enumerate(convert.GRID16_PHASES):
+        ref = np.asarray(convert.pack_words_u32(
+            tuple(jnp.round(c * 255.0).astype(jnp.uint8)
+                  for c in chans[ph]),
+            VideoFormat.BGRA))
+        np.testing.assert_array_equal(wg[i], ref, ph)
+
+
+def test_grid_sampler_matches_canonical_sampler():
+    # plan_rgba_sampler_grid16 vs the canonical dense sampler on random
+    # planes: reassembling the 16 phases must reproduce the full-res RGBA
+    import jax.numpy as jnp
+
+    from tpuvf.core.frame import quad_planes_host
+    from tpuvf.kernels import convert
+    from tpuvf.kernels.sample import WeightBuffers
+
+    rng = np.random.default_rng(11)
+    w_in, h_in = 32, 20
+    spec = FrameSpec(VideoFormat.NV12, w_in, h_in)
+    y = rng.integers(0, 256, (h_in, w_in), np.uint8)
+    u = rng.integers(0, 256, (h_in // 2, w_in // 2), np.uint8)
+    v = rng.integers(0, 256, (h_in // 2, w_in // 2), np.uint8)
+
+    gplanes = quad_planes_host({"y": y, "u": u, "v": v}, spec)
+    grid = convert.plan_rgba_sampler_grid16(spec)(
+        {k: jnp.asarray(p) for k, p in gplanes.items()}, {})
+
+    bufs = WeightBuffers("t")
+    sampler = convert.plan_rgba_sampler(spec, 2 * w_in, 2 * h_in, bufs)
+    chans = sampler.tuple({"y": jnp.asarray(y), "u": jnp.asarray(u),
+                           "v": jnp.asarray(v)}, dict(bufs.buffers))
+
+    for c in range(4):
+        full = np.zeros((2 * h_in, 2 * w_in), np.float32)
+        for qq in range(4):
+            for p in range(4):
+                full[qq::4, p::4] = np.asarray(grid[f"{qq}{p}"][c])
+        ref = np.asarray(chans[c])
+        # same expressions regrouped -> tiny FMA-contraction residue only
+        np.testing.assert_allclose(full, ref, atol=1e-6, err_msg=f"chan {c}")

@@ -278,7 +278,12 @@ def test_upscale2x_split_link_bitwise(monkeypatch):
     Luma rides bitwise-identical stencils; NV12 chroma is a 4x column
     matmul with the <= 1 ulp scaled-split contract, so the end-to-end
     assertion is <= 1 LSB (measured 0 on CPU and on the real TPU at 4K,
-    scripts/tpu_upscale_parity.py)."""
+    scripts/tpu_upscale_parity.py).
+
+    TPUVF_NO_QUAD_LINKS pins the 2-PHASE plan this test targets — with
+    it unset, the grid16 (4x4 phase) upgrade supersedes the split link
+    on this chain (tests/test_grid_links.py covers that plan)."""
+    monkeypatch.setenv("TPUVF_NO_QUAD_LINKS", "1")
     pipe = ("videotestsrc num-buffers=1 ! "
             "video/x-raw,format=NV12,width=128,height=64 ! "
             "vfmetalconvertscale ! "

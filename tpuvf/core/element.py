@@ -226,6 +226,32 @@ class Element:
         """True if make_process_linked(in_split="quad") is supported."""
         return False
 
+    # -- GRID16 (4x4 row x col phase) dataflow (round 3e) --------------------
+    # The 2x-upscale extension of the quad links: at EXACTLY 2x/2x
+    # 4:2:0 -> RGB geometry every bilinear tap is phase-fixed, so the
+    # head element (convertscale) reads the quad-provisioned source and
+    # emits SIXTEEN (row mod 4, col mod 4) output-phase planes; downstream
+    # elements stay per-phase to a packed32g sink edge, and the entire
+    # upscale chain fuses with zero resampling materialization (the
+    # 2-phase path materializes full-res f32 chroma: 421 -> 233 us/frame
+    # at 1080p->4K, scripts/bench_upscale_p44.py).  Like quad, not
+    # composable with sp row sharding.
+
+    def grid_head_ok(self, in_spec: FrameSpec, out_spec: FrameSpec) -> bool:
+        """True if this element can HEAD a grid16 chain: consume the
+        quad-provisioned 4:2:0 source and emit the 16 output phases
+        (make_process_linked(in_split="quad", out_mode="grid"/"packed32g"))."""
+        return False
+
+    def grid_output_ok(self, in_spec: FrameSpec, out_spec: FrameSpec) -> bool:
+        """True if make_process_linked(out_mode="grid"/"packed32g") is
+        supported for this configuration."""
+        return False
+
+    def grid_input_ok(self, in_spec: FrameSpec, out_spec: FrameSpec) -> bool:
+        """True if make_process_linked(in_split="grid") is supported."""
+        return False
+
     def source_split_worth_it(self, in_spec: FrameSpec, out_spec: FrameSpec,
                               out_mode: str) -> bool:
         """Whether a split-provisioned SOURCE upload pays off for this

@@ -170,6 +170,21 @@ def planes_to_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
             planes[k] = v.view(np.uint8).reshape(v.shape[:-1] + (2 * v.shape[-1],))
     nat = _get_native()
     if fmt in RGB_FORMATS:
+        if "w_g" in planes:
+            # pipeline-edge "packed32g" plane: (16, H/4, W/4) u32 PIXEL
+            # words, GRID16 (row mod 4 x col mod 4) phases stacked
+            # row-major (kernels.convert.pack_rgba_grid16) — the 4x4
+            # rows+columns interleave in one repack pass
+            wg = np.ascontiguousarray(planes["w_g"])
+            grid = [wg[i] for i in range(16)]
+            if nat is not None:
+                out = nat.interleave16_u32(grid)
+            else:
+                h4, w4 = grid[0].shape
+                out = np.empty((4 * h4, 4 * w4), np.uint32)
+                for i, g in enumerate(grid):
+                    out[i // 4::4, i % 4::4] = g
+            return out.view(np.uint8).reshape(out.shape[0], out.shape[1], 4)
         if "w_ee" in planes:
             # pipeline-edge "packed32q" planes: u32 PIXEL words per QUAD
             # (row x col) phase (kernels.convert.pack_rgba_quad) — the

@@ -208,6 +208,20 @@ class ConvertScale(Element):
         return (self.quad_output_ok(in_spec, out_spec)
                 and in_spec.format not in RGB_FORMATS)
 
+    def grid_head_ok(self, in_spec, out_spec):
+        """GRID16 head: exactly-2x/2x bilinear 4:2:0 -> RGB upscale with
+        no letterbox — every sampling tap is a phase-fixed 2-tap stencil
+        over the quad-provisioned source planes, so the whole upscale
+        fuses per output phase with zero resampling materialization
+        (convert.can_grid16; 421 -> 233 us/frame at 1080p->4K,
+        scripts/bench_upscale_p44.py)."""
+        scale_x, scale_y, border, filt = self._split_geometry(
+            in_spec, out_spec)
+        return (out_spec.format in RGB_FORMATS
+                and convert.can_grid16(in_spec, out_spec.width,
+                                       out_spec.height, scale_x, scale_y,
+                                       border, filt))
+
     def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
         return self.make_process_linked(in_spec, out_spec, static)
 
@@ -243,6 +257,11 @@ class ConvertScale(Element):
     def make_process_linked(self, in_spec: FrameSpec, out_spec: FrameSpec,
                             static, in_split: bool = False,
                             out_mode: str = "full"):
+        if out_mode in ("grid", "packed32g"):
+            # sp opt-out rides the quad flag: grid phases aren't row shards
+            self._linked_quad = True
+            return self._make_process_grid(in_spec, out_spec, static,
+                                           out_mode)
         quad = (in_split == "quad"
                 or out_mode in ("quad", "packed32q", "packed16q"))
         self._linked_quad = quad
@@ -331,6 +350,36 @@ class ConvertScale(Element):
             return convert.pack_rgba_t(chans, out_spec.format, matrix_out), state
 
         return process
+
+    def _make_process_grid(self, in_spec, out_spec, static, out_mode):
+        """GRID16 head: quad-provisioned 4:2:0 source planes in, sixteen
+        (row mod 4, col mod 4) output phases out — the 2x luma and 4x
+        chroma bilinear taps are phase-fixed 2-tap stencils that fuse
+        into the per-phase emits (convert.plan_rgba_sampler_grid16)."""
+        cfg = dict(static)
+        filt = NEAREST if cfg["method"] == METHOD_NEAREST else LINEAR
+        scale_x, scale_y, border, _ = self._split_geometry(in_spec, out_spec)
+        if not (out_spec.format in RGB_FORMATS
+                and convert.can_grid16(in_spec, out_spec.width,
+                                       out_spec.height, scale_x, scale_y,
+                                       border, filt)):
+            raise NotImplementedError(
+                "convertscale grid16 links require the exactly-2x bilinear "
+                "4:2:0 -> RGB upscale geometry")
+        matrix_in = in_spec.matrix_index
+        sampler_g = convert.plan_rgba_sampler_grid16(
+            in_spec, filter=filt, matrix_index=matrix_in)
+        matrix_out = out_spec.matrix_index
+        self._buffers = {}
+
+        def process_grid(planes, state, params):
+            chg = sampler_g(planes, params)
+            out = convert.pack_rgba_grid16(
+                chg, out_spec.format, matrix_out, mode=out_mode,
+                unit_range=True)
+            return out, state
+
+        return process_grid
 
     def _make_process_quad(self, in_spec, out_spec, static, out_mode):
         """QUAD (row x col phase) path: 4:2:0 identity geometry, inputs

@@ -254,6 +254,29 @@ class VideoFilter(Element):
     def quad_output_ok(self, in_spec, out_spec):
         return self._quad_capable(in_spec, out_spec)
 
+    def _grid_capable(self, in_spec, out_spec) -> bool:
+        """GRID16 (4x4 phase) dataflow: RGB planes from a grid16 upscale
+        head, dims divisible by 4, no LUT (the per-phase gather would
+        split the two measured-optimal gather sites into sixteen) and no
+        sharpness (the 9-tap blur's mod-4 cross-phase stencils aren't
+        built; the chain falls back to the 2-phase split plan, which
+        carries sharpness via blur9_h/v_split).  Vignette/grain ride
+        x_index/y_index at stride 4."""
+        from tpuvf.core.formats import RGB_FORMATS
+
+        self._sync_lut()
+        return (in_spec.format in RGB_FORMATS
+                and out_spec.format == in_spec.format
+                and in_spec.width % 4 == 0 and in_spec.height % 4 == 0
+                and self._lut is None
+                and abs(self.props.get("sharpness")) <= 0.001)
+
+    def grid_input_ok(self, in_spec, out_spec):
+        return self._grid_capable(in_spec, out_spec)
+
+    def grid_output_ok(self, in_spec, out_spec):
+        return self._grid_capable(in_spec, out_spec)
+
     def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
         return self.make_process_linked(in_spec, out_spec, static)
 
@@ -271,6 +294,40 @@ class VideoFilter(Element):
         from tpuvf.kernels.sample import WeightBuffers
 
         bufs = WeightBuffers(self.name)
+        grid = in_split == "grid" or out_mode in ("grid", "packed32g")
+        if grid:
+            if not self._grid_capable(in_spec, out_spec):
+                raise NotImplementedError(
+                    "videofilter grid16 links require RGB planes with "
+                    "mod-4 dims, no LUT and no sharpness")
+            # sp opt-out rides the quad flag: grid phases aren't row shards
+            self._linked_quad = True
+            self._buffers = bufs.buffers
+            x_base = np.arange(w // 4, dtype=np.float32) * 4.0
+            y_base = np.arange(h // 4, dtype=np.float32) * 4.0
+
+            def process_grid(planes, state, params):
+                chg = convert.split_rgb_chans_grid16(planes)
+                frame_index = state["frame_index"]
+                outg = {}
+                for ph, ch in chg.items():
+                    outg[ph] = kfilter.apply_color_adjustments_t(
+                        ch, params, frame_index, w, h, gates=gates,
+                        x_index=x_base + float(ph[1]),
+                        y_index=y_base + float(ph[0]))
+                # the adjust chain output is [0,1]-bounded (its tail clip,
+                # elided or not) -> the pack quantize skips its clip
+                out = convert.pack_rgba_grid16(
+                    outg, out_spec.format, matrix_out, mode=out_mode,
+                    unit_range=True)
+                new_state = {
+                    "frame_index":
+                        (state["frame_index"]
+                         + np.uint32(1)).astype(jnp.uint32)
+                }
+                return out, new_state
+
+            return process_grid
         quad = (in_split == "quad"
                 or out_mode in ("quad", "packed32q", "packed16q"))
         self._linked_quad = quad

@@ -659,6 +659,179 @@ def pack_rgba_quad(chans: dict, out_format: VideoFormat, matrix_index: int,
     raise ValueError(f"unknown quad pack mode {mode}")
 
 
+# "<row phase><col phase>" of the OUTPUT grid, row-major ("00".."33")
+GRID16_PHASES = tuple(f"{qq}{p}" for qq in range(4) for p in range(4))
+
+# Per-grid-phase 2-tap chroma stencil weights for the 4x upsample
+# (half-texel bilinear: src = (4m+qq+0.5)/4 - 0.5 = m + (qq-1.5)/4);
+# phases 0-1 tap (prev, cur), phases 2-3 tap (cur, next).
+_GRID16_CHROMA_W = ((0.375, 0.625), (0.125, 0.875),
+                    (0.875, 0.125), (0.625, 0.375))
+
+
+def can_grid16(in_spec: FrameSpec, out_w: int, out_h: int,
+               scale_x: float = 1.0, scale_y: float = 1.0,
+               border=None, filter: str = LINEAR) -> bool:
+    """GRID16 (4x4 row x col phase) dataflow at EXACTLY 2x/2x 4:2:0
+    upscale geometry (round 3e).
+
+    At 2x both axes every bilinear tap is phase-fixed: the luma 2x taps
+    are the _upsample2x_linear weights (.25/.75) and the chroma 4x taps
+    are the half-texel quarter-phase weights (.375/.625, .125/.875) —
+    so decomposing the OUTPUT into a (row mod 4) x (col mod 4) grid makes
+    the whole upscale a per-phase 2-tap stencil chain that fuses into the
+    downstream per-phase emits with ZERO resampling materialization.
+    (The 2-phase column-split path materializes full-resolution f32
+    chroma via matmul tiles + row interleaves — ~280 us of its 421 us
+    4K trace; the grid measured 233 us, scripts/bench_upscale_p44.py.)"""
+    import os
+
+    if os.environ.get("TPUVF_NO_SPLIT_SCALED"):
+        return False
+    return (in_spec.format in (VideoFormat.NV12, VideoFormat.I420)
+            and filter == LINEAR
+            and scale_x == 1.0 and scale_y == 1.0 and border is None
+            and out_w == 2 * in_spec.width and out_h == 2 * in_spec.height
+            and in_spec.width % 2 == 0 and in_spec.height % 2 == 0)
+
+
+def plan_rgba_sampler_grid16(in_spec: FrameSpec, filter: str = LINEAR,
+                             matrix_index: int | None = None):
+    """2x/2x 4:2:0 upscale -> {grid phase: (r, g, b, a)} planes, each
+    (H_out/4, W_out/4) = (H_in/2, W_in/2) — the same shape as the chroma
+    planes, so every phase emit is one homogeneous fusion.
+
+    Inputs are QUAD-provisioned ({"y_ee","y_eo","y_oe","y_oo"} u8 from
+    the host upload repack plus full {"u","v"}): the four luma row x col
+    parity planes are exactly the stencil operands — output luma rows
+    4m+qq read luma rows {2m-1, 2m, 2m+1, 2m+2}, which are rows m-1/m/m+1
+    of the y_e*/y_o* planes, and output cols 4j+p read luma cols
+    {2j-1 .. 2j+2} = cols j-1/j/j+1 of the col-parity planes.  No lane
+    or sublane interleave anywhere.
+
+    Tap weights are the half-texel bilinear sampler's (reference sampler
+    semantics: metalconvertscale_shaders.h:91-148): luma .25/.75 per
+    parity (the _upsample2x_linear expressions regrouped by output col
+    mod 4 — the same float expressions as the shipped 2-phase stencils),
+    chroma the quarter-phase 4x weights.  The 2-term stencil products may
+    contract differently from the canonical matmul FMA -> knife-edge
+    pixels can flip 1 LSB vs the canonical path (the scaled-split rule,
+    can_split_scaled docstring)."""
+    from tpuvf.kernels.color import as_unit_float
+
+    if matrix_index is None:
+        matrix_index = in_spec.matrix_index
+    if filter != LINEAR:
+        raise NotImplementedError("grid16 links are bilinear-only")
+    f32 = np.float32
+
+    def luma_rows(ys, cp, qq):
+        """Output row phase qq of the col-parity-cp luma (rows 4m+qq)."""
+        y0, y1 = ys["e" + cp], ys["o" + cp]  # luma rows 2m / 2m+1
+        if qq == 0:  # taps 2m-1 (.25), 2m (.75); clamp row -1 -> 0
+            ym1 = jnp.concatenate([y0[..., :1, :], y1[..., :-1, :]],
+                                  axis=-2)
+            return f32(0.25) * ym1 + f32(0.75) * y0
+        if qq == 1:  # 2m (.75), 2m+1 (.25)
+            return f32(0.75) * y0 + f32(0.25) * y1
+        if qq == 2:  # 2m (.25), 2m+1 (.75)
+            return f32(0.25) * y0 + f32(0.75) * y1
+        # qq == 3: 2m+1 (.75), 2m+2 (.25); clamp row H -> H-1
+        y2 = jnp.concatenate([y0[..., 1:, :], y1[..., -1:, :]], axis=-2)
+        return f32(0.75) * y1 + f32(0.25) * y2
+
+    def luma_cols(e, o, p):
+        """Output col phase p from the row-phased col-parity planes."""
+        if p == 0:  # taps 2j-1 (.25), 2j (.75); clamp col -1 -> 0
+            om1 = jnp.concatenate([e[..., :, :1], o[..., :, :-1]], axis=-1)
+            return f32(0.25) * om1 + f32(0.75) * e
+        if p == 1:  # 2j (.75), 2j+1 (.25)
+            return f32(0.75) * e + f32(0.25) * o
+        if p == 2:  # 2j (.25), 2j+1 (.75)
+            return f32(0.25) * e + f32(0.75) * o
+        # p == 3: 2j+1 (.75), 2j+2 (.25); clamp col W -> W-1
+        e2 = jnp.concatenate([e[..., :, 1:], o[..., :, -1:]], axis=-1)
+        return f32(0.75) * o + f32(0.25) * e2
+
+    def chroma_phase(c, idx, axis):
+        wlo, whi = _GRID16_CHROMA_W[idx]
+        if idx < 2:  # taps (prev, cur)
+            return f32(wlo) * _shift_edge(c, axis, -1) + f32(whi) * c
+        return f32(wlo) * c + f32(whi) * _shift_edge(c, axis, +1)
+
+    def run_grid(planes, params):
+        ys = {ph: as_unit_float(planes[f"y_{ph}"]) for ph in QUAD_PHASES}
+        uf = as_unit_float(planes["u"])
+        vf = as_unit_float(planes["v"])
+        out = {}
+        for qq in range(4):
+            e = luma_rows(ys, "e", qq)
+            o = luma_rows(ys, "o", qq)
+            u_r = chroma_phase(uf, qq, -2)
+            v_r = chroma_phase(vf, qq, -2)
+            for p in range(4):
+                y = luma_cols(e, o, p)
+                u = chroma_phase(u_r, p, -1)
+                v = chroma_phase(v_r, p, -1)
+                r, g, b = color.yuv_to_rgb(y, u, v, matrix_index)
+                out[f"{qq}{p}"] = (r, g, b, jnp.ones_like(r))
+        return out
+
+    return run_grid
+
+
+def split_rgb_chans_grid16(planes):
+    """Grid-boundary RGB planes {"r_00",...} -> {phase: (r, g, b, a)}
+    dequantized f32 tuples (planes are f32 quant_sim values from
+    pack_rgba_grid16)."""
+    from tpuvf.kernels.color import as_unit_float
+
+    return {
+        ph: tuple(as_unit_float(planes[f"{n}_{ph}"])
+                  for n in ("r", "g", "b", "a"))
+        for ph in GRID16_PHASES
+    }
+
+
+def pack_rgba_grid16(chans: dict, out_format: VideoFormat,
+                     matrix_index: int, mode: str,
+                     unit_range: bool = False) -> dict:
+    """pack_rgba_quad's 16-phase analog (RGB outputs only).
+
+    chans: {grid phase: (r, g, b, a) float planes}.  Modes:
+    - "grid":      f32 quant_sim boundary planes {"r_00",...}
+    - "packed32g": {"w_g": (16, H/4, W/4)} u32 pixel words, phases
+                   stacked row-major along a leading axis; the host
+                   interleaves rows+columns mod 4 in one repack pass
+                   (core.frame.planes_to_host / native vf_interleave16_u32).
+                   ONE stacked output, not 16 planes, on purpose: inside
+                   a lax.scan (run_batched / measure_fps) XLA stacks each
+                   scan output with a dynamic-update-slice, and with 16
+                   small outputs those DUS ops are NOT in-place — each
+                   measured ~73 us/frame of full-buffer copies (~1.17
+                   ms/frame total, 5x the 231 us program; the stacked
+                   form measured 5,251-6,162 fps vs the 16-output form's
+                   647-956, scripts/bench_upscale_grid_ab.py)
+    """
+    from tpuvf.kernels.color import quant_sim, quant_sim_unit, quant_unit
+
+    if out_format not in RGB_FORMATS:
+        raise ValueError("grid16 links support RGB output formats only")
+    if mode == "grid":
+        sim = quant_sim_unit if unit_range else quant_sim
+        names = ("r", "g", "b", "a")
+        return {f"{n}_{ph}": sim(c)
+                for ph in GRID16_PHASES
+                for n, c in zip(names, chans[ph])}
+    if mode == "packed32g":
+        qfn = quant_unit if unit_range else quant
+        return {"w_g": jnp.stack(
+            [pack_words_u32(tuple(qfn(c) for c in chans[ph]), out_format)
+             for ph in GRID16_PHASES],
+            axis=-3)}
+    raise ValueError(f"unknown grid16 pack mode {mode}")
+
+
 def can_split_scaled(in_spec: FrameSpec, out_w: int, out_h: int) -> bool:
     """Column-phase dataflow at SCALED geometry (round 3b).
 

@@ -27,6 +27,8 @@ def _load():
         u32p = ctypes.POINTER(ctypes.c_uint32)
         _lib.vf_interleave4_u32.argtypes = [u32p, u32p, u32p, u32p, u32p,
                                             i64, i64]
+        _lib.vf_interleave16_u32.argtypes = [ctypes.POINTER(u32p), u32p,
+                                             i64, i64]
         _lib.vf_unpack_422.argtypes = [u8p, u8p, u8p, u8p, i64, i64,
                                        ctypes.c_int, ctypes.c_int,
                                        ctypes.c_int, ctypes.c_int]
@@ -114,6 +116,22 @@ def interleave4_u32(ee: np.ndarray, eo: np.ndarray, oe: np.ndarray,
     h2, w2 = quads[0].shape
     dst = np.empty((2 * h2, 2 * w2), np.uint32)
     lib.vf_interleave4_u32(*(p32(q) for q in quads), p32(dst), h2, w2)
+    return dst
+
+
+def interleave16_u32(grid) -> np.ndarray:
+    """Sixteen (h4, w4) uint32 word planes (row-major grid phase order,
+    grid[4*qq + p]) -> (4*h4, 4*w4) uint32 interleaved
+    (dst[4r+qq, 4c+p] = grid[4*qq+p][r, c]) — the packed32g sink edge."""
+    lib = _load()
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    grid = [np.ascontiguousarray(a, np.uint32) for a in grid]
+    if len(grid) != 16:
+        raise ValueError(f"interleave16_u32 needs 16 planes, got {len(grid)}")
+    h4, w4 = grid[0].shape
+    dst = np.empty((4 * h4, 4 * w4), np.uint32)
+    ptrs = (u32p * 16)(*(a.ctypes.data_as(u32p) for a in grid))
+    lib.vf_interleave16_u32(ptrs, dst.ctypes.data_as(u32p), h4, w4)
     return dst
 
 

@@ -113,6 +113,28 @@ void vf_interleave4_u32(const uint32_t* ee, const uint32_t* eo,
   }
 }
 
+// sixteen (h4, w4) u32 word planes (row-major grid phase order
+// ph[4*qq + p]) -> (4*h4, 4*w4) u32 interleaved (the packed32g sink
+// edge: dst[4r+qq][4c+p] = ph[4*qq+p][r][c])
+void vf_interleave16_u32(const uint32_t* const* ph, uint32_t* dst,
+                         int64_t h4, int64_t w4) {
+  for (int64_t r = 0; r < h4; ++r) {
+    for (int qq = 0; qq < 4; ++qq) {
+      uint32_t* drow = dst + (4 * r + qq) * (4 * w4);
+      const uint32_t* p0 = ph[4 * qq + 0] + r * w4;
+      const uint32_t* p1 = ph[4 * qq + 1] + r * w4;
+      const uint32_t* p2 = ph[4 * qq + 2] + r * w4;
+      const uint32_t* p3 = ph[4 * qq + 3] + r * w4;
+      for (int64_t c = 0; c < w4; ++c) {
+        drow[4 * c] = p0[c];
+        drow[4 * c + 1] = p1[c];
+        drow[4 * c + 2] = p2[c];
+        drow[4 * c + 3] = p3[c];
+      }
+    }
+  }
+}
+
 // packed 4:2:2 [q0 q1 q2 q3] x (h * w/2) -> y (h, w), u, v (h, w/2)
 // order: positions of (u, y0, v, y1) within the quad; UYVY = (0, 1, 2, 3),
 // YUY2 = (1, 0, 3, 2)

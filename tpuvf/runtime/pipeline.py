@@ -926,6 +926,61 @@ class Pipeline:
                     plan[ce.name] = ["quad", "quad"]
                 plan[tail.name] = ["quad", edge]
                 source_split[up.name] = "quad"
+
+        # -- GRID16 (4x4 phase) upgrade for exactly-2x 4:2:0 -> RGB
+        # upscale chains: the head reads the quad-provisioned source and
+        # emits SIXTEEN (row mod 4, col mod 4) output phases (every
+        # bilinear tap is a phase-fixed 2-tap stencil); downstream
+        # grid-capable elements stay per-phase to a packed32g sink edge.
+        # The whole upscale chain then fuses with zero resampling
+        # materialization — the 2-phase plan materializes full-res f32
+        # chroma (421 -> 233 us/frame at 1080p->4K,
+        # scripts/bench_upscale_p44.py).  Disjoint from the quad upgrade
+        # (quad requires identity geometry); shares its gates (env knob,
+        # sp row sharding disables and rebuilds via the quad source
+        # provisioning).
+        if (not os.environ.get("TPUVF_NO_QUAD_LINKS")
+                and getattr(self, "_quad_links_enabled", True)):
+            from tpuvf.core.formats import RGB_FORMATS as _RGB
+
+            for e, i_s, o_s, pt in list(info.values()):
+                if pt or not e.grid_head_ok(i_s, o_s):
+                    continue
+                up = real_upstream(e)
+                if not (isinstance(up, SourceElement)
+                        and len(self._outgoing(up)) == 1):
+                    continue
+                chain = [(e, i_s, o_s)]
+                node, reaches_sink = e, False
+                while True:
+                    outs = self._outgoing(node)
+                    if len(outs) != 1:
+                        break
+                    node = outs[0].downstream
+                    d = info.get(id(node))
+                    if d is None:
+                        reaches_sink = isinstance(node, SinkElement)
+                        break
+                    if d[3]:
+                        continue  # passthrough forwards the dict untouched
+                    ce, ci, co, _ = d
+                    if not (ce.grid_input_ok(ci, co)
+                            and ce.grid_output_ok(ci, co)):
+                        break
+                    chain.append((ce, ci, co))
+                if not reaches_sink:
+                    continue
+                tail, t_i, t_o = chain[-1]
+                if not (t_o.format in _RGB
+                        and tail.edge_packed32_ok(t_i, t_o)):
+                    continue
+                plan[e.name] = ["quad",
+                                "packed32g" if len(chain) == 1 else "grid"]
+                for ce, _, _ in chain[1:-1]:
+                    plan[ce.name] = ["grid", "grid"]
+                if len(chain) > 1:
+                    plan[tail.name] = ["grid", "packed32g"]
+                source_split[up.name] = "quad"
         return ({k: (v[0], v[1]) for k, v in plan.items()},
                 source_split, comp_split_pads)
 
