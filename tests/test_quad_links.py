@@ -180,13 +180,18 @@ def test_pack_words_u32_quad_bytes_equal_interleave():
         for ph in convert.QUAD_PHASES
     }
     # quad pack vs per-phase column pack + numpy row/col interleave
+    # (w_q stacks the phases on a leading axis: one scan output, so the
+    # lax.scan stack stays in place — see pack_rgba_quad's docstring)
     out = convert.pack_rgba_quad(chans, VideoFormat.BGRA, 0,
                                  mode="packed32q", unit_range=True)
-    ref = {ph: np.asarray(convert.pack_words_u32(
-        tuple(jnp.round(c * 255.0).astype(jnp.uint8) for c in chans[ph]),
-        VideoFormat.BGRA)) for ph in convert.QUAD_PHASES}
-    for ph in convert.QUAD_PHASES:
-        np.testing.assert_array_equal(np.asarray(out[f"w_{ph}"]), ref[ph])
+    wq = np.asarray(out["w_q"])
+    assert wq.shape == (4, 8, 16)
+    for i, ph in enumerate(convert.QUAD_PHASES):
+        ref = np.asarray(convert.pack_words_u32(
+            tuple(jnp.round(c * 255.0).astype(jnp.uint8)
+                  for c in chans[ph]),
+            VideoFormat.BGRA))
+        np.testing.assert_array_equal(wq[i], ref, ph)
 
 
 def test_quad_planes_host_matches_numpy():

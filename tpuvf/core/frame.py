@@ -185,12 +185,13 @@ def planes_to_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
                 for i, g in enumerate(grid):
                     out[i // 4::4, i % 4::4] = g
             return out.view(np.uint8).reshape(out.shape[0], out.shape[1], 4)
-        if "w_ee" in planes:
-            # pipeline-edge "packed32q" planes: u32 PIXEL words per QUAD
-            # (row x col) phase (kernels.convert.pack_rgba_quad) — the
-            # rows+columns interleave in one repack pass
-            quads = [np.ascontiguousarray(planes[f"w_{ph}"])
-                     for ph in ("ee", "eo", "oe", "oo")]
+        if "w_q" in planes:
+            # pipeline-edge "packed32q" plane: (4, H/2, W/2) u32 PIXEL
+            # words, QUAD (row x col) phases stacked (kernels.convert.
+            # pack_rgba_quad) — the rows+columns interleave in one
+            # repack pass
+            wq = np.ascontiguousarray(planes["w_q"])
+            quads = [wq[i] for i in range(4)]
             if nat is not None:
                 out = nat.interleave4_u32(*quads)
             else:
@@ -215,15 +216,17 @@ def planes_to_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
         if fmt == VideoFormat.BGRA:
             rgba = rgba[..., [2, 1, 0, 3]]
         return np.ascontiguousarray(rgba)
-    if "y_qe" in planes and fmt in (VideoFormat.NV12, VideoFormat.I420):
+    if "y_q" in planes and fmt in (VideoFormat.NV12, VideoFormat.I420):
         # pipeline-edge "packed16q" y: the u16 prepass above already turned
-        # each row-phase word plane into its full-width u8 rows — the row
-        # interleave is contiguous row copies
-        ye, yo = planes["y_qe"], planes["y_qo"]
+        # the stacked (2, H/2, W/2) word plane into full-width u8 rows per
+        # row phase — the row interleave is contiguous row copies
+        yq = planes["y_q"]
         y = np.empty((h, w), np.uint8)
-        y[0::2] = ye
-        y[1::2] = yo
+        y[0::2] = yq[0]
+        y[1::2] = yq[1]
         planes = dict(planes, y=y)
+        uvq = planes["uv_q"]
+        planes = dict(planes, u=uvq[0], v=uvq[1])
     if fmt == VideoFormat.NV12:
         if nat is not None:
             uv = nat.interleave2(planes["u"], planes["v"])

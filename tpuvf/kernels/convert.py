@@ -590,12 +590,19 @@ def pack_rgba_quad(chans: dict, out_format: VideoFormat, matrix_index: int,
                   -phase average, the same float ops in the same order as
                   rgb_to_chroma_downsampled, so values are bit-identical
                   and chroma needs NO interleave at all)
-    - "packed32q": {"w_ee",...} u32 pixel words per phase (RGB out); the
-                  host interleaves rows+columns in the same repack pass
-                  that interleaves columns for packed32
-                  (core.frame.planes_to_host)
-    - "packed16q": {"y_qe","y_qo"} u16 word planes (column phases joined
-                  per row phase) + {"u","v"} u8 (4:2:0 out)
+    - "packed32q": {"w_q": (4, H/2, W/2)} u32 pixel words, QUAD phases
+                  stacked (ee, eo, oe, oo) along a leading axis (RGB
+                  out); the host interleaves rows+columns in one repack
+                  pass (core.frame.planes_to_host).  ONE stacked output:
+                  separate per-phase scan outputs defeat in-place
+                  lax.scan stacking — the 4K headline's scan trace
+                  showed two 85.4 us/frame full-buffer DUS copies on the
+                  197 us program (same pathology as grid16's 16-output
+                  form, see pack_rgba_grid16)
+    - "packed16q": {"y_q": (2, H/2, W/2) u16} word planes (column phases
+                  joined per row phase, row phases stacked) + {"uv_q":
+                  (2, ch, cw) u8} (4:2:0 out).  Stacked for the same
+                  lax.scan in-place-stacking reason as packed32q
 
     unit_range: the producer guarantees [0,1] values (yuv_to_rgb output /
     the gate-bounded filter chain), so the RGB quantize elides its
@@ -633,9 +640,10 @@ def pack_rgba_quad(chans: dict, out_format: VideoFormat, matrix_index: int,
     if mode == "packed32q":
         if out_format not in RGB_FORMATS:
             raise ValueError("packed32q applies to RGB output formats only")
-        return {f"w_{ph}": pack_words_u32(tuple(qfn(c) for c in chans[ph]),
-                                          out_format)
-                for ph in QUAD_PHASES}
+        return {"w_q": jnp.stack(
+            [pack_words_u32(tuple(qfn(c) for c in chans[ph]), out_format)
+             for ph in QUAD_PHASES],
+            axis=-3)}
     if mode == "packed16q":
         if out_format not in (VideoFormat.NV12, VideoFormat.I420):
             raise ValueError("packed16q applies to 4:2:0 output formats")
@@ -653,9 +661,10 @@ def pack_rgba_quad(chans: dict, out_format: VideoFormat, matrix_index: int,
             return (ae + ao) * half
 
         _, u, v = color.rgb_to_yuv(box(0), box(1), box(2), matrix_index)
-        return {"y_qe": pack_words_u16(yq["ee"], yq["eo"]),
-                "y_qo": pack_words_u16(yq["oe"], yq["oo"]),
-                "u": quant(u), "v": quant(v)}
+        return {"y_q": jnp.stack([pack_words_u16(yq["ee"], yq["eo"]),
+                                  pack_words_u16(yq["oe"], yq["oo"])],
+                                 axis=-3),
+                "uv_q": jnp.stack([quant(u), quant(v)], axis=-3)}
     raise ValueError(f"unknown quad pack mode {mode}")
 
 
