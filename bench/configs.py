@@ -38,6 +38,21 @@ def _element_step(elem, in_spec, out_spec=None):
     from tpuvf.core.formats import RGB_FORMATS
 
     if (not os.environ.get("TPUVF_NO_QUAD_LINKS")
+            and elem.grid_head_ok(in_spec, out_spec)):
+        # GRID16 head (exactly-2x 4:2:0 upscale): quad-provisioned source,
+        # sixteen (row mod 4, col mod 4) output phases, packed32g (RGB) /
+        # packed420g (4:2:0) sink edge — mirrors Pipeline._link_plan
+        if (out_spec.format in RGB_FORMATS
+                and elem.edge_packed32_ok(in_spec, out_spec)):
+            g_edge = "packed32g"
+        else:
+            g_edge = "packed420g"
+        proc = elem.make_process_linked(in_spec, out_spec, static,
+                                        in_split="quad", out_mode=g_edge)
+        proc.source_split = "quad"
+        return proc, elem.init_state(in_spec, out_spec), \
+            elem.traced_params()
+    if (not os.environ.get("TPUVF_NO_QUAD_LINKS")
             and in_spec.format in (VideoFormat.NV12, VideoFormat.I420)
             and elem.quad_input_ok(in_spec, out_spec)
             and elem.quad_output_ok(in_spec, out_spec)):
@@ -229,6 +244,18 @@ def config_scale1080to4k():
         1920, 1080, 3840, 2160)
 
 
+def config_scale1080to4k_nv12():
+    """Beyond-BASELINE: format-preserving 2x upscale (NV12 1080p ->
+    NV12 4K, the default fixation) — the grid16 packed420g sink edge."""
+    in_spec = FrameSpec(VideoFormat.NV12, 1920, 1080)
+    out_spec = FrameSpec(VideoFormat.NV12, 3840, 2160,
+                         matrix=in_spec.matrix)
+    elem = make("vfconvertscale")
+    step, state0, params = _element_step(elem, in_spec, out_spec)
+    return ("1080p NV12 -> 4K NV12 2x-upscale", step, state0, params,
+            in_spec)
+
+
 ALL = {
     "headline": config_headline,
     "convertscale": config_convertscale,
@@ -239,4 +266,5 @@ ALL = {
     "chain8k": config_chain8k,
     "scale8k4k": config_scale8k4k,
     "scale1080to4k": config_scale1080to4k,
+    "scale1080to4k_nv12": config_scale1080to4k_nv12,
 }

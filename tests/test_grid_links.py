@@ -192,6 +192,34 @@ def test_non_mod4_input_dims_still_grid():
     _assert_within_1lsb(desc)
 
 
+def test_grid_420_out_packed420g_edge():
+    # format-preserving 2x upscale (the default fixation): the head emits
+    # the 4:2:0 edge directly (convert.pack_420_grid16)
+    for fmt in ("NV12", "I420"):
+        desc = ("videotestsrc num-buffers=2 pattern=ball "
+                f"! video/x-raw,format={fmt},width=96,height=52 "
+                f"! vfmetalconvertscale ! video/x-raw,format={fmt},"
+                "width=192,height=104 ! appsink")
+        p = _run(desc)
+        cs = next(e.name for e in p.elements
+                  if e.ELEMENT_NAME == "vfconvertscale")
+        assert p.link_plan[cs] == ("quad", "packed420g"), fmt
+        _assert_within_1lsb(desc)
+
+
+def test_grid_420_out_with_filter_falls_back():
+    # a videofilter after a 4:2:0-out grid head would need a
+    # 4:2:0-quantized grid boundary (not built): the chain keeps the
+    # 2-phase scaled-split plan and still runs
+    desc = ("videotestsrc num-buffers=1 ! video/x-raw,format=NV12,"
+            "width=96,height=52 ! vfmetalconvertscale "
+            "! video/x-raw,format=NV12,width=192,height=104 "
+            "! vfmetalvideofilter brightness=0.1 ! appsink")
+    p = _run(desc)
+    assert all(m[1] not in ("grid", "packed32g", "packed420g")
+               for m in p.link_plan.values())
+
+
 def test_overlay_downstream_breaks_grid(tmp_path):
     # an ACTIVE overlay isn't grid-capable: the chain keeps the 2-phase
     # plan (a file-less overlay is soft-fail passthrough and forwards the

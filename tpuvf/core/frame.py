@@ -216,6 +216,32 @@ def planes_to_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
         if fmt == VideoFormat.BGRA:
             rgba = rgba[..., [2, 1, 0, 3]]
         return np.ascontiguousarray(rgba)
+    if "y_g" in planes and fmt in (VideoFormat.NV12, VideoFormat.I420):
+        # pipeline-edge "packed420g" planes (kernels.convert.pack_420_grid16):
+        # y_g (4, H/4, W/4) u32 — bytes are row phase qq's full-width luma
+        # rows; uv_g (2, H/4, W/4) u32 — bytes are NV12's interleaved uv
+        # rows per chroma row phase.  Row interleaves are contiguous
+        # row copies.
+        yg = np.ascontiguousarray(planes["y_g"]).view(np.uint8)
+        yg = yg.reshape(4, h // 4, w)
+        y = np.empty((h, w), np.uint8)
+        for qq in range(4):
+            y[qq::4] = yg[qq]
+        uvg = np.ascontiguousarray(planes["uv_g"]).view(np.uint8)
+        cw, ch = chroma_dims_420(w, h)
+        uvg = uvg.reshape(2, ch // 2, 2 * cw)
+        uv = np.empty((ch, 2 * cw), np.uint8)
+        uv[0::2] = uvg[0]
+        uv[1::2] = uvg[1]
+        if fmt == VideoFormat.NV12:
+            return {"y": y, "uv": uv}
+        nat2 = nat
+        if nat2 is not None:
+            u, v = nat2.deinterleave2(uv)
+        else:
+            u = np.ascontiguousarray(uv[:, 0::2])
+            v = np.ascontiguousarray(uv[:, 1::2])
+        return {"y": y, "u": u, "v": v}
     if "y_q" in planes and fmt in (VideoFormat.NV12, VideoFormat.I420):
         # pipeline-edge "packed16q" y: the u16 prepass above already turned
         # the stacked (2, H/2, W/2) word plane into full-width u8 rows per

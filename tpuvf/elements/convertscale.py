@@ -209,15 +209,21 @@ class ConvertScale(Element):
                 and in_spec.format not in RGB_FORMATS)
 
     def grid_head_ok(self, in_spec, out_spec):
-        """GRID16 head: exactly-2x/2x bilinear 4:2:0 -> RGB upscale with
-        no letterbox — every sampling tap is a phase-fixed 2-tap stencil
+        """GRID16 head: exactly-2x/2x bilinear 4:2:0 upscale with no
+        letterbox — every sampling tap is a phase-fixed 2-tap stencil
         over the quad-provisioned source planes, so the whole upscale
         fuses per output phase with zero resampling materialization
-        (convert.can_grid16; 421 -> 233 us/frame at 1080p->4K,
-        scripts/bench_upscale_p44.py)."""
+        (convert.can_grid16; 421 -> 231 us/frame at 1080p->4K,
+        scripts/bench_upscale_grid_ab.py).  RGB outputs feed grid
+        boundaries/packed32g edges; 4:2:0 outputs (the format-preserving
+        default fixation, e.g. NV12 1080p -> NV12 4K) emit the
+        packed420g sink edge directly."""
+        from tpuvf.core.formats import VideoFormat as _VF
+
         scale_x, scale_y, border, filt = self._split_geometry(
             in_spec, out_spec)
-        return (out_spec.format in RGB_FORMATS
+        return ((out_spec.format in RGB_FORMATS
+                 or out_spec.format in (_VF.NV12, _VF.I420))
                 and convert.can_grid16(in_spec, out_spec.width,
                                        out_spec.height, scale_x, scale_y,
                                        border, filt))
@@ -257,7 +263,7 @@ class ConvertScale(Element):
     def make_process_linked(self, in_spec: FrameSpec, out_spec: FrameSpec,
                             static, in_split: bool = False,
                             out_mode: str = "full"):
-        if out_mode in ("grid", "packed32g"):
+        if out_mode in ("grid", "packed32g", "packed420g"):
             # sp opt-out rides the quad flag: grid phases aren't row shards
             self._linked_quad = True
             return self._make_process_grid(in_spec, out_spec, static,
@@ -358,19 +364,24 @@ class ConvertScale(Element):
         into the per-phase emits (convert.plan_rgba_sampler_grid16)."""
         cfg = dict(static)
         filt = NEAREST if cfg["method"] == METHOD_NEAREST else LINEAR
-        scale_x, scale_y, border, _ = self._split_geometry(in_spec, out_spec)
-        if not (out_spec.format in RGB_FORMATS
-                and convert.can_grid16(in_spec, out_spec.width,
-                                       out_spec.height, scale_x, scale_y,
-                                       border, filt)):
+        if not self.grid_head_ok(in_spec, out_spec):
             raise NotImplementedError(
                 "convertscale grid16 links require the exactly-2x bilinear "
-                "4:2:0 -> RGB upscale geometry")
+                "4:2:0 upscale geometry")
         matrix_in = in_spec.matrix_index
         sampler_g = convert.plan_rgba_sampler_grid16(
             in_spec, filter=filt, matrix_index=matrix_in)
         matrix_out = out_spec.matrix_index
         self._buffers = {}
+
+        if out_mode == "packed420g":
+            def process_grid_420(planes, state, params):
+                chg = sampler_g(planes, params)
+                out = convert.pack_420_grid16(
+                    chg, out_spec.format, matrix_out, unit_range=True)
+                return out, state
+
+            return process_grid_420
 
         def process_grid(planes, state, params):
             chg = sampler_g(planes, params)

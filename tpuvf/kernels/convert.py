@@ -841,6 +841,75 @@ def pack_rgba_grid16(chans: dict, out_format: VideoFormat,
     raise ValueError(f"unknown grid16 pack mode {mode}")
 
 
+def pack_420_grid16(chans: dict, out_format: VideoFormat,
+                    matrix_index: int, unit_range: bool = False) -> dict:
+    """GRID16 phases -> the "packed420g" 4:2:0 sink edge (2x NV12/I420
+    upscale chains, e.g. the format-preserving default fixation).
+
+    Value path mirrors pack_rgba_quad's packed16q: quantize each phase's
+    RGB (the RGBA8 render-target write), dequantize, RGB->YUV per phase
+    for luma, and the 2x2 box average BEFORE the matrix for chroma
+    (vfmetalshaders.m:104-124 via color.rgb_to_chroma_downsampled's
+    order: row pairs then column pairs).  The box's 2x2 output pixels
+    are grid phases: chroma pixel (2k+a, 2l+b) averages grid row phases
+    {2a, 2a+1} x col phases {2b, 2b+1} at (k, l) — so chroma is a 2x2
+    phase grid of (H/4, W/4)-shaped planes with NO interleave on device.
+
+    Outputs (single stacked arrays — the lax.scan in-place-stacking
+    rule, see pack_rgba_grid16):
+    - "y_g":  (4, H/4, W/4) u32 — row phase qq's luma cols packed four
+              per word (p0 | p1<<8 | p2<<16 | p3<<24): little-endian
+              bytes are output row 4r+qq's bytes.  Host interleaves the
+              four row-phase planes by contiguous row copies.
+    - "uv_g": (2, H/4, W/4) u32 — chroma row phase a, words
+              u[b=0] | v[b=0]<<8 | u[b=1]<<16 | v[b=1]<<24: bytes equal
+              NV12's interleaved uv rows.  I420 hosts deinterleave.
+    """
+    from tpuvf.kernels.color import quant_unit
+
+    if out_format not in (VideoFormat.NV12, VideoFormat.I420):
+        raise ValueError("packed420g applies to 4:2:0 output formats")
+    qfn = quant_unit if unit_range else quant
+    q = {ph: tuple(qfn(c) for c in chans[ph]) for ph in GRID16_PHASES}
+    d = {ph: tuple(dequant(c) for c in q[ph][:3]) for ph in GRID16_PHASES}
+
+    def u32(x):
+        return x.astype(jnp.uint32)
+
+    y_rows = []
+    for qq in range(4):
+        yq = []
+        for p in range(4):
+            yph, _, _ = color.rgb_to_yuv(*d[f"{qq}{p}"], matrix_index)
+            yq.append(quant(yph))
+        y_rows.append(u32(yq[0]) | (u32(yq[1]) << np.uint32(8))
+                      | (u32(yq[2]) << np.uint32(16))
+                      | (u32(yq[3]) << np.uint32(24)))
+
+    half = np.float32(0.5)
+
+    def chroma(a, b):
+        def box(ci):
+            ae = (d[f"{2 * a}{2 * b}"][ci]
+                  + d[f"{2 * a + 1}{2 * b}"][ci]) * half
+            ao = (d[f"{2 * a}{2 * b + 1}"][ci]
+                  + d[f"{2 * a + 1}{2 * b + 1}"][ci]) * half
+            return (ae + ao) * half
+
+        _, uu, vv = color.rgb_to_yuv(box(0), box(1), box(2), matrix_index)
+        return quant(uu), quant(vv)
+
+    uv_rows = []
+    for a in range(2):
+        u0, v0 = chroma(a, 0)
+        u1, v1 = chroma(a, 1)
+        uv_rows.append(u32(u0) | (u32(v0) << np.uint32(8))
+                       | (u32(u1) << np.uint32(16))
+                       | (u32(v1) << np.uint32(24)))
+    return {"y_g": jnp.stack(y_rows, axis=-3),
+            "uv_g": jnp.stack(uv_rows, axis=-3)}
+
+
 def can_split_scaled(in_spec: FrameSpec, out_w: int, out_h: int) -> bool:
     """Column-phase dataflow at SCALED geometry (round 3b).
 

@@ -942,6 +942,7 @@ class Pipeline:
         if (not os.environ.get("TPUVF_NO_QUAD_LINKS")
                 and getattr(self, "_quad_links_enabled", True)):
             from tpuvf.core.formats import RGB_FORMATS as _RGB
+            from tpuvf.core.formats import VideoFormat as _VFt
 
             for e, i_s, o_s, pt in list(info.values()):
                 if pt or not e.grid_head_ok(i_s, o_s):
@@ -971,15 +972,21 @@ class Pipeline:
                 if not reaches_sink:
                     continue
                 tail, t_i, t_o = chain[-1]
-                if not (t_o.format in _RGB
-                        and tail.edge_packed32_ok(t_i, t_o)):
+                if t_o.format in _RGB and tail.edge_packed32_ok(t_i, t_o):
+                    gedge = "packed32g"
+                elif t_o.format in (_VFt.NV12, _VFt.I420):
+                    # format-preserving 2x upscale (e.g. NV12 -> NV12 4K):
+                    # the head emits the 4:2:0 edge directly
+                    # (convert.pack_420_grid16)
+                    gedge = "packed420g"
+                else:
                     continue
                 plan[e.name] = ["quad",
-                                "packed32g" if len(chain) == 1 else "grid"]
+                                gedge if len(chain) == 1 else "grid"]
                 for ce, _, _ in chain[1:-1]:
                     plan[ce.name] = ["grid", "grid"]
                 if len(chain) > 1:
-                    plan[tail.name] = ["grid", "packed32g"]
+                    plan[tail.name] = ["grid", gedge]
                 source_split[up.name] = "quad"
         return ({k: (v[0], v[1]) for k, v in plan.items()},
                 source_split, comp_split_pads)
