@@ -207,17 +207,29 @@ def test_grid_420_out_packed420g_edge():
         _assert_within_1lsb(desc)
 
 
-def test_grid_420_out_with_filter_falls_back():
-    # a videofilter after a 4:2:0-out grid head would need a
-    # 4:2:0-quantized grid boundary (not built): the chain keeps the
-    # 2-phase scaled-split plan and still runs
-    desc = ("videotestsrc num-buffers=1 ! video/x-raw,format=NV12,"
+def test_grid_420_boundary_with_filter():
+    # a 4:2:0 grid BOUNDARY carries per-phase luma + 2x2-phase chroma
+    # (pack_rgba_grid16 mode="grid" / plan_rgba_sampler_grid420); the
+    # filter re-upsamples chroma per phase and emits the packed420g edge
+    desc = ("videotestsrc num-buffers=2 ! video/x-raw,format=NV12,"
             "width=96,height=52 ! vfmetalconvertscale "
             "! video/x-raw,format=NV12,width=192,height=104 "
-            "! vfmetalvideofilter brightness=0.1 ! appsink")
+            "! vfmetalvideofilter brightness=0.1 vignette=0.3 ! appsink")
     p = _run(desc)
-    assert all(m[1] not in ("grid", "packed32g", "packed420g")
-               for m in p.link_plan.values())
+    names = {e.ELEMENT_NAME: e.name for e in p.elements}
+    assert p.link_plan[names["vfconvertscale"]] == ("quad", "grid")
+    assert p.link_plan[names["vfvideofilter"]] == ("grid", "packed420g")
+    _assert_within_1lsb(desc)
+    # and a two-filter 4:2:0 grid chain (grid -> grid -> packed420g)
+    desc2 = ("videotestsrc num-buffers=1 pattern=ball "
+             "! video/x-raw,format=I420,width=64,height=36 "
+             "! vfmetalconvertscale ! video/x-raw,format=I420,"
+             "width=128,height=72 "
+             "! vfmetalvideofilter contrast=1.2 "
+             "! vfmetalvideofilter saturation=1.3 ! appsink")
+    p2 = _run(desc2)
+    assert any(m == ("grid", "grid") for m in p2.link_plan.values())
+    _assert_within_1lsb(desc2)
 
 
 def test_overlay_downstream_breaks_grid(tmp_path):

@@ -255,17 +255,21 @@ class VideoFilter(Element):
         return self._quad_capable(in_spec, out_spec)
 
     def _grid_capable(self, in_spec, out_spec) -> bool:
-        """GRID16 (4x4 phase) dataflow: RGB planes from a grid16 upscale
-        head, dims divisible by 4, no LUT (the per-phase gather would
-        split the two measured-optimal gather sites into sixteen) and no
-        sharpness (the 9-tap blur's mod-4 cross-phase stencils aren't
-        built; the chain falls back to the 2-phase split plan, which
-        carries sharpness via blur9_h/v_split).  Vignette/grain ride
+        """GRID16 (4x4 phase) dataflow: RGB or 4:2:0 planes from a
+        grid16 upscale head (RGB boundaries carry {"r_00",...}; 4:2:0
+        boundaries the grid420 layout — per-phase luma + 2x2-phase
+        chroma, re-upsampled by plan_rgba_sampler_grid420), dims
+        divisible by 4, no LUT (the per-phase gather would split the two
+        measured-optimal gather sites into sixteen) and no sharpness
+        (the 9-tap blur's mod-4 cross-phase stencils aren't built; the
+        chain falls back to the 2-phase split plan, which carries
+        sharpness via blur9_h/v_split).  Vignette/grain ride
         x_index/y_index at stride 4."""
-        from tpuvf.core.formats import RGB_FORMATS
+        from tpuvf.core.formats import RGB_FORMATS, VideoFormat
 
         self._sync_lut()
-        return (in_spec.format in RGB_FORMATS
+        return ((in_spec.format in RGB_FORMATS
+                 or in_spec.format in (VideoFormat.NV12, VideoFormat.I420))
                 and out_spec.format == in_spec.format
                 and in_spec.width % 4 == 0 and in_spec.height % 4 == 0
                 and self._lut is None
@@ -294,20 +298,27 @@ class VideoFilter(Element):
         from tpuvf.kernels.sample import WeightBuffers
 
         bufs = WeightBuffers(self.name)
-        grid = in_split == "grid" or out_mode in ("grid", "packed32g")
+        grid = (in_split == "grid"
+                or out_mode in ("grid", "packed32g", "packed420g"))
         if grid:
             if not self._grid_capable(in_spec, out_spec):
                 raise NotImplementedError(
-                    "videofilter grid16 links require RGB planes with "
-                    "mod-4 dims, no LUT and no sharpness")
+                    "videofilter grid16 links require phase-capable "
+                    "planes with mod-4 dims, no LUT and no sharpness")
             # sp opt-out rides the quad flag: grid phases aren't row shards
             self._linked_quad = True
             self._buffers = bufs.buffers
+            if in_spec.format in RGB_FORMATS:
+                reader_g = lambda planes: \
+                    convert.split_rgb_chans_grid16(planes)
+            else:
+                reader420 = convert.plan_rgba_sampler_grid420(matrix_in)
+                reader_g = lambda planes: reader420(planes, {})
             x_base = np.arange(w // 4, dtype=np.float32) * 4.0
             y_base = np.arange(h // 4, dtype=np.float32) * 4.0
 
             def process_grid(planes, state, params):
-                chg = convert.split_rgb_chans_grid16(planes)
+                chg = reader_g(planes)
                 frame_index = state["frame_index"]
                 outg = {}
                 for ph, ch in chg.items():
@@ -317,9 +328,14 @@ class VideoFilter(Element):
                         y_index=y_base + float(ph[0]))
                 # the adjust chain output is [0,1]-bounded (its tail clip,
                 # elided or not) -> the pack quantize skips its clip
-                out = convert.pack_rgba_grid16(
-                    outg, out_spec.format, matrix_out, mode=out_mode,
-                    unit_range=True)
+                if out_mode == "packed420g":
+                    out = convert.pack_420_grid16(
+                        outg, out_spec.format, matrix_out,
+                        unit_range=True)
+                else:
+                    out = convert.pack_rgba_grid16(
+                        outg, out_spec.format, matrix_out, mode=out_mode,
+                        unit_range=True)
                 new_state = {
                     "frame_index":
                         (state["frame_index"]

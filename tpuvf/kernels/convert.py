@@ -732,41 +732,6 @@ def plan_rgba_sampler_grid16(in_spec: FrameSpec, filter: str = LINEAR,
         matrix_index = in_spec.matrix_index
     if filter != LINEAR:
         raise NotImplementedError("grid16 links are bilinear-only")
-    f32 = np.float32
-
-    def luma_rows(ys, cp, qq):
-        """Output row phase qq of the col-parity-cp luma (rows 4m+qq)."""
-        y0, y1 = ys["e" + cp], ys["o" + cp]  # luma rows 2m / 2m+1
-        if qq == 0:  # taps 2m-1 (.25), 2m (.75); clamp row -1 -> 0
-            ym1 = jnp.concatenate([y0[..., :1, :], y1[..., :-1, :]],
-                                  axis=-2)
-            return f32(0.25) * ym1 + f32(0.75) * y0
-        if qq == 1:  # 2m (.75), 2m+1 (.25)
-            return f32(0.75) * y0 + f32(0.25) * y1
-        if qq == 2:  # 2m (.25), 2m+1 (.75)
-            return f32(0.25) * y0 + f32(0.75) * y1
-        # qq == 3: 2m+1 (.75), 2m+2 (.25); clamp row H -> H-1
-        y2 = jnp.concatenate([y0[..., 1:, :], y1[..., -1:, :]], axis=-2)
-        return f32(0.75) * y1 + f32(0.25) * y2
-
-    def luma_cols(e, o, p):
-        """Output col phase p from the row-phased col-parity planes."""
-        if p == 0:  # taps 2j-1 (.25), 2j (.75); clamp col -1 -> 0
-            om1 = jnp.concatenate([e[..., :, :1], o[..., :, :-1]], axis=-1)
-            return f32(0.25) * om1 + f32(0.75) * e
-        if p == 1:  # 2j (.75), 2j+1 (.25)
-            return f32(0.75) * e + f32(0.25) * o
-        if p == 2:  # 2j (.25), 2j+1 (.75)
-            return f32(0.25) * e + f32(0.75) * o
-        # p == 3: 2j+1 (.75), 2j+2 (.25); clamp col W -> W-1
-        e2 = jnp.concatenate([e[..., :, 1:], o[..., :, -1:]], axis=-1)
-        return f32(0.75) * o + f32(0.25) * e2
-
-    def chroma_phase(c, idx, axis):
-        wlo, whi = _GRID16_CHROMA_W[idx]
-        if idx < 2:  # taps (prev, cur)
-            return f32(wlo) * _shift_edge(c, axis, -1) + f32(whi) * c
-        return f32(wlo) * c + f32(whi) * _shift_edge(c, axis, +1)
 
     def run_grid(planes, params):
         ys = {ph: as_unit_float(planes[f"y_{ph}"]) for ph in QUAD_PHASES}
@@ -774,19 +739,95 @@ def plan_rgba_sampler_grid16(in_spec: FrameSpec, filter: str = LINEAR,
         vf = as_unit_float(planes["v"])
         out = {}
         for qq in range(4):
-            e = luma_rows(ys, "e", qq)
-            o = luma_rows(ys, "o", qq)
-            u_r = chroma_phase(uf, qq, -2)
-            v_r = chroma_phase(vf, qq, -2)
+            e = _grid2x_rows(ys["ee"], ys["oe"], qq)
+            o = _grid2x_rows(ys["eo"], ys["oo"], qq)
+            u_r = _grid4x_phase(uf, qq, -2)
+            v_r = _grid4x_phase(vf, qq, -2)
             for p in range(4):
-                y = luma_cols(e, o, p)
-                u = chroma_phase(u_r, p, -1)
-                v = chroma_phase(v_r, p, -1)
+                y = _grid2x_cols(e, o, p)
+                u = _grid4x_phase(u_r, p, -1)
+                v = _grid4x_phase(v_r, p, -1)
                 r, g, b = color.yuv_to_rgb(y, u, v, matrix_index)
                 out[f"{qq}{p}"] = (r, g, b, jnp.ones_like(r))
         return out
 
     return run_grid
+
+
+def _grid2x_rows(y0, y1, qq):
+    """Output row phase qq of a 2x row upsample whose source rows 2m/2m+1
+    live in parity planes y0/y1 (the half-texel bilinear taps, weights
+    .25/.75; edge rows clamp)."""
+    f32 = np.float32
+    if qq == 0:  # taps 2m-1 (.25), 2m (.75); clamp row -1 -> 0
+        ym1 = jnp.concatenate([y0[..., :1, :], y1[..., :-1, :]], axis=-2)
+        return f32(0.25) * ym1 + f32(0.75) * y0
+    if qq == 1:  # 2m (.75), 2m+1 (.25)
+        return f32(0.75) * y0 + f32(0.25) * y1
+    if qq == 2:  # 2m (.25), 2m+1 (.75)
+        return f32(0.25) * y0 + f32(0.75) * y1
+    # qq == 3: 2m+1 (.75), 2m+2 (.25); clamp row H -> H-1
+    y2 = jnp.concatenate([y0[..., 1:, :], y1[..., -1:, :]], axis=-2)
+    return f32(0.75) * y1 + f32(0.25) * y2
+
+
+def _grid2x_cols(e, o, p):
+    """Column mirror of _grid2x_rows (source cols 2j/2j+1 in e/o)."""
+    f32 = np.float32
+    if p == 0:  # taps 2j-1 (.25), 2j (.75); clamp col -1 -> 0
+        om1 = jnp.concatenate([e[..., :, :1], o[..., :, :-1]], axis=-1)
+        return f32(0.25) * om1 + f32(0.75) * e
+    if p == 1:  # 2j (.75), 2j+1 (.25)
+        return f32(0.75) * e + f32(0.25) * o
+    if p == 2:  # 2j (.25), 2j+1 (.75)
+        return f32(0.25) * e + f32(0.75) * o
+    # p == 3: 2j+1 (.75), 2j+2 (.25); clamp col W -> W-1
+    e2 = jnp.concatenate([e[..., :, 1:], o[..., :, -1:]], axis=-1)
+    return f32(0.75) * o + f32(0.25) * e2
+
+
+def _grid4x_phase(c, idx, axis):
+    """Phase idx of a 4x upsample along `axis` from the full plane
+    (half-texel quarter-phase 2-tap weights, _GRID16_CHROMA_W)."""
+    f32 = np.float32
+    wlo, whi = _GRID16_CHROMA_W[idx]
+    if idx < 2:  # taps (prev, cur)
+        return f32(wlo) * _shift_edge(c, axis, -1) + f32(whi) * c
+    return f32(wlo) * c + f32(whi) * _shift_edge(c, axis, +1)
+
+
+def plan_rgba_sampler_grid420(matrix_index: int):
+    """Grid420 boundary planes ({"y_00",...} + 2x2-phase {"u_ab","v_ab"})
+    -> {grid phase: (r, g, b, a)}: luma is a per-phase passthrough and
+    chroma 2x-upsamples from its 2x2 phase planes via the same .25/.75
+    half-texel stencils as the luma grid (identity 4:2:0 read semantics,
+    metalconvertscale_shaders.h:91-148 — out row 4k+qq maps to chroma
+    row 2k + (qq-0.5)/2, i.e. _grid2x_rows over the chroma row-parity
+    phases; columns mirror)."""
+    from tpuvf.kernels.color import as_unit_float
+
+    def run_grid420(planes, params):
+        ys = {ph: as_unit_float(planes[f"y_{ph}"])
+              for ph in GRID16_PHASES}
+        u = {ab: as_unit_float(planes[f"u_{ab}"])
+             for ab in ("00", "01", "10", "11")}
+        v = {ab: as_unit_float(planes[f"v_{ab}"])
+             for ab in ("00", "01", "10", "11")}
+        out = {}
+        for qq in range(4):
+            u_r = [_grid2x_rows(u[f"0{b}"], u[f"1{b}"], qq)
+                   for b in range(2)]
+            v_r = [_grid2x_rows(v[f"0{b}"], v[f"1{b}"], qq)
+                   for b in range(2)]
+            for p in range(4):
+                u_ph = _grid2x_cols(u_r[0], u_r[1], p)
+                v_ph = _grid2x_cols(v_r[0], v_r[1], p)
+                y = ys[f"{qq}{p}"]
+                r, g, b = color.yuv_to_rgb(y, u_ph, v_ph, matrix_index)
+                out[f"{qq}{p}"] = (r, g, b, jnp.ones_like(r))
+        return out
+
+    return run_grid420
 
 
 def split_rgb_chans_grid16(planes):
@@ -808,7 +849,14 @@ def pack_rgba_grid16(chans: dict, out_format: VideoFormat,
     """pack_rgba_quad's 16-phase analog (RGB outputs only).
 
     chans: {grid phase: (r, g, b, a) float planes}.  Modes:
-    - "grid":      f32 quant_sim boundary planes {"r_00",...}
+    - "grid":      f32 quant_sim boundary planes — {"r_00",...} for RGB
+                   formats; for 4:2:0 formats {"y_00",...} luma per grid
+                   phase plus {"u_ab","v_ab"} chroma as a 2x2 phase grid
+                   (the 2x2 box average consumes grid phases directly,
+                   row pairs then column pairs before the matrix — same
+                   float ops in the same order as
+                   rgb_to_chroma_downsampled, and the consumer
+                   re-upsamples via plan_rgba_sampler_grid420)
     - "packed32g": {"w_g": (16, H/4, W/4)} u32 pixel words, phases
                    stacked row-major along a leading axis; the host
                    interleaves rows+columns mod 4 in one repack pass
@@ -824,14 +872,39 @@ def pack_rgba_grid16(chans: dict, out_format: VideoFormat,
     """
     from tpuvf.kernels.color import quant_sim, quant_sim_unit, quant_unit
 
-    if out_format not in RGB_FORMATS:
-        raise ValueError("grid16 links support RGB output formats only")
     if mode == "grid":
         sim = quant_sim_unit if unit_range else quant_sim
-        names = ("r", "g", "b", "a")
-        return {f"{n}_{ph}": sim(c)
-                for ph in GRID16_PHASES
-                for n, c in zip(names, chans[ph])}
+        if out_format in RGB_FORMATS:
+            names = ("r", "g", "b", "a")
+            return {f"{n}_{ph}": sim(c)
+                    for ph in GRID16_PHASES
+                    for n, c in zip(names, chans[ph])}
+        if out_format in (VideoFormat.NV12, VideoFormat.I420):
+            f = {ph: tuple(sim(c) for c in chans[ph][:3])
+                 for ph in GRID16_PHASES}
+            out = {}
+            for ph in GRID16_PHASES:
+                yph, _, _ = color.rgb_to_yuv(*f[ph], matrix_index)
+                out[f"y_{ph}"] = quant_sim(yph)
+            half = np.float32(0.5)
+            for a in range(2):
+                for b in range(2):
+                    def box(ci):
+                        ae = (f[f"{2 * a}{2 * b}"][ci]
+                              + f[f"{2 * a + 1}{2 * b}"][ci]) * half
+                        ao = (f[f"{2 * a}{2 * b + 1}"][ci]
+                              + f[f"{2 * a + 1}{2 * b + 1}"][ci]) * half
+                        return (ae + ao) * half
+
+                    _, u, v = color.rgb_to_yuv(box(0), box(1), box(2),
+                                               matrix_index)
+                    out[f"u_{a}{b}"] = quant_sim(u)
+                    out[f"v_{a}{b}"] = quant_sim(v)
+            return out
+        raise ValueError("grid16 links support RGB and 4:2:0 outputs only")
+    if out_format not in RGB_FORMATS:
+        raise ValueError(
+            "grid16 packed32g applies to RGB output formats only")
     if mode == "packed32g":
         qfn = quant_unit if unit_range else quant
         return {"w_g": jnp.stack(
