@@ -138,17 +138,28 @@ def test_grid_through_passthrough_elements():
         "! vfmetalvideofilter brightness=0.1 ! identity ! appsink")
 
 
-def test_sharpness_falls_back_to_split_plan():
-    # the 9-tap blur's mod-4 cross-phase stencils aren't built: the chain
-    # keeps the 2-phase split plan (which carries sharpness) and still runs
-    desc = ("videotestsrc num-buffers=1 ! video/x-raw,format=NV12,"
-            "width=64,height=36 "
-            "! vfmetalconvertscale ! video/x-raw,format=BGRA,"
+def test_sharpness_stays_on_grid():
+    # the 9-tap blur decomposes into mod-4 cross-phase stencils
+    # (kfilter.blur9_grid4): sharpened upscale chains keep the grid plan
+    for sharp in ("0.5", "-0.4"):
+        desc = ("videotestsrc num-buffers=1 ! video/x-raw,format=NV12,"
+                "width=64,height=36 "
+                "! vfmetalconvertscale ! video/x-raw,format=BGRA,"
+                "width=128,height=72 "
+                f"! vfmetalvideofilter sharpness={sharp} ! appsink")
+        p = _run(desc)
+        assert any(m[1] in ("grid", "packed32g")
+                   for m in p.link_plan.values()), sharp
+        _assert_within_1lsb(desc)
+    # and on a 4:2:0 grid boundary chain
+    desc = ("videotestsrc num-buffers=1 pattern=ball "
+            "! video/x-raw,format=NV12,width=64,height=36 "
+            "! vfmetalconvertscale ! video/x-raw,format=NV12,"
             "width=128,height=72 "
-            "! vfmetalvideofilter sharpness=0.5 ! appsink")
+            "! vfmetalvideofilter sharpness=0.6 brightness=0.05 ! appsink")
     p = _run(desc)
-    assert all(m[1] not in ("grid", "packed32g")
-               for m in p.link_plan.values())
+    assert any(m[1] == "packed420g" for m in p.link_plan.values())
+    _assert_within_1lsb(desc)
 
 
 def test_lut_falls_back(tmp_path):

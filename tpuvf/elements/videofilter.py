@@ -260,11 +260,11 @@ class VideoFilter(Element):
         boundaries the grid420 layout — per-phase luma + 2x2-phase
         chroma, re-upsampled by plan_rgba_sampler_grid420), dims
         divisible by 4, no LUT (the per-phase gather would split the two
-        measured-optimal gather sites into sixteen) and no sharpness
-        (the 9-tap blur's mod-4 cross-phase stencils aren't built; the
-        chain falls back to the 2-phase split plan, which carries
-        sharpness via blur9_h/v_split).  Vignette/grain ride
-        x_index/y_index at stride 4."""
+        measured-optimal gather sites into sixteen).  Sharpness is fine:
+        the 9-tap blur decomposes per axis into mod-4 cross-phase
+        stencils (kfilter.blur9_grid4, expression-exact incl. the
+        cross-phase edge clamps).  Vignette/grain ride x_index/y_index
+        at stride 4."""
         from tpuvf.core.formats import RGB_FORMATS, VideoFormat
 
         self._sync_lut()
@@ -272,8 +272,7 @@ class VideoFilter(Element):
                  or in_spec.format in (VideoFormat.NV12, VideoFormat.I420))
                 and out_spec.format == in_spec.format
                 and in_spec.width % 4 == 0 and in_spec.height % 4 == 0
-                and self._lut is None
-                and abs(self.props.get("sharpness")) <= 0.001)
+                and self._lut is None)
 
     def grid_input_ok(self, in_spec, out_spec):
         return self._grid_capable(in_spec, out_spec)
@@ -304,7 +303,7 @@ class VideoFilter(Element):
             if not self._grid_capable(in_spec, out_spec):
                 raise NotImplementedError(
                     "videofilter grid16 links require phase-capable "
-                    "planes with mod-4 dims, no LUT and no sharpness")
+                    "planes with mod-4 dims and no LUT")
             # sp opt-out rides the quad flag: grid phases aren't row shards
             self._linked_quad = True
             self._buffers = bufs.buffers
@@ -326,8 +325,50 @@ class VideoFilter(Element):
                         ch, params, frame_index, w, h, gates=gates,
                         x_index=x_base + float(ph[1]),
                         y_index=y_base + float(ph[0]))
+                if use_sharpness:
+                    # RGBA8 boundaries between the blur passes, per grid
+                    # phase (the reference renders each pass to an RGBA8
+                    # texture); H blur crosses the four COLUMN phases per
+                    # row phase, V blur the four ROW phases per column
+                    # phase (kfilter.blur9_grid4, expression-exact incl.
+                    # cross-phase edge clamps)
+                    q1 = {ph: tuple(quant(c) for c in outg[ph])
+                          for ph in outg}
+                    bh = {}
+                    for qq in range(4):
+                        per_chan = [kfilter.blur9_grid4(
+                            [dequant(q1[f"{qq}{p}"][c]) for p in range(4)],
+                            -1) for c in range(4)]
+                        for p in range(4):
+                            bh[f"{qq}{p}"] = tuple(
+                                quant(per_chan[c][p]) for c in range(4))
+                    bv = {}
+                    for p in range(4):
+                        per_chan = [kfilter.blur9_grid4(
+                            [dequant(bh[f"{qq}{p}"][c]) for qq in range(4)],
+                            -2) for c in range(4)]
+                        for qq in range(4):
+                            bv[f"{qq}{p}"] = tuple(
+                                quant(per_chan[c][qq]) for c in range(4))
+                    amount = params["sharpness"]
+
+                    def unsharp_phase(orig_q, blur_q):
+                        res = []
+                        for c in range(3):
+                            o = dequant(orig_q[c])
+                            bl = dequant(blur_q[c])
+                            sharp = jnp.clip(o + (o - bl) * amount,
+                                             0.0, 1.0)
+                            mixed = o + (bl - o) * jnp.abs(amount)
+                            res.append(jnp.where(amount > 0, sharp, mixed))
+                        res.append(dequant(orig_q[3]))  # alpha preserved
+                        return tuple(res)
+
+                    outg = {ph: unsharp_phase(q1[ph], bv[ph])
+                            for ph in q1}
                 # the adjust chain output is [0,1]-bounded (its tail clip,
-                # elided or not) -> the pack quantize skips its clip
+                # elided or not) -> the pack quantize skips its clip;
+                # the unsharp output is clipped/convex-mixed in [0,1] too
                 if out_mode == "packed420g":
                     out = convert.pack_420_grid16(
                         outg, out_spec.format, matrix_out,

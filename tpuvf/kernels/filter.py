@@ -505,6 +505,53 @@ def blur9_v_split(e: jnp.ndarray, o: jnp.ndarray):
     return be, bo
 
 
+def blur9_grid4(phases, axis: int):
+    """9-tap blur across FOUR mod-4 phase planes along `axis` (the GRID16
+    dataflow's blur: horizontal crosses the four column phases per row
+    phase with axis=-1; vertical the four row phases per column phase
+    with axis=-2).
+
+    Expression mirror of blur9(interleaved, axis): output phase p index
+    j (full coordinate 4j+p) accumulates tap i at full coordinate
+    clip(4j+p-4+i, 0, N-1) — phase (p-4+i) mod 4 shifted by
+    floor((p-4+i)/4), in the same i order with the same weights.  Edge
+    clamping CROSSES phases: a tap clipped to coordinate 0 reads
+    phases[0][0] and one clipped to N-1 reads phases[3][n-1] (N a
+    multiple of 4)."""
+    import jax
+
+    from tpuvf.kernels.convert import _shift_edge
+
+    axis = -1 if axis in (-1, phases[0].ndim - 1) else -2
+    n = phases[0].shape[axis]
+    iota_dim = 1 if axis == -1 else 0
+    idx = jax.lax.broadcasted_iota(jnp.int32, phases[0].shape[-2:],
+                                   iota_dim)
+    idx = jnp.broadcast_to(idx, phases[0].shape)
+    first = jax.lax.slice_in_dim(phases[0], 0, 1, axis=axis)
+    last = jax.lax.slice_in_dim(phases[3], n - 1, n, axis=axis)
+
+    def tap(q, s):
+        shifted = _shift_edge(phases[q], axis, s)
+        if s < 0:
+            shifted = jnp.where(idx < -s, first, shifted)
+        elif s > 0:
+            shifted = jnp.where(idx >= n - s, last, shifted)
+        return shifted
+
+    out = []
+    for p in range(4):
+        acc = None
+        for i, w in enumerate(BLUR_WEIGHTS):
+            dd = p - 4 + i
+            q = dd % 4
+            s = (dd - q) // 4
+            t = tap(q, s) * F32(w)
+            acc = t if acc is None else acc + t
+        out.append(acc)
+    return out
+
+
 def blur9(img, axis: int):
     """9-tap Gaussian along one axis with edge clamping (blurHorizontal /
     blurVertical, h:265-299).  img: (..., 4, H, W) float32.
