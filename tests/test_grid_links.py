@@ -243,22 +243,27 @@ def test_grid_420_boundary_with_filter():
     _assert_within_1lsb(desc2)
 
 
-def test_overlay_downstream_breaks_grid(tmp_path):
-    # an ACTIVE overlay isn't grid-capable: the chain keeps the 2-phase
-    # plan (a file-less overlay is soft-fail passthrough and forwards the
-    # grid dict untouched — covered by the passthrough test above)
+def test_overlay_joins_grid(tmp_path):
+    # an ACTIVE overlay slices its rect by (row mod 4, col mod 4)
+    # host-side and blends per phase (Overlay._make_process_grid); odd
+    # rect origins exercise the mod-4 span math
     from PIL import Image
 
     png = tmp_path / "ov.png"
     Image.new("RGBA", (8, 8), (255, 0, 0, 128)).save(png)
-    desc = ("videotestsrc num-buffers=1 ! video/x-raw,format=NV12,"
-            "width=64,height=36 ! vfmetalconvertscale "
-            "! video/x-raw,format=BGRA,width=128,height=72 "
-            "! vfmetalvideofilter brightness=0.1 "
-            f"! vfmetaloverlay location={png} ! appsink")
-    p = _run(desc)
-    assert all(m[1] not in ("grid", "packed32g")
-               for m in p.link_plan.values())
+    for fmt, pos in (("BGRA", "x=13 y=7"), ("BGRA", "relative-x=0.3 "
+                                            "relative-y=0.4"),
+                     ("NV12", "x=5 y=9")):
+        desc = ("videotestsrc num-buffers=1 ! video/x-raw,format=NV12,"
+                "width=64,height=36 ! vfmetalconvertscale "
+                f"! video/x-raw,format={fmt},width=128,height=72 "
+                "! vfmetalvideofilter brightness=0.1 "
+                f"! vfmetaloverlay location={png} {pos} ! appsink")
+        p = _run(desc)
+        ov = next(e.name for e in p.elements
+                  if e.ELEMENT_NAME == "vfoverlay")
+        assert p.link_plan[ov][0] == "grid", (fmt, pos)
+        _assert_within_1lsb(desc)
 
 
 def test_no_quad_links_escape_hatch(monkeypatch):

@@ -163,6 +163,18 @@ class Overlay(Element):
     def quad_output_ok(self, in_spec, out_spec):
         return self._quad_capable(in_spec, out_spec)
 
+    def _grid_capable(self, in_spec, out_spec) -> bool:
+        """GRID16 (4x4 phase) dataflow: the rect blend slices host-side
+        by (row mod 4, col mod 4) — the quad slicing at stride 4."""
+        return (self._phase_capable(in_spec, out_spec)
+                and in_spec.width % 4 == 0 and in_spec.height % 4 == 0)
+
+    def grid_input_ok(self, in_spec, out_spec):
+        return self._grid_capable(in_spec, out_spec)
+
+    def grid_output_ok(self, in_spec, out_spec):
+        return self._grid_capable(in_spec, out_spec)
+
     def edge_packed32_ok(self, in_spec=None, out_spec=None) -> bool:
         """RGB sink edges emit u32 pixel words (one fusion; the
         per-channel u16 emit split into two fusions with six f32 4K
@@ -285,6 +297,64 @@ class Overlay(Element):
 
         return process_quad
 
+    def _make_process_grid(self, in_spec, out_spec, bufs, cfg, out_mode):
+        """GRID16 (4x4 phase) path: the overlay rect slices into sixteen
+        (row mod 4, col mod 4) pieces host-side; each phase blend is the
+        split path's expression verbatim (video*(1-a) + overlay*a on the
+        premultiplied image).  4:2:0 boundaries arrive in the grid420
+        layout (per-phase luma + 2x2-phase chroma) and re-emit it."""
+        from tpuvf.core.formats import RGB_FORMATS
+        from tpuvf.kernels.convert import GRID16_PHASES
+
+        w, h = in_spec.width, in_spec.height
+        rx0, rx1, ry0, ry1 = cfg["rect"]
+        ov_rect = cfg["planes"]  # (4, rh, rw) f32 premultiplied
+        n_r, n_c = h // 4, w // 4
+        fetches = {}
+        for ph in GRID16_PHASES:
+            qq, p = int(ph[0]), int(ph[1])
+            # plane index k covers canvas row 4k+qq: ry0 <= 4k+qq < ry1
+            r0 = max(0, (ry0 - qq + 3) // 4)
+            r1 = max(0, (ry1 - qq + 3) // 4)
+            c0 = max(0, (rx0 - p + 3) // 4)
+            c1 = max(0, (rx1 - p + 3) // 4)
+            if r1 <= r0 or c1 <= c0:
+                continue
+            roff = 4 * r0 + qq - ry0
+            coff = 4 * c0 + p - rx0
+            piece = np.ascontiguousarray(ov_rect[:, roff::4, coff::4])
+            fetches[ph] = (bufs.add(piece, f"overlay_{ph}"),
+                           ((r0, n_r - r1), (c0, n_c - c1)))
+
+        if in_spec.format in RGB_FORMATS:
+            reader = lambda planes, params: convert.split_rgb_chans_grid16(
+                planes)
+        else:
+            reader420 = convert.plan_rgba_sampler_grid420(
+                in_spec.matrix_index)
+            reader = lambda planes, params: reader420(planes, params)
+        self._buffers = bufs.buffers
+        matrix_out = out_spec.matrix_index
+
+        def process_grid(planes, state, params):
+            chg = {ph: list(t) for ph, t in reader(planes, params).items()}
+            for ph, (fetch, pad_hw) in fetches.items():
+                ov = jnp.asarray(fetch(params))
+                a = jnp.pad(ov[3] * params["alpha"], pad_hw)
+                for c in range(3):
+                    ovc = jnp.pad(ov[c], pad_hw)
+                    chg[ph][c] = chg[ph][c] * (1.0 - a) + ovc * a
+            chans = {ph: tuple(t) for ph, t in chg.items()}
+            if out_mode == "packed420g":
+                out = convert.pack_420_grid16(
+                    chans, out_spec.format, matrix_out)
+            else:
+                out = convert.pack_rgba_grid16(
+                    chans, out_spec.format, matrix_out, mode=out_mode)
+            return out, state
+
+        return process_grid
+
     def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
         return self.make_process_linked(in_spec, out_spec, static)
 
@@ -306,6 +376,16 @@ class Overlay(Element):
 
         bufs = WeightBuffers(self.name)
         matrix_out = out_spec.matrix_index
+        grid = (in_split == "grid"
+                or out_mode in ("grid", "packed32g", "packed420g"))
+        if grid:
+            if not self._grid_capable(in_spec, out_spec):
+                raise NotImplementedError(
+                    "overlay grid16 links require mod-4 dimensions")
+            # sp opt-out rides the quad flag: grid phases aren't row shards
+            self._linked_quad = True
+            return self._make_process_grid(in_spec, out_spec, bufs,
+                                           cfg, out_mode)
         quad = (in_split == "quad"
                 or out_mode in ("quad", "packed32q", "packed16q"))
         self._linked_quad = quad
