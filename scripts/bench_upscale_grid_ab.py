@@ -89,8 +89,8 @@ def parity(variants):
                 for pph in range(4):
                     fw[qq::4, pph::4] = out[f"w_{qq}{pph}"]
         else:
-            fw[:, 0::2] = out["w_e"]
-            fw[:, 1::2] = out["w_o"]
+            fw[:, 0::2] = out["w_c"][0]
+            fw[:, 1::2] = out["w_c"][1]
         full[tag] = fw
     a = full["grid"].view(np.uint8).astype(np.int32)
     b = full["stencil"].view(np.uint8).astype(np.int32)

@@ -87,10 +87,10 @@ def test_driver_entry_compiles():
 
     fn, args = ge.entry()
     out, state = jax.jit(fn)(*args)
-    # packed32 edge layout: u32 pixel words, one per even/odd output column
-    assert out["w_e"].shape == (480, 320)
-    assert out["w_o"].shape == (480, 320)
-    assert out["w_e"].dtype == jnp.uint32
+    # packed32 edge layout: stacked u32 pixel words (even/odd column
+    # phases on the leading axis — one scan output, see pack_rgba_split)
+    assert out["w_c"].shape == (2, 480, 320)
+    assert out["w_c"].dtype == jnp.uint32
 
 
 def test_pipeline_run_batched_on_mesh():

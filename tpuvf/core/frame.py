@@ -200,12 +200,13 @@ def planes_to_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
                 out[0::2, 0::2], out[0::2, 1::2] = quads[0], quads[1]
                 out[1::2, 0::2], out[1::2, 1::2] = quads[2], quads[3]
             return out.view(np.uint8).reshape(out.shape[0], out.shape[1], 4)
-        if "w_e" in planes:
-            # pipeline-edge "packed32" planes: u32 PIXEL words per column
-            # phase, bytes already in the host format's order
-            # (kernels.convert.pack_words_u32) — interleave the two phase
-            # word streams and view as bytes
-            we, wo = planes["w_e"], planes["w_o"]
+        if "w_c" in planes:
+            # pipeline-edge "packed32" plane: (2, H, W/2) u32 PIXEL words,
+            # column phases stacked, bytes already in the host format's
+            # order (kernels.convert.pack_words_u32) — interleave the two
+            # phase word streams and view as bytes
+            wc = np.ascontiguousarray(planes["w_c"])
+            we, wo = wc[0], wc[1]
             out = np.empty((we.shape[0], 2 * we.shape[1]), np.uint32)
             out[:, 0::2] = we
             out[:, 1::2] = wo
@@ -216,6 +217,12 @@ def planes_to_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
         if fmt == VideoFormat.BGRA:
             rgba = rgba[..., [2, 1, 0, 3]]
         return np.ascontiguousarray(rgba)
+    if "uv_s" in planes:
+        # pipeline-edge stacked chroma (packed16 sink form): (2, ch, cw)
+        # u8, u on slab 0 and v on slab 1 (kernels.convert.pack_rgba_split)
+        uvs = np.ascontiguousarray(planes["uv_s"])
+        planes = dict(planes, u=uvs[0], v=uvs[1])
+        del planes["uv_s"]
     if "y_g" in planes and fmt in (VideoFormat.NV12, VideoFormat.I420):
         # pipeline-edge "packed420g" planes (kernels.convert.pack_420_grid16):
         # y_g (4, H/4, W/4) u32 — bytes are row phase qq's full-width luma

@@ -1323,8 +1323,13 @@ def pack_rgba_split(chans_e, chans_o, out_format: VideoFormat,
     qo = tuple(quant(c) for c in chans_o)
     if out_format in RGB_FORMATS:
         if mode == "packed32":
-            return {"w_e": pack_words_u32(qe, out_format),
-                    "w_o": pack_words_u32(qo, out_format)}
+            # ONE stacked (2, H, W/2) output: separate w_e/w_o scan
+            # outputs defeated in-place lax.scan stacking — the 8K->4K
+            # scan trace showed 161 us/frame of full-buffer DUS copies
+            # (the quad/grid stacking rule, see pack_rgba_grid16)
+            return {"w_c": jnp.stack(
+                [pack_words_u32(qe, out_format),
+                 pack_words_u32(qo, out_format)], axis=-3)}
         rgba = jnp.stack(
             [_join_phases(a, b, mode) for a, b in zip(qe, qo)], axis=-3)
         return {"rgba": rgba}
@@ -1344,18 +1349,29 @@ def pack_rgba_split(chans_e, chans_o, out_format: VideoFormat,
         ga = (avg_phase(de[1]) + avg_phase(do[1])) * half
         ba = (avg_phase(de[2]) + avg_phase(do[2])) * half
         _, u, v = color.rgb_to_yuv(ra, ga, ba, matrix_index)
-        return {"y": _join_phases(quant(ye), quant(yo), mode),
-                "u": quant(u), "v": quant(v)}
+        y_out = _join_phases(quant(ye), quant(yo), mode)
+        if mode == "packed16":
+            # sink-edge form: stack u+v into ONE scan output (separate
+            # planes pay non-in-place lax.scan stacking DUS copies — the
+            # quad/grid stacking rule, see pack_rgba_grid16)
+            return {"y": y_out,
+                    "uv_s": jnp.stack([quant(u), quant(v)], axis=-3)}
+        return {"y": y_out, "u": quant(u), "v": quant(v)}
     if out_format in PACKED_YUV_FORMATS:
         # 4:2:2: chroma = mean of the two pixels of each macro-pixel, i.e.
         # exactly mean(even_phase, odd_phase) after the RGB->YUV matrix
         _, ue, ve = color.rgb_to_yuv(*de, matrix_index)
         _, uo, vo = color.rgb_to_yuv(*do, matrix_index)
         half = np.float32(0.5)
+        y_out = _join_phases(quant(ye), quant(yo), mode)
+        if mode == "packed16":
+            return {"y": y_out,
+                    "uv_s": jnp.stack([quant((ue + uo) * half),
+                                       quant((ve + vo) * half)], axis=-3)}
         return {
             # the 4:2:2 y plane rides full-width through pack_422 on the
             # host, so the edge packing applies to it as well
-            "y": _join_phases(quant(ye), quant(yo), mode),
+            "y": y_out,
             "u": quant((ue + uo) * half),
             "v": quant((ve + vo) * half),
         }
