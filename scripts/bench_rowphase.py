@@ -256,7 +256,21 @@ def main():
     dparams = jax.device_put(params)
     dstate = jax.device_put(state0)
     outA, _ = jax.jit(stepA)(jax.device_put(one), dstate, dparams)
-    fullA = interleave_cols(np.asarray(outA["w_e"]), np.asarray(outA["w_o"]))
+    # the shipped chain emits a single stacked plane since round 3f:
+    # w_q = quad phases (ee, eo, oe, oo) on the leading axis
+    if "w_q" in outA:
+        wq = np.asarray(outA["w_q"])
+        rows_eA = interleave_cols(wq[0], wq[1])
+        rows_oA = interleave_cols(wq[2], wq[3])
+        fullA = np.empty((H, W), np.uint32)
+        fullA[0::2] = rows_eA
+        fullA[1::2] = rows_oA
+    elif "w_c" in outA:
+        wc = np.asarray(outA["w_c"])
+        fullA = interleave_cols(wc[0], wc[1])
+    else:
+        fullA = interleave_cols(np.asarray(outA["w_e"]),
+                                np.asarray(outA["w_o"]))
     oneB_dev = jax.device_put(oneB)
     for vname, stepV in variants.items():
         outB, _ = jax.jit(stepV)(oneB_dev, dstate, dparams)

@@ -217,7 +217,13 @@ def main():
 
     # --- parity -----------------------------------------------------------
     full_a = np.zeros((H_OUT, W_OUT), np.uint32)
-    if "w_e" in out_a:
+    if "w_c" in out_a:  # stacked packed32 edge (round 3f)
+        full_a[:, 0::2] = out_a["w_c"][0]
+        full_a[:, 1::2] = out_a["w_c"][1]
+    elif "w_g" in out_a:  # the chain now negotiates grid16 itself
+        for i in range(16):
+            full_a[i // 4::4, i % 4::4] = out_a["w_g"][i]
+    elif "w_e" in out_a:
         full_a[:, 0::2] = out_a["w_e"]
         full_a[:, 1::2] = out_a["w_o"]
     else:
