@@ -308,3 +308,87 @@ def test_upscale2x_split_link_bitwise(monkeypatch):
     canonical = run(False)
     diff = np.abs(split.astype(np.int16) - canonical.astype(np.int16))
     assert diff.max() <= 1, diff.max()
+
+
+@pytest.mark.parametrize("desc", [
+    # NV12 in: luma pair-averages both axes, chroma is identity at 2:1
+    ("videotestsrc num-buffers=1 ! "
+     "video/x-raw,format=NV12,width=256,height=128 ! "
+     "vfmetalconvertscale ! "
+     "video/x-raw,format=BGRA,width=128,height=64 ! appsink"),
+    # RGB in, bilinear
+    ("videotestsrc num-buffers=1 pattern=ball ! "
+     "video/x-raw,format=BGRA,width=192,height=96 ! "
+     "vfmetalconvertscale ! "
+     "video/x-raw,format=BGRA,width=96,height=48 ! appsink"),
+    # NEAREST 2:1 (single tap at 2j+1)
+    ("videotestsrc num-buffers=1 pattern=ball ! "
+     "video/x-raw,format=BGRA,width=192,height=96 ! "
+     "vfmetalconvertscale method=nearest ! "
+     "video/x-raw,format=BGRA,width=96,height=48 ! appsink"),
+    # 2:1 rows only, identity columns
+    ("videotestsrc num-buffers=1 ! "
+     "video/x-raw,format=NV12,width=128,height=128 ! "
+     "vfmetalconvertscale ! "
+     "video/x-raw,format=BGRA,width=128,height=64 ! appsink"),
+    # 4:1 (even k > 2: taps k/2-1, k/2 at 0.5/0.5)
+    ("videotestsrc num-buffers=1 pattern=ball ! "
+     "video/x-raw,format=BGRA,width=192,height=96 ! "
+     "vfmetalconvertscale ! "
+     "video/x-raw,format=BGRA,width=48,height=24 ! appsink"),
+    # 3:1 NEAREST (single tap k//2; odd-k LINEAR keeps the matrix path)
+    ("videotestsrc num-buffers=1 pattern=ball ! "
+     "video/x-raw,format=BGRA,width=192,height=96 ! "
+     "vfmetalconvertscale method=nearest ! "
+     "video/x-raw,format=BGRA,width=64,height=32 ! appsink"),
+])
+def test_downscale2x_closed_form_bitwise(monkeypatch, desc):
+    """Integer-factor downscales ride the closed-form tap slices (no
+    weight matrix, no matmul); BITWISE vs the dense-matrix program
+    (TPUVF_DOWN2X=off) under the default rows-only mode AND with the
+    lane-axis form forced on ("both") — scaling by 0.5 is exact, so
+    every form rounds once per add (see convert._downsample_int_ok)."""
+    def run(mode=None):
+        if mode is None:
+            monkeypatch.delenv("TPUVF_DOWN2X", raising=False)
+        else:
+            monkeypatch.setenv("TPUVF_DOWN2X", mode)
+        p = parse_pipeline(desc)
+        p.negotiate(); p.build(); p.run()
+        return np.asarray(p.sinks[0].frames[0])
+
+    dense = run("off")
+    np.testing.assert_array_equal(run(), dense)        # rows default
+    np.testing.assert_array_equal(run("both"), dense)  # + lane axis
+
+
+@pytest.mark.parametrize("out_wh", [(128, 64), (64, 32)])
+def test_downscale2x_split_link_bitwise(monkeypatch, out_wh):
+    """A k:1 downscale feeding a split consumer keeps the phase split
+    link; the per-phase closed forms (plan_cols_phase_sampler[_presplit]
+    k:1 paths) are BITWISE vs the phase-matrix program (k=2 and k=4)."""
+    ow, oh = out_wh
+    desc = ("videotestsrc num-buffers=1 ! "
+            "video/x-raw,format=NV12,width=256,height=128 ! "
+            "vfmetalconvertscale ! "
+            f"video/x-raw,format=BGRA,width={ow},height={oh} ! "
+            "vfmetalvideofilter brightness=0.1 saturation=1.3 ! appsink")
+
+    def run():
+        p = parse_pipeline(desc)
+        p.negotiate(); p.build()
+        cs = next(e.name for e in p.elements
+                  if e.ELEMENT_NAME == "vfconvertscale")
+        in_split, out_mode = p.link_plan.get(cs, (False, "full"))
+        assert out_mode == "split", p.link_plan  # not vacuous
+        p.run()
+        return np.asarray(p.sinks[0].frames[0])
+
+    fast = run()
+    monkeypatch.setenv("TPUVF_DOWN2X", "both")
+    both = run()
+    monkeypatch.setenv("TPUVF_DOWN2X", "off")
+    dense = run()
+    monkeypatch.delenv("TPUVF_DOWN2X")
+    np.testing.assert_array_equal(fast, dense)
+    np.testing.assert_array_equal(both, dense)

@@ -634,3 +634,21 @@ def test_sp_compositor_animated_operator_bit_exact():
     sp = p2.sinks[0].frames
     for a, b in zip(sp, plain):
         assert_frames_equal(a, b)
+
+
+def test_sp_downscale2x_bit_exact():
+    """Exactly-2:1 downscale under sp row sharding: the closed-form row
+    pair average is shard-local (even per-shard rows by construction —
+    each shard's output band is half its input band), so no all-gather
+    and BIT-equality with the unsharded run."""
+    require_devices(2)
+    desc = ("videotestsrc num-buffers=2 ! "
+            "video/x-raw,format=NV12,width=128,height=96 ! "
+            "vfmetalconvertscale ! "
+            "video/x-raw,format=BGRA,width=64,height=48 ! "
+            "vfmetalvideofilter contrast=1.2 ! appsink")
+    plain = _run_plain(desc, 2)
+    sp = _run_sp(desc, 2, {"dp": 1, "sp": 2})
+    assert len(sp) == len(plain) == 2
+    for a, b in zip(sp, plain):
+        assert_frames_equal(a, b)

@@ -49,6 +49,66 @@ def _upsample2x_linear(img: jnp.ndarray, axis: int) -> jnp.ndarray:
     return stacked.reshape(new_shape)
 
 
+def _downsample_int_ok(in_size: int, out_size: int, filter: str,
+                       axis: int = -2) -> bool:
+    """Integer-factor downscales with a closed tap form: src texcoords sit
+    at k*j + (k-1)/2, so every LINEAR sampling-matrix row at EVEN k is
+    exactly (0.5, 0.5) at taps k*j + (k/2-1, k/2) and every NEAREST row a
+    single 1.0 at tap k*j + k//2 (half rounds up).  ODD-k LINEAR rows are
+    a single 1.0 in exact arithmetic but texcoords carry ~1e-15 float
+    noise onto a second tap (measured at k=5), so they keep the matrix
+    path to preserve bitwise parity.
+
+    TPUVF_DOWN2X selects which axes take the closed form: "rows"
+    (DEFAULT — sublane strided tap slices are near free), "both",
+    "cols", or "off" (TPUVF_NO_DOWN2X=1 is an alias).  The lane-axis
+    (cols) form is default-OFF by measurement, not oversight: the mod-k
+    trailing-reshape taps turn every downstream consumer load strided,
+    and the standalone 4K->1080p NV12 element measured 3,148-3,631 fps
+    with cols closed vs 4,130-4,328 rows-only in the same windows,
+    while the 8K->4K chain read the same within noise for rows-only vs
+    both (scripts/bench_down2x_axes_ab.py) — the blockband column
+    matmul keeps consumers lane-dense and is never worse."""
+    import os
+
+    mode = os.environ.get("TPUVF_DOWN2X", "rows")
+    if mode == "off" or os.environ.get("TPUVF_NO_DOWN2X"):
+        return False
+    if mode == "rows" and axis == -1:
+        return False
+    if mode == "cols" and axis == -2:
+        return False
+    if out_size < 1 or in_size % out_size:
+        return False
+    k = in_size // out_size
+    if k < 2:
+        return False
+    return filter == NEAREST or (filter == LINEAR and k % 2 == 0)
+
+
+def _downsample_int(img: jnp.ndarray, axis: int, k: int,
+                    filter: str) -> jnp.ndarray:
+    """Exact k:1 downsample along `axis` (see _downsample_int_ok for the
+    tap derivation).  (a+b)*0.5 is bitwise equal to the HIGHEST-precision
+    dense dot: scaling by 0.5 is exact (exponent shift), so both forms
+    round once at the add.  Rows ride sublane strided slices, columns a
+    trailing mod-k reshape — the formulation measured fastest on TPU
+    (color.rgb_to_chroma_downsampled)."""
+    axis = axis % img.ndim
+    half = np.float32(0.5)
+    if axis == img.ndim - 2:
+        if filter == NEAREST:
+            return img[..., k // 2::k, :]
+        return (img[..., k // 2 - 1::k, :] + img[..., k // 2::k, :]) * half
+    if axis == img.ndim - 1:
+        s = img.shape
+        q = img.reshape(*s[:-1], s[-1] // k, k)
+        if filter == NEAREST:
+            return q[..., k // 2]
+        return (q[..., k // 2 - 1] + q[..., k // 2]) * half
+    raise ValueError("downsample supports the last two axes only")
+
+
 def _shift_edge(img: jnp.ndarray, axis: int, offset: int) -> jnp.ndarray:
     """img shifted by `offset` along axis with edge replication (pad+slice,
     no gather).  Row-axis shifts are halo-aware under spatial sharding
@@ -87,6 +147,8 @@ def sample_axis(
             return _upsample2x_linear(img, axis)
         if filter == NEAREST and out_size == 2 * in_size:
             return jnp.repeat(img, 2, axis=axis)
+        if _downsample_int_ok(in_size, out_size, filter, axis):
+            return _downsample_int(img, axis, in_size // out_size, filter)
     t = sample.texcoords(out_size, scale)
     mask = sample.coverage_mask(out_size, scale)
     w = sample.sample_matrix(t, in_size, filter, mask)
@@ -207,6 +269,30 @@ def plan_axis_sampler(in_size, out_size, axis, filter, scale, bufs):
             return lambda img, params: _upsample2x_linear(img, axis)
         if filter == NEAREST and out_size == 2 * in_size:
             return lambda img, params: jnp.repeat(img, 2, axis=axis)
+        if _downsample_int_ok(in_size, out_size, filter, axis):
+            # integer-factor closed form — no weight matrix, no matmul;
+            # both axes fuse into the surrounding elementwise program.
+            # Rows: under sp row sharding any dispatchable config has
+            # k-multiple per-shard rows (each shard's output band is a
+            # 1/k band of its input band, and out rows must split
+            # evenly), so the tap slices are shard-local — no halo, no
+            # all-gather.  A misaligned shard would fail loudly at trace
+            # time (strided-slice shape mismatch), never compute wrong
+            # values — and the guard below catches the k>2 corner where
+            # misaligned slice shapes could coincide.
+            k = in_size // out_size
+            if axis == -1:
+                return lambda img, params: _downsample_int(
+                    img, -1, k, filter)
+
+            def run_int_rows(img, params):
+                if img.shape[-2] != in_size and img.shape[-2] % k:
+                    raise ValueError(
+                        f"k={k} downscale needs k-multiple per-shard rows; "
+                        f"got {img.shape[-2]} (in_size {in_size})")
+                return _downsample_int(img, -2, k, filter)
+
+            return run_int_rows
     t = sample.texcoords(out_size, scale)
     mask = sample.coverage_mask(out_size, scale)
     w = sample.sample_matrix(t, in_size, filter, mask)
@@ -1041,6 +1127,28 @@ def plan_cols_phase_sampler(in_w, out_w, filter, scale, bufs, prefix=""):
         if filter == NEAREST:
             # out[2k] and out[2k+1] both sample input col k
             return [lambda img, params: img, lambda img, params: img]
+    if (scale == 1.0 and out_w and in_w % out_w == 0 and out_w % 2 == 0
+            and _downsample_int_ok(in_w, out_w, filter, -1)):
+        # k:1 columns are phase-clean: output phase p col j taps the
+        # mod-2k block at k*p + (k//2-1, k//2) (LINEAR, 0.5/0.5 — the
+        # exact dense weights, see _downsample_int_ok) or k*p + k//2
+        # (NEAREST) — a trailing mod-2k reshape, no matmul and no
+        # weight matrix
+        k = in_w // out_w
+        half = np.float32(0.5)
+
+        def make(p):
+            def run(img, params):
+                s = img.shape
+                q = img.reshape(*s[:-1], s[-1] // (2 * k), 2 * k)
+                if filter == NEAREST:
+                    return q[..., k * p + k // 2]
+                return (q[..., k * p + k // 2 - 1]
+                        + q[..., k * p + k // 2]) * half
+
+            return run
+
+        return [make(0), make(1)]
     t = sample.texcoords(out_w, scale)
     mask = sample.coverage_mask(out_w, scale)
     w = sample.sample_matrix(t, in_w, filter, mask)
@@ -1081,6 +1189,34 @@ def plan_cols_phase_sampler_presplit(in_w, out_w, filter, scale, bufs,
     if scale == 1.0 and out_w == in_w and filter in (LINEAR, NEAREST):
         return [lambda img_e, img_o, params: img_e,
                 lambda img_e, img_o, params: img_o]
+    if (scale == 1.0 and out_w and in_w % out_w == 0 and out_w % 2 == 0
+            and _downsample_int_ok(in_w, out_w, filter, -1)):
+        # k:1 from split inputs: output phase p col j taps full-input
+        # cols 2kj + t for t = k*p + (k//2-1, k//2) (LINEAR) or
+        # k*p + k//2 (NEAREST); full col 2m lives in the EVEN plane at
+        # index m, col 2m+1 in the ODD plane — so each tap is a mod-k
+        # trailing reshape of one input phase.  The 0.5 scales are
+        # exact, so this is BITWISE vs the canonical closed form
+        # (better than the generic <= 1 ulp presplit contract).
+        k = in_w // out_w
+        half = np.float32(0.5)
+
+        def make(p):
+            def tap(img_e, img_o, t):
+                img = img_o if t % 2 else img_e
+                s = img.shape
+                q = img.reshape(*s[:-1], s[-1] // k, k)
+                return q[..., t // 2]
+
+            def run(img_e, img_o, params):
+                if filter == NEAREST:
+                    return tap(img_e, img_o, k * p + k // 2)
+                return (tap(img_e, img_o, k * p + k // 2 - 1)
+                        + tap(img_e, img_o, k * p + k // 2)) * half
+
+            return run
+
+        return [make(0), make(1)]
     t = sample.texcoords(out_w, scale)
     mask = sample.coverage_mask(out_w, scale)
     w = sample.sample_matrix(t, in_w, filter, mask)
