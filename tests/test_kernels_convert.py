@@ -386,3 +386,42 @@ class TestSplitScaled:
         for g, w in zip(got, want):
             diff = np.abs(g.astype(np.int16) - w.astype(np.int16))
             assert diff.max() <= 1, diff.max()  # K-grouping, see above
+
+
+class TestDownsampleIntGate:
+    """_downsample_int_ok gate semantics (round-4 advisor findings)."""
+
+    def test_nearest_floor_boundary_sizes_fall_back(self, monkeypatch):
+        """NEAREST closed form is refused where the dense f64 tap
+        disagrees (2160->1080 shifts 22 taps; 22->11 one) and accepted
+        where it agrees — sample_axis output must equal the dense
+        matrix either way."""
+        monkeypatch.setenv("TPUVF_DOWN2X", "both")
+        for axis in (-2, -1):
+            assert not convert._downsample_int_ok(2160, 1080, NEAREST, axis)
+            assert not convert._downsample_int_ok(22, 11, NEAREST, axis)
+            assert convert._downsample_int_ok(192, 96, NEAREST, axis)
+        # end-to-end: the boundary size samples identically to dense
+        img = np.asarray(
+            RNG.random((22, 48), dtype=np.float32))
+        got = np.asarray(convert.sample_axis(img, -2, 11, NEAREST))
+        monkeypatch.setenv("TPUVF_DOWN2X", "off")
+        want = np.asarray(convert.sample_axis(img, -2, 11, NEAREST))
+        np.testing.assert_array_equal(got, want)
+
+    def test_even_k_linear_unaffected(self, monkeypatch):
+        """Even-k LINEAR stays on the closed form at boundary sizes (the
+        f32 cast of the fractional weight absorbs the texcoord noise)."""
+        monkeypatch.setenv("TPUVF_DOWN2X", "both")
+        assert convert._downsample_int_ok(2160, 1080, LINEAR, -2)
+        assert convert._downsample_int_ok(2160, 1080, LINEAR, -1)
+
+    def test_unknown_mode_falls_back_to_rows(self, monkeypatch):
+        """A typo'd TPUVF_DOWN2X must NOT silently enable the lane-axis
+        form that is deliberately off by default."""
+        monkeypatch.setenv("TPUVF_DOWN2X", "row")  # typo
+        assert convert._downsample_int_ok(192, 96, LINEAR, -2)
+        assert not convert._downsample_int_ok(192, 96, LINEAR, -1)
+        monkeypatch.setenv("TPUVF_DOWN2X", "")
+        assert convert._downsample_int_ok(192, 96, LINEAR, -2)
+        assert not convert._downsample_int_ok(192, 96, LINEAR, -1)

@@ -341,6 +341,20 @@ def test_upscale2x_split_link_bitwise(monkeypatch):
      "video/x-raw,format=BGRA,width=192,height=96 ! "
      "vfmetalconvertscale method=nearest ! "
      "video/x-raw,format=BGRA,width=64,height=32 ! appsink"),
+    # NEAREST floor-boundary geometry (22->11 rows: dense f64 texcoord
+    # noise lands BELOW the k*j+k//2 boundary for one row, like
+    # 2160->1080 at 22/1080 rows).  _downsample_int_ok must fall back
+    # to the matrix path here or this parity assertion fails by a
+    # whole source texel (round-4 advisor finding).
+    ("videotestsrc num-buffers=1 pattern=ball ! "
+     "video/x-raw,format=BGRA,width=192,height=22 ! "
+     "vfmetalconvertscale method=nearest ! "
+     "video/x-raw,format=BGRA,width=96,height=11 ! appsink"),
+    # same boundary geometry on the LANE axis (exercised under "both")
+    ("videotestsrc num-buffers=1 pattern=ball ! "
+     "video/x-raw,format=BGRA,width=44,height=96 ! "
+     "vfmetalconvertscale method=nearest ! "
+     "video/x-raw,format=BGRA,width=11,height=48 ! appsink"),
 ])
 def test_downscale2x_closed_form_bitwise(monkeypatch, desc):
     """Integer-factor downscales ride the closed-form tap slices (no

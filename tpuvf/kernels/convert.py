@@ -61,19 +61,30 @@ def _downsample_int_ok(in_size: int, out_size: int, filter: str,
 
     TPUVF_DOWN2X selects which axes take the closed form: "rows"
     (DEFAULT — sublane strided tap slices are near free), "both",
-    "cols", or "off" (TPUVF_NO_DOWN2X=1 is an alias).  The lane-axis
+    "cols", or "off" (TPUVF_NO_DOWN2X=1 is an alias; unrecognized
+    values fall back to "rows").  The lane-axis
     (cols) form is default-OFF by measurement, not oversight: the mod-k
     trailing-reshape taps turn every downstream consumer load strided,
     and the standalone 4K->1080p NV12 element measured 3,148-3,631 fps
     with cols closed vs 4,130-4,328 rows-only in the same windows,
     while the 8K->4K chain read the same within noise for rows-only vs
     both (scripts/bench_down2x_axes_ab.py) — the blockband column
-    matmul keeps consumers lane-dense and is never worse."""
+    matmul keeps consumers lane-dense and is never worse.
+
+    NEAREST is gated on the dense matrix AGREEING with the closed form:
+    the dense tap is floor(texcoords*in) where the f64 texcoords carry
+    rounding noise, and at many sizes (e.g. 2160->1080) the true value
+    (j+0.5)*k is an exact integer so the noise lands just BELOW the
+    boundary and the dense tap is k*j + k//2 - 1 for some outputs.  The
+    closed form must stay bitwise-equal to the dense/oracle path, so
+    those sizes keep the matrix (round-4 advisor finding)."""
     import os
 
     mode = os.environ.get("TPUVF_DOWN2X", "rows")
     if mode == "off" or os.environ.get("TPUVF_NO_DOWN2X"):
         return False
+    if mode not in ("both", "cols", "rows"):
+        mode = "rows"  # unknown values must not silently enable "both"
     if mode == "rows" and axis == -1:
         return False
     if mode == "cols" and axis == -2:
@@ -83,7 +94,12 @@ def _downsample_int_ok(in_size: int, out_size: int, filter: str,
     k = in_size // out_size
     if k < 2:
         return False
-    return filter == NEAREST or (filter == LINEAR and k % 2 == 0)
+    if filter == NEAREST:
+        dense = np.clip(
+            np.floor(sample.texcoords(out_size) * in_size).astype(np.int64),
+            0, in_size - 1)
+        return bool(np.array_equal(dense, k * np.arange(out_size) + k // 2))
+    return filter == LINEAR and k % 2 == 0
 
 
 def _downsample_int(img: jnp.ndarray, axis: int, k: int,
