@@ -46,6 +46,9 @@ class Element:
         # make_process; fed through params so they are program *arguments*
         # rather than HLO constants (see kernels.sample.WeightBuffers)
         self._buffers = {}
+        # per-frame property animation schedules (GstController analog),
+        # name -> callable(frame)->value or sequence indexed by frame
+        self._controllers = {}
         for key, value in props.items():
             self.props.set(key.replace("_", "-"), value)
 
@@ -56,6 +59,42 @@ class Element:
 
     def get_property(self, name: str):
         return self.props.get(name)
+
+    # -- per-frame property control (GstController analog) ------------------
+    #
+    # The reference snapshots properties under GST_OBJECT_LOCK every frame
+    # (gstvfmetalvideofilter.m:183-205), so a GstController-driven ramp
+    # animates frame-by-frame.  tpuvf's offline analog: attach a schedule
+    # to a property; Pipeline.run() syncs it before every frame and
+    # Pipeline.run_batched() stacks the per-frame traced scalars into
+    # arrays scanned alongside the inputs — both paths produce identical
+    # frames.
+
+    def control(self, name: str, values) -> None:
+        """Attach (or with values=None clear) a per-frame schedule for a
+        property.  `values` is a callable(frame_index) -> value or a
+        sequence indexed by the pipeline's global frame counter (clamped
+        to its last entry once exhausted)."""
+        if not self.props.has(name):
+            raise KeyError(f"no such property {name!r}")
+        if values is None:
+            self._controllers.pop(name, None)
+            return
+        if not callable(values):
+            values = list(values)
+            if not values:
+                raise ValueError(f"empty schedule for {name!r}")
+        self._controllers[name] = values
+
+    def sync_frame(self, frame: int) -> None:
+        """Apply every controlled property's value for global frame index
+        `frame` (the gst_object_sync_values analog)."""
+        for name, values in self._controllers.items():
+            if callable(values):
+                v = values(frame)
+            else:
+                v = values[min(frame, len(values) - 1)]
+            self.set_property(name, v)
 
     # -- negotiation -------------------------------------------------------
 

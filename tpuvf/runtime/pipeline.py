@@ -714,6 +714,53 @@ class Pipeline:
             }
         return merged
 
+    def _ctl_structure(self):
+        """Structural fingerprint of every controlled element: static
+        config + passthrough status.  run_batched compiles ONE scanned
+        program per call, so a schedule may animate traced scalars freely
+        but must not flip structure mid-call (run() handles that case by
+        rebuilding per frame)."""
+        out = {}
+        for st in self._stages:
+            el = st.element
+            if not getattr(el, "_controllers", None):
+                continue
+            static = (el.static_config(st.in_spec, st.out_spec)
+                      if st.in_spec is not None else None)
+            pt = (el.is_passthrough(st.in_spec, st.out_spec)
+                  if st.in_spec is not None else False)
+            out[el.name] = (static, pt)
+        return out
+
+    def _ctl_frame_params(self, frame: int, structure) -> Dict[str, Dict]:
+        """Sync controlled elements to `frame` and return their traced
+        SCALAR params (weight buffers excluded — schedules animate
+        controllable floats only), verifying structure stability."""
+        out = {}
+        for st in self._stages:
+            el = st.element
+            if not getattr(el, "_controllers", None):
+                continue
+            el.sync_frame(frame)
+            static = (el.static_config(st.in_spec, st.out_spec)
+                      if st.in_spec is not None else None)
+            pt = (el.is_passthrough(st.in_spec, st.out_spec)
+                  if st.in_spec is not None else False)
+            if (static, pt) != structure.get(el.name):
+                raise ValueError(
+                    f"controlled property schedule on {el.name!r} changes "
+                    f"pipeline structure at frame {frame} (static config "
+                    f"or passthrough flips) — run_batched compiles one "
+                    f"program per call; use run() for structural "
+                    f"animation, or split the schedule across calls")
+            if st.passthrough:
+                continue
+            out[el.name] = {
+                k: v for k, v in el.traced_params().items()
+                if np.ndim(v) == 0
+            }
+        return out
+
     def _link_plan(self) -> Dict[str, tuple]:
         """Negotiate per-element boundary layouts for column-phase dataflow
         (core.element docs).  PURE — mutates nothing; returns
@@ -1156,7 +1203,18 @@ class Pipeline:
         pending = None
         t_run = time.perf_counter()
         gen_cache = {}  # (source, index) -> device planes; reuses repeats
+        # controller schedules index OUTPUT frame number on the pipeline
+        # clock — the same k that drives _select_buffers, so a schedule
+        # entry and a source buffer line up on the same timeline
+        controlled = [el for el in self.elements
+                      if getattr(el, "_controllers", None)]
         for i in range(num_frames):
+            # per-frame controlled-property sync (gst_object_sync_values
+            # analog) BEFORE the rebuild check: a schedule that flips a
+            # static gate (e.g. gamma crossing 1.0) rebuilds like any
+            # property write
+            for el in controlled:
+                el.sync_frame(i)
             # reconfigure BEFORE building this frame's inputs: a rebuild can
             # change source-split provisioning, which changes the upload
             # layout
@@ -1419,6 +1477,16 @@ class Pipeline:
         clear error)."""
         if self._step is None:
             self.build()
+        # controlled properties (Element.control): the batch's FIRST frame
+        # values determine structure; per-frame traced scalars are stacked
+        # and scanned alongside the inputs below so a mid-batch ramp
+        # animates exactly like run() (gstvfmetalvideofilter.m:183-205
+        # snapshots per frame).  Schedules index OUTPUT frame number on
+        # the pipeline clock (the _select_buffers k)
+        controlled = [el for el in self.elements
+                      if getattr(el, "_controllers", None)]
+        for el in controlled:
+            el.sync_frame(0)
         # property writes since the last build (incl. passthrough flips)
         # take effect at entry — geometry then stays fixed across the run
         self._maybe_rebuild()
@@ -1472,12 +1540,27 @@ class Pipeline:
         # _select_step applies the same mismatch-fallback guard as run()
         step = self._select_step(self.params())
 
-        def batch_step(inputs, state, params):
-            def body(st, frame_inputs):
-                out, st2 = step(frame_inputs, st, params)
+        if controlled and mesh is not None:
+            raise ValueError(
+                "controlled properties (Element.control) are not supported "
+                "with mesh=... yet — drive the schedule across run_batched "
+                "calls or use run()")
+        # controlled-property schedules may not change pipeline STRUCTURE
+        # mid-call (run() rebuilds per frame; one scanned program can't):
+        # capture the entry structure and verify it per frame below
+        ctl_structure = None
+        if controlled:
+            ctl_structure = self._ctl_structure()
+
+        def batch_step(inputs, state, params, frame_params):
+            def body(st, xs):
+                frame_inputs, fp = xs
+                p = {name: ({**params[name], **fp[name]} if name in fp
+                            else params[name]) for name in params}
+                out, st2 = step(frame_inputs, st, p)
                 return st2, out
 
-            st, outs = jax.lax.scan(body, state, inputs)
+            st, outs = jax.lax.scan(body, state, (inputs, frame_params))
             return outs, st
 
         if mesh is not None:
@@ -1554,6 +1637,19 @@ class Pipeline:
                 # deinterlace history / the grain frame counter and poison
                 # cross-call stream continuity)
                 stacked["__pad__"] = np.arange(batch_size) >= n
+            if controlled:
+                # per-frame controlled-property snapshots, stacked and
+                # scanned alongside the inputs (the reference's per-frame
+                # GST_OBJECT_LOCK snapshot, gstvfmetalvideofilter.m:183-205)
+                rows = [
+                    self._ctl_frame_params(done + i, ctl_structure)
+                    for i in range(n)
+                ]
+                fp = {name: {k: np.stack([r[name][k] for r in rows])
+                             for k in rows[0][name]}
+                      for name in rows[0]}
+            else:
+                fp = {}
             try:
                 if dp_run is not None:
                     outs, dp_state = dp_run(stacked, dp_state,
@@ -1561,7 +1657,7 @@ class Pipeline:
                     dp_tiled = True
                 else:
                     stacked = jax.device_put(stacked)
-                    outs, state = batch_fn(stacked, state, dev_params)
+                    outs, state = batch_fn(stacked, state, dev_params, fp)
             except _StageFailure as sf:
                 raise PipelineError(sf.element_name, done, sf.cause) from sf
             except Exception as exc:
