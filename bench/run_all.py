@@ -18,7 +18,8 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/tpuvf-tpu-cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-from tpuvf.runtime.benchmark import measure_fps, random_planes_for_spec
+from tpuvf.runtime.benchmark import (measure_device_us, measure_fps,
+                                     random_planes_for_spec)
 
 
 def run(name: str) -> dict:
@@ -49,12 +50,25 @@ def run(name: str) -> dict:
     small, large = sizes.get(name, (4, 16))
     res = measure_fps(step, make_planes, state0, params,
                       batch_small=small, batch_large=large)
-    return {
+    out = {
         "metric": label,
         "value": round(res["fps"], 2),
         "unit": "fps",
         "vs_baseline": round(res["fps"] / 60.0, 3),
     }
+    if name == "transform":
+        # frames run ~6-40 us on device — far below the ~35 ms tunnel
+        # jitter, so the wall-clock slope (27k-155k fps spread) is noise.
+        # Publish the DEVICE-trace figure as the config's number and keep
+        # the scan-overlap wall reading as a capability note (VERDICT r3).
+        dev = measure_device_us(step, make_planes, state0, params)
+        if dev is not None:
+            out["scan_overlap_fps_note"] = out["value"]
+            out["value"] = round(dev["fps_device"], 2)
+            out["unit"] = "fps (device-time)"
+            out["device_us_per_frame"] = round(dev["us_per_frame"], 2)
+            out["vs_baseline"] = round(dev["fps_device"] / 60.0, 3)
+    return out
 
 
 def main(argv=None):

@@ -273,7 +273,10 @@ def test_no_quad_links_escape_hatch(monkeypatch):
                for m in p.link_plan.values())
 
 
-def test_sp_request_rebuilds_without_grid():
+def test_sp_misaligned_rebuilds_without_grid():
+    # CHAIN's h=52 -> 13 grid phase rows don't split over sp=2: the plan
+    # must fall back to the column-split links and rebuild (round 4:
+    # ALIGNED grid chains keep the grid plan under sp — tested below)
     import jax
 
     from tpuvf.parallel.mesh import make_mesh
@@ -287,6 +290,32 @@ def test_sp_request_rebuilds_without_grid():
     assert all(v != "quad" for v in p._source_split.values())
     assert all(m[1] not in ("grid", "packed32g")
                for m in p.link_plan.values())
+
+
+def test_sp_aligned_keeps_grid():
+    # round 4: h=64 -> 16 input grid phase rows (out 128 -> 32) split
+    # evenly over sp=2 with >= 4 phase rows/shard, so the grid plan
+    # STAYS under row sharding; output within the documented 1-LSB
+    # program-shape tolerance of the unsharded grid run
+    import jax
+
+    from tpuvf.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    desc = CHAIN.replace("height=52", "height=64").replace(
+        "height=104", "height=128")
+    p = _run(desc)
+    assert any(m[1] in ("grid", "packed32g") for m in p.link_plan.values())
+    ref = [np.asarray(f) for f in p.sinks[0].frames]
+    mesh = make_mesh({"dp": 1, "sp": 2})
+    p.run_batched(2, batch_size=2, mesh=mesh, sp_axis="sp")
+    assert any(m[1] in ("grid", "packed32g") for m in p.link_plan.values())
+    got = [np.asarray(f) for f in p.sinks[0].frames[-2:]]
+    for a, b in zip(got, ref):
+        d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        assert d.max() <= 1, int(d.max())
+        assert (d > 0).mean() < 0.02, float((d > 0).mean())
 
 
 # -- kernel/host-edge unit tests --------------------------------------------

@@ -146,19 +146,49 @@ def test_no_quad_links_escape_hatch(monkeypatch):
     assert p.link_plan[names["vfvideofilter"]] == (True, "packed32")
 
 
-def test_sp_request_rebuilds_without_quad():
-    # quad links don't compose with row shards: run_batched(sp_axis=...)
-    # must fall back to the column-split plan and still run
+def test_sp_aligned_keeps_quad():
+    # round 4: quad links COMPOSE with row shards when the phase rows
+    # split evenly (a phase-plane row shard is a contiguous frame band;
+    # cross-row-phase stencils exchange spctx halos).  h=108 -> 54 phase
+    # rows, sp=2 -> 27/shard: the plan must STAY quad and the output must
+    # match the unsharded quad run within the documented 1-LSB
+    # program-shape tolerance.
     import jax
 
     from tpuvf.parallel.mesh import make_mesh
 
     if len(jax.devices()) < 2:
         pytest.skip("needs >= 2 devices")
-    desc = CHAIN_RGB.replace("appsink", "appsink")  # copy
+    p = _run(CHAIN_RGB)
+    assert any(v == "quad" for v in p._source_split.values())
+    ref = [np.asarray(f) for f in p.sinks[0].frames]
+    mesh = make_mesh({"dp": 1, "sp": 2})
+    p.run_batched(2, batch_size=2, mesh=mesh, sp_axis="sp")
+    assert any(v == "quad" for v in p._source_split.values())
+    assert any(m[1] in ("quad", "packed32q", "packed16q")
+               for m in p.link_plan.values())
+    got = [np.asarray(f) for f in p.sinks[0].frames[-2:]]
+    for a, b in zip(got, ref):
+        d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        assert d.max() <= 1, int(d.max())
+        assert (d > 0).mean() < 0.005, float((d > 0).mean())
+
+
+def test_sp_misaligned_falls_back_to_split():
+    # h=24 -> 12 phase rows over sp=4 gives 3 phase rows/shard — below
+    # the 4-row phase-halo floor — so the plan must fall back to the
+    # column-split links, rebuild, and still run (full rows 6/shard pass
+    # the column-split evenness rules)
+    import jax
+
+    from tpuvf.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    desc = CHAIN_RGB.replace("height=108", "height=24")
     p = _run(desc)
     assert any(v == "quad" for v in p._source_split.values())
-    mesh = make_mesh({"dp": 1, "sp": 2})
+    mesh = make_mesh({"dp": 1, "sp": 4})
     p.run_batched(2, batch_size=2, mesh=mesh, sp_axis="sp")
     assert all(v != "quad" for v in p._source_split.values())
     assert all(m[1] not in ("quad", "packed32q", "packed16q")

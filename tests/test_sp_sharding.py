@@ -652,3 +652,164 @@ def test_sp_downscale2x_bit_exact():
     assert len(sp) == len(plain) == 2
     for a, b in zip(sp, plain):
         assert_frames_equal(a, b)
+
+
+# -- round 4: quad/grid phase plans COMPOSE with sp row sharding -------------
+# A row shard of the phase planes is a contiguous frame band (phase row i
+# of shard s is global phase row s*rows+i); cross-row-phase stencils
+# (blur9_v_split, blur9_grid4, deinterlace interp taps, the grid 2x row
+# stencils) exchange spctx halos with FRAME-global edge clamps.  Oracle
+# per the sp fuzzer convention: BITWISE across two sp layouts (halo bugs
+# are layout-dependent and cannot survive that), <= 1 LSB vs unsharded
+# (XLA FMA-contraction differs across program shapes).
+
+
+def _assert_close_1lsb(sp_frames, plain_frames, frac=0.005):
+    assert len(sp_frames) == len(plain_frames)
+    for a, b in zip(sp_frames, plain_frames):
+        pa = a if isinstance(a, dict) else {"m": a}
+        pb = b if isinstance(b, dict) else {"m": b}
+        assert set(pa) == set(pb)
+        for k in pa:
+            d = np.abs(np.asarray(pa[k]).astype(np.int32)
+                       - np.asarray(pb[k]).astype(np.int32))
+            assert d.max() <= 1, (k, int(d.max()))
+            assert (d > 0).mean() < frac, (k, float((d > 0).mean()))
+
+
+def _assert_quad_plan(desc, expect=True):
+    from tpuvf.cli.launch import parse_pipeline as _pp
+
+    p = _pp(desc)
+    p.negotiate()
+    p.build()
+    has = (any(v == "quad" for v in p._source_split.values())
+           or any(m[0] in ("quad", "grid") or m[1] in
+                  ("quad", "grid", "packed32q", "packed16q",
+                   "packed32g", "packed420g")
+                  for m in (p.link_plan or {}).values()))
+    assert has == expect, (p._source_split, p.link_plan)
+
+
+QUAD_SP_CHAIN = (
+    "videotestsrc num-buffers=2 pattern=smpte "
+    "! video/x-raw,format=NV12,width=96,height=64 "
+    "! vfmetalconvertscale ! video/x-raw,format=BGRA "
+    "! vfmetalvideofilter brightness=0.1 contrast=1.2 vignette=0.4 "
+    "! appsink"
+)
+
+
+def test_sp_quad_chain_layouts_bitwise():
+    """Quad-linked identity chain under sp=2 and sp=4 (16 phase rows ->
+    8 and 4 per shard): bitwise across layouts, <= 1 LSB vs unsharded."""
+    require_devices(4)
+    _assert_quad_plan(QUAD_SP_CHAIN)
+    plain = _run_plain(QUAD_SP_CHAIN, 2)
+    sp2 = _run_sp(QUAD_SP_CHAIN, 2, {"dp": 1, "sp": 2})
+    sp4 = _run_sp(QUAD_SP_CHAIN, 2, {"dp": 1, "sp": 4})
+    for a, b in zip(sp2, sp4):
+        assert_frames_equal(a, b)
+    _assert_close_1lsb(sp2, plain)
+
+
+def test_sp_quad_sharpness_halo():
+    """blur9_v_split under quad+sp: the 9-tap vertical blur's cross-row-
+    phase taps reach 2 phase rows across the shard boundary (spctx halo)
+    and its frame-edge clamps compare GLOBAL phase rows."""
+    require_devices(4)
+    desc = QUAD_SP_CHAIN.replace("vignette=0.4", "sharpness=0.7")
+    _assert_quad_plan(desc)
+    plain = _run_plain(desc, 2)
+    sp2 = _run_sp(desc, 2, {"dp": 1, "sp": 2})
+    sp4 = _run_sp(desc, 2, {"dp": 1, "sp": 4})
+    for a, b in zip(sp2, sp4):
+        assert_frames_equal(a, b)
+    _assert_close_1lsb(sp2, plain)
+
+
+def test_sp_quad_deinterlace_fields():
+    """Deinterlace under quad+sp: fields ARE row phases, the kept field
+    passes through and the interp taps (interp_even_t/interp_odd_t)
+    exchange halos with cross-phase frame-edge clamps."""
+    require_devices(4)
+    desc = (
+        "videotestsrc num-buffers=2 pattern=ball "
+        "! video/x-raw,format=NV12,width=96,height=64 "
+        "! vfmetaldeinterlace method=bob "
+        "! vfmetalvideofilter contrast=1.2 "
+        "! vfmetalconvertscale ! video/x-raw,format=BGRA ! appsink"
+    )
+    plain = _run_plain(desc, 2)
+    sp2 = _run_sp(desc, 2, {"dp": 1, "sp": 2})
+    sp4 = _run_sp(desc, 2, {"dp": 1, "sp": 4})
+    for a, b in zip(sp2, sp4):
+        assert_frames_equal(a, b)
+    _assert_close_1lsb(sp2, plain)
+
+
+def test_sp_quad_overlay_rect():
+    """Overlay under quad+sp: each mod-2 phase piece pads to the full
+    phase plane and slices this shard's row band (spctx.shard_rows)."""
+    require_devices(2)
+    import os
+    from tpuvf.io import png as tpng
+
+    path = "/tmp/tpuvf-sp-quad-overlay.png"
+    if not os.path.exists(path):
+        r = np.random.default_rng(11)
+        tpng.write(path, r.integers(0, 256, (10, 14, 4)).astype(np.uint8))
+    desc = (
+        "videotestsrc num-buffers=2 pattern=smpte "
+        "! video/x-raw,format=NV12,width=96,height=64 "
+        f"! vfmetaloverlay location={path} x=21 y=13 alpha=0.7 "
+        "! vfmetalvideofilter contrast=1.2 "
+        "! vfmetalconvertscale ! video/x-raw,format=BGRA ! appsink"
+    )
+    plain = _run_plain(desc, 2)
+    sp2 = _run_sp(desc, 2, {"dp": 1, "sp": 2})
+    _assert_close_1lsb(sp2, plain)
+
+
+def test_sp_grid_upscale_chain():
+    """Grid16 2x-upscale chain under sp: 16 input phase rows (64/4)
+    split over sp=2; the _grid2x_rows stencils exchange halos via
+    shift_rows_cross_phase with frame-global clamps."""
+    require_devices(4)
+    desc = (
+        "videotestsrc num-buffers=2 pattern=smpte "
+        "! video/x-raw,format=NV12,width=96,height=64 "
+        "! vfmetalconvertscale "
+        "! video/x-raw,format=BGRA,width=192,height=128 "
+        "! vfmetalvideofilter brightness=0.1 contrast=1.2 "
+        "! appsink"
+    )
+    plain = _run_plain(desc, 2)
+    sp2 = _run_sp(desc, 2, {"dp": 1, "sp": 2})
+    sp4 = _run_sp(desc, 2, {"dp": 1, "sp": 4})
+    for a, b in zip(sp2, sp4):
+        assert_frames_equal(a, b)
+    _assert_close_1lsb(sp2, plain, frac=0.02)
+
+
+def test_sp_grid420_format_preserving_upscale():
+    """packed420g (NV12 -> NV12 2x upscale) under sp row sharding."""
+    require_devices(2)
+    desc = (
+        "videotestsrc num-buffers=2 pattern=ball "
+        "! video/x-raw,format=NV12,width=96,height=64 "
+        "! vfmetalconvertscale "
+        "! video/x-raw,format=NV12,width=192,height=128 "
+        "! appsink"
+    )
+    plain = _run_plain(desc, 2)
+    sp2 = _run_sp(desc, 2, {"dp": 1, "sp": 2})
+    _assert_close_1lsb(sp2, plain, frac=0.02)
+
+
+def test_sp_quad_dp_mesh_combined():
+    """dp=2 x sp=2 on the quad plan: per-shard batch scan + row shards."""
+    require_devices(4)
+    plain = _run_plain(QUAD_SP_CHAIN, 2)
+    spdp = _run_sp(QUAD_SP_CHAIN, 2, {"dp": 2, "sp": 2}, batch_size=2)
+    _assert_close_1lsb(spdp, plain)

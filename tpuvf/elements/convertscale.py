@@ -242,10 +242,14 @@ class ConvertScale(Element):
         (core.frame unpack_422/pack_422) — device planes are planar with
         FULL-height chroma, the nearest decode samples them per row, and
         the 4:2:2 output pack is a horizontal pair average
-        (convert._pack_yuv_channels).  QUAD-linked builds opt out: row
-        phases don't compose with row shards (local phase rows are not
-        global rows)."""
-        return not getattr(self, "_linked_quad", False)
+        (convert._pack_yuv_channels).  QUAD/GRID-linked builds shard too
+        (round 4): a phase-plane row shard is a contiguous frame band,
+        the chroma/luma row stencils (_shift_edge, _grid2x_rows,
+        _grid4x_phase) exchange spctx halos with frame-global cross-phase
+        edge clamps, and Pipeline._validate_sp aligns shard boundaries
+        to the phase granularity (falls back to column-split links when
+        phase rows don't divide)."""
+        return True
 
     def split_input_ok(self, in_spec, out_spec):
         """Consume pre-split planes: 4:2:0 at identity (the fast path), or

@@ -126,11 +126,14 @@ class Deinterlace(Element):
         spctx.pad_rows_edge) over the kept-field parity mask; local parity
         equals global parity because the sp gate enforces even rows per
         shard.  The prev-frame state shards with the planes.  QUAD-linked
-        builds opt out (row phases are not row shards)."""
+        builds shard too (round 4): fields ARE row phases, so a phase-row
+        shard is a contiguous band of both fields and the interp taps
+        (interp_even_t/interp_odd_t) exchange spctx halos with
+        frame-global cross-phase edge clamps."""
         from tpuvf.core.formats import RGB_FORMATS
 
         if getattr(self, "_linked_quad", False):
-            return False
+            return True
         return (in_spec.format in RGB_FORMATS
                 or self._phase_capable(in_spec, out_spec))
 

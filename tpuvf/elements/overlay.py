@@ -184,14 +184,16 @@ class Overlay(Element):
     def sp_row_shardable(self, in_spec, out_spec):
         """The rect blend is row-local: the padded full-frame overlay
         fields slice down to each shard's rows (spctx.shard_rows); the
-        4:2:0 sampler's chroma row-upsample is halo-aware."""
+        4:2:0 sampler's chroma row-upsample is halo-aware.  QUAD/GRID
+        links shard too (round 4): each phase piece pads to the full
+        phase plane and shard_rows slices this shard's band."""
         from tpuvf.core.formats import RGB_FORMATS
 
         self._sync_image()
-        if getattr(self, "_linked_quad", False):
-            return False  # row phases are not row shards
         if self._image is None or in_spec.format != out_spec.format:
             return False
+        if getattr(self, "_linked_quad", False):
+            return True
         if in_spec.format in RGB_FORMATS:
             return True
         return self._phase_capable(in_spec, out_spec)
@@ -283,12 +285,18 @@ class Overlay(Element):
         matrix_out = out_spec.matrix_index
 
         def process_quad(planes, state, params):
+            from tpuvf.parallel import spctx
+
             chq = {ph: list(t) for ph, t in reader(planes, params).items()}
             for ph, (fetch, pad_hw) in fetches.items():
                 ov = jnp.asarray(fetch(params))
-                a = jnp.pad(ov[3] * params["alpha"], pad_hw)
+                # pad to the FULL phase plane, then slice this shard's
+                # rows (no-op unsharded; XLA fuses the slice into the pad)
+                rows = chq[ph][0].shape[-2]
+                a = spctx.shard_rows(
+                    jnp.pad(ov[3] * params["alpha"], pad_hw), rows)
                 for c in range(3):
-                    ovc = jnp.pad(ov[c], pad_hw)
+                    ovc = spctx.shard_rows(jnp.pad(ov[c], pad_hw), rows)
                     chq[ph][c] = chq[ph][c] * (1.0 - a) + ovc * a
             out = convert.pack_rgba_quad(
                 {ph: tuple(t) for ph, t in chq.items()},
@@ -337,12 +345,18 @@ class Overlay(Element):
         matrix_out = out_spec.matrix_index
 
         def process_grid(planes, state, params):
+            from tpuvf.parallel import spctx
+
             chg = {ph: list(t) for ph, t in reader(planes, params).items()}
             for ph, (fetch, pad_hw) in fetches.items():
                 ov = jnp.asarray(fetch(params))
-                a = jnp.pad(ov[3] * params["alpha"], pad_hw)
+                # pad to the FULL phase plane, then slice this shard's
+                # rows (no-op unsharded; XLA fuses the slice into the pad)
+                rows = chg[ph][0].shape[-2]
+                a = spctx.shard_rows(
+                    jnp.pad(ov[3] * params["alpha"], pad_hw), rows)
                 for c in range(3):
-                    ovc = jnp.pad(ov[c], pad_hw)
+                    ovc = spctx.shard_rows(jnp.pad(ov[c], pad_hw), rows)
                     chg[ph][c] = chg[ph][c] * (1.0 - a) + ovc * a
             chans = {ph: tuple(t) for ph, t in chg.items()}
             if out_mode == "packed420g":

@@ -226,11 +226,15 @@ class VideoFilter(Element):
         elementwise with global-row coordinate fields (vignette, grain),
         the LUT gather is per-pixel, the blur's 4-row vertical reach and
         the 4:2:0 chroma row-upsample go through spctx.pad_rows_edge.
-        QUAD-linked builds opt out (row phases are not row shards)."""
+        QUAD/GRID-linked builds shard too (round 4): a row shard of the
+        phase planes is a contiguous frame band, y_index rides
+        spctx.global_rows, and blur9_v_split / blur9_grid4 exchange
+        halos with frame-global edge clamps; the Pipeline gate aligns
+        shard boundaries to the phase granularity."""
         from tpuvf.core.formats import RGB_FORMATS
 
         if getattr(self, "_linked_quad", False):
-            return False
+            return True
         return (in_spec.format in RGB_FORMATS
                 or self._phase_capable(in_spec, out_spec))
 
@@ -314,17 +318,23 @@ class VideoFilter(Element):
                 reader420 = convert.plan_rgba_sampler_grid420(matrix_in)
                 reader_g = lambda planes: reader420(planes, {})
             x_base = np.arange(w // 4, dtype=np.float32) * 4.0
-            y_base = np.arange(h // 4, dtype=np.float32) * 4.0
 
             def process_grid(planes, state, params):
+                from tpuvf.parallel import spctx
+
                 chg = reader_g(planes)
                 frame_index = state["frame_index"]
                 outg = {}
                 for ph, ch in chg.items():
+                    # GLOBAL frame rows of this phase's plane rows: 4x the
+                    # global phase row + the row-phase offset (sp-aware —
+                    # plain arange on one device, bitwise the old y_base)
+                    y_idx = (spctx.global_rows(ch[0].shape[-2], h // 4)
+                             * np.float32(4.0) + np.float32(float(ph[0])))
                     outg[ph] = kfilter.apply_color_adjustments_t(
                         ch, params, frame_index, w, h, gates=gates,
                         x_index=x_base + float(ph[1]),
-                        y_index=y_base + float(ph[0]))
+                        y_index=y_idx)
                 if use_sharpness:
                     # RGBA8 boundaries between the blur passes, per grid
                     # phase (the reference renders each pass to an RGBA8
@@ -401,17 +411,23 @@ class VideoFilter(Element):
                     in_spec, matrix_index=matrix_in)
             self._buffers = bufs.buffers
             x_base = np.arange(w // 2, dtype=np.float32) * 2.0
-            y_base = np.arange(h // 2, dtype=np.float32) * 2.0
 
             def process_quad(planes, state, params):
+                from tpuvf.parallel import spctx
+
                 chq = reader_q(planes, params)
                 frame_index = state["frame_index"]
                 outq = {}
                 for ph, ch in chq.items():
+                    # GLOBAL frame rows of this phase's plane rows (sp-
+                    # aware; bitwise the old static y_base on one device)
+                    y_idx = (spctx.global_rows(ch[0].shape[-2], h // 2)
+                             * np.float32(2.0)
+                             + np.float32(0.0 if ph[0] == "e" else 1.0))
                     outq[ph] = kfilter.apply_color_adjustments_t(
                         ch, params, frame_index, w, h, gates=gates,
                         x_index=x_base + (0.0 if ph[1] == "e" else 1.0),
-                        y_index=y_base + (0.0 if ph[0] == "e" else 1.0))
+                        y_index=y_idx)
                 if use_sharpness:
                     # RGBA8 boundaries between the blur phases, per quad
                     # phase (the reference renders each pass to an RGBA8

@@ -125,6 +125,39 @@ def _downsample_int(img: jnp.ndarray, axis: int, k: int,
     raise ValueError("downsample supports the last two axes only")
 
 
+def shift_rows_cross_phase(x: jnp.ndarray, offset: int,
+                           edge_src: jnp.ndarray) -> jnp.ndarray:
+    """Row shift of phase plane `x` by offset (+-1) whose out-of-frame
+    clamp reads the FRAME-edge row of PARTNER phase plane `edge_src`
+    instead of x's own edge — the interleaved-row stencil clamp pattern
+    (deinterlace interp taps, the grid16 2x row stencils): full row -1
+    clamps to full row 0, which lives on the OTHER parity plane.
+
+    One device: the plain concatenate expression (no select — these
+    land in VPU-bound emit fusions).  Under spctx row sharding:
+    _shift_edge exchanges halos and the clamp compares GLOBAL phase
+    rows, which only hold on the first/last shard where the local edge
+    row IS the frame's.  Values identical in both forms."""
+    from tpuvf.parallel import spctx
+
+    if spctx.active_axis() is None:
+        if offset == -1:
+            return jnp.concatenate(
+                [edge_src[..., :1, :], x[..., :-1, :]], axis=-2)
+        if offset == +1:
+            return jnp.concatenate(
+                [x[..., 1:, :], edge_src[..., -1:, :]], axis=-2)
+        raise ValueError(f"offset {offset} not supported")
+    shifted = _shift_edge(x, -2, offset)
+    grow = spctx.global_row_iota(shifted.shape)
+    if offset == -1:
+        return jnp.where(grow == 0, edge_src[..., :1, :], shifted)
+    if offset == +1:
+        last = spctx.total_rows(x.shape[-2]) - 1
+        return jnp.where(grow == last, edge_src[..., -1:, :], shifted)
+    raise ValueError(f"offset {offset} not supported")
+
+
 def _shift_edge(img: jnp.ndarray, axis: int, offset: int) -> jnp.ndarray:
     """img shifted by `offset` along axis with edge replication (pad+slice,
     no gather).  Row-axis shifts are halo-aware under spatial sharding
@@ -862,14 +895,14 @@ def _grid2x_rows(y0, y1, qq):
     .25/.75; edge rows clamp)."""
     f32 = np.float32
     if qq == 0:  # taps 2m-1 (.25), 2m (.75); clamp row -1 -> 0
-        ym1 = jnp.concatenate([y0[..., :1, :], y1[..., :-1, :]], axis=-2)
+        ym1 = shift_rows_cross_phase(y1, -1, y0)
         return f32(0.25) * ym1 + f32(0.75) * y0
     if qq == 1:  # 2m (.75), 2m+1 (.25)
         return f32(0.75) * y0 + f32(0.25) * y1
     if qq == 2:  # 2m (.25), 2m+1 (.75)
         return f32(0.25) * y0 + f32(0.75) * y1
     # qq == 3: 2m+1 (.75), 2m+2 (.25); clamp row H -> H-1
-    y2 = jnp.concatenate([y0[..., 1:, :], y1[..., -1:, :]], axis=-2)
+    y2 = shift_rows_cross_phase(y0, +1, y1)
     return f32(0.75) * y1 + f32(0.25) * y2
 
 

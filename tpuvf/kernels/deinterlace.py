@@ -84,9 +84,12 @@ def interp_even_t(e_t, o_t):
     """Bob interpolation at EVEN output rows 2k: (cur[2k-1] + cur[2k+1])
     * 0.5 = (O[k-1] + O[k]) * 0.5; the row -1 edge clamp folds to full row
     0, which is the even phase's own first row (metaldeinterlace_shaders.h
-    :88-114 edge behavior via _shift_rows)."""
+    :88-114 edge behavior via _shift_rows).  Halo-aware under spctx row
+    sharding (convert.shift_rows_cross_phase)."""
+    from tpuvf.kernels.convert import shift_rows_cross_phase
+
     def one(e, o):
-        above = jnp.concatenate([e[..., :1, :], o[..., :-1, :]], axis=-2)
+        above = shift_rows_cross_phase(o, -1, e)
         return (above + o) * 0.5
 
     return tuple(one(e, o) for e, o in zip(e_t, o_t))
@@ -95,9 +98,12 @@ def interp_even_t(e_t, o_t):
 def interp_odd_t(e_t, o_t):
     """Bob interpolation at ODD output rows 2k+1: (cur[2k] + cur[2k+2])
     * 0.5 = (E[k] + E[k+1]) * 0.5; the row-H edge clamp folds to full row
-    H-1, the odd phase's own last row."""
+    H-1, the odd phase's own last row.  Halo-aware under spctx row
+    sharding (convert.shift_rows_cross_phase)."""
+    from tpuvf.kernels.convert import shift_rows_cross_phase
+
     def one(e, o):
-        below = jnp.concatenate([e[..., 1:, :], o[..., -1:, :]], axis=-2)
+        below = shift_rows_cross_phase(e, +1, o)
         return (e + below) * 0.5
 
     return tuple(one(e, o) for e, o in zip(e_t, o_t))

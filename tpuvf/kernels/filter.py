@@ -471,14 +471,21 @@ def blur9_v_split(e: jnp.ndarray, o: jnp.ndarray):
     live on the e phase at j = k-2+i/2 and odd-i taps on the o phase at
     j = k+(i-5)//2 (odd outputs symmetrically).  Edge clamping CROSSES
     phases: a tap clipped to row 0 reads e[0] and one clipped to H-1
-    (odd, H even) reads o[H/2-1]."""
+    (odd, H even) reads o[H/2-1].
+
+    sp-safe (round 4): row indices and the first/last clamp rows are
+    FRAME-global under spctx — _shift_edge exchanges halos, the clamp
+    conditions compare global phase rows, and the conditions only hold
+    on the first/last shard where the local edge rows ARE the global
+    ones.  Identical program on one device."""
     import jax
 
     from tpuvf.kernels.convert import _shift_edge
+    from tpuvf.parallel import spctx
 
     half = e.shape[-2]
-    row = jax.lax.broadcasted_iota(jnp.int32, e.shape[-2:], 0)
-    row = jnp.broadcast_to(row, e.shape)
+    half_g = spctx.total_rows(half)
+    row = spctx.global_row_iota(e.shape)
     first_e = jax.lax.slice_in_dim(e, 0, 1, axis=-2)
     last_o = jax.lax.slice_in_dim(o, half - 1, half, axis=-2)
 
@@ -487,7 +494,7 @@ def blur9_v_split(e: jnp.ndarray, o: jnp.ndarray):
         if j_off < 0:
             shifted = jnp.where(row < -j_off, first_e, shifted)
         elif j_off > 0:
-            shifted = jnp.where(row >= half - j_off, last_o, shifted)
+            shifted = jnp.where(row >= half_g - j_off, last_o, shifted)
         return shifted
 
     be = None
@@ -517,17 +524,27 @@ def blur9_grid4(phases, axis: int):
     floor((p-4+i)/4), in the same i order with the same weights.  Edge
     clamping CROSSES phases: a tap clipped to coordinate 0 reads
     phases[0][0] and one clipped to N-1 reads phases[3][n-1] (N a
-    multiple of 4)."""
+    multiple of 4).
+
+    sp-safe on axis=-2 (round 4): indices/extents are frame-global under
+    spctx (same pattern as blur9_v_split); the lane axis is never
+    sharded."""
     import jax
 
     from tpuvf.kernels.convert import _shift_edge
+    from tpuvf.parallel import spctx
 
     axis = -1 if axis in (-1, phases[0].ndim - 1) else -2
     n = phases[0].shape[axis]
     iota_dim = 1 if axis == -1 else 0
-    idx = jax.lax.broadcasted_iota(jnp.int32, phases[0].shape[-2:],
-                                   iota_dim)
-    idx = jnp.broadcast_to(idx, phases[0].shape)
+    if axis == -2:
+        n_g = spctx.total_rows(n)
+        idx = spctx.global_row_iota(phases[0].shape)
+    else:
+        n_g = n
+        idx = jax.lax.broadcasted_iota(jnp.int32, phases[0].shape[-2:],
+                                       iota_dim)
+        idx = jnp.broadcast_to(idx, phases[0].shape)
     first = jax.lax.slice_in_dim(phases[0], 0, 1, axis=axis)
     last = jax.lax.slice_in_dim(phases[3], n - 1, n, axis=axis)
 
@@ -536,7 +553,7 @@ def blur9_grid4(phases, axis: int):
         if s < 0:
             shifted = jnp.where(idx < -s, first, shifted)
         elif s > 0:
-            shifted = jnp.where(idx >= n - s, last, shifted)
+            shifted = jnp.where(idx >= n_g - s, last, shifted)
         return shifted
 
     out = []

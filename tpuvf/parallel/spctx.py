@@ -144,6 +144,27 @@ def shard_rows(x: jnp.ndarray, local_rows: int) -> jnp.ndarray:
     return jax.lax.dynamic_slice_in_dim(x, start, local_rows, axis=-2)
 
 
+def global_row_iota(shape) -> jnp.ndarray:
+    """int32 GLOBAL row indices broadcast to `shape` (rows on axis -2).
+
+    For phase-plane kernels whose edge clamps cross phases (blur9_v_split,
+    deinterlace interp_even_t): the clamp must trigger at the FRAME's
+    first/last phase row, not the shard's.  Without an active axis this
+    is a plain broadcasted iota."""
+    rows = shape[-2]
+    it = jax.lax.broadcasted_iota(jnp.int32, tuple(shape[-2:]), 0)
+    it = jnp.broadcast_to(it, tuple(shape))
+    if _STATE["axis"] is not None:
+        it = it + jax.lax.axis_index(_STATE["axis"]) * np.int32(rows)
+    return it
+
+
+def total_rows(local_rows: int) -> int:
+    """GLOBAL row count of a row-sharded plane (static: local rows x
+    shard count)."""
+    return local_rows * axis_size()
+
+
 def global_rows(local_rows: int, global_rows_total: int) -> jnp.ndarray:
     """f32 GLOBAL row indices of the local plane rows (for row-coordinate
     fields: vignette falloff, grain hash).  Without an active axis (or when

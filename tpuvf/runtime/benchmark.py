@@ -130,3 +130,56 @@ def random_planes_for_spec(spec, batch, rng=None, split=False):
             out["y_e"] = np.ascontiguousarray(y[..., 0::2])
             out["y_o"] = np.ascontiguousarray(y[..., 1::2])
     return {k: jnp.asarray(v) for k, v in out.items()}
+
+
+def measure_device_us(step, make_planes, state0, params=None,
+                      n_frames: int = 30, trace_dir: str | None = None):
+    """Per-frame DEVICE time (us) from a jax.profiler trace — the
+    publishable number for sub-tunnel-resolution configs (BASELINE
+    config 2 'transform' frames run ~6-40 us; wall-clock slope readings
+    through the ~35 ms tunnel spread 27k-155k fps, which is noise, not
+    measurement).  Device traces work through the axon tunnel (round-2
+    finding) and repeat within a few percent.
+
+    Returns {"us_per_frame", "fps_device"} or None when the platform
+    exposes no device pid (CPU runs)."""
+    import glob
+    import gzip
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    import jax
+
+    fn = jax.jit(lambda pl_, st, prm: step(pl_, st, prm))
+    planes = jax.tree_util.tree_map(lambda v: v[0], make_planes(1))
+    state = jax.device_put(state0)
+    params = jax.device_put(params if params is not None else {})
+    for _ in range(4):
+        out, _st = fn(planes, state, params)
+    sync(out)
+    tdir = trace_dir or tempfile.mkdtemp(prefix="tpuvf-devtrace-")
+    shutil.rmtree(tdir, ignore_errors=True)
+    with jax.profiler.trace(tdir):
+        for _ in range(n_frames):
+            out, _st = fn(planes, state, params)
+        sync(out)
+    files = glob.glob(f"{tdir}/**/*.trace.json.gz", recursive=True)
+    if not files:
+        return None
+    with gzip.open(files[0], "rt") as fh:
+        events = _json.load(fh)["traceEvents"]
+    tpu_pids = {
+        e["pid"] for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and "TPU" in str(e.get("args", {}).get("name", ""))
+    }
+    if not tpu_pids:
+        return None
+    total_us = sum(e.get("dur", 0) for e in events
+                   if e.get("ph") == "X" and e.get("pid") in tpu_pids)
+    if total_us <= 0:
+        return None
+    us = total_us / n_frames
+    return {"us_per_frame": us, "fps_device": 1e6 / us}

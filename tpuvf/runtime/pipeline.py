@@ -1321,13 +1321,23 @@ class Pipeline:
         sp = mesh.shape[sp_axis]
         if sp <= 1:
             return
-        if any(v == "quad" for v in self._source_split.values()):
-            # quad (row x col phase) links don't compose with row shards
-            # (local phase rows are not global rows); fall back to the
-            # column-split plan and rebuild — outputs stay within the
-            # documented 1-LSB layout tolerance
-            _log.info("sp row sharding requested: disabling quad links "
-                      "and rebuilding with the column-split plan")
+        # quad/grid (row-phase) links DO compose with row sharding when
+        # every phase plane splits evenly across shards: a row shard of
+        # the phase planes is a contiguous FRAME band (phase row i of
+        # shard s is global phase row s*rows+i), the cross-row-phase
+        # stencils exchange spctx halos, and their frame-edge clamps
+        # compare GLOBAL phase rows (blur9_v_split / blur9_grid4 /
+        # interp_even_t / _grid2x_rows, round 4).  Only when the phase
+        # rows DON'T align (divisibility/halo floor) fall back to the
+        # column-split plan — outputs stay within the documented 1-LSB
+        # layout tolerance.
+        g = self._phase_granularity()
+        if g > 1 and not self._sp_phase_rows_ok(sp, g):
+            _log.info(
+                "sp=%d does not align with the %d-row phase plan "
+                "(phase rows must split evenly with >= 4 rows/shard): "
+                "disabling quad/grid links and rebuilding with the "
+                "column-split plan", sp, g)
             self._quad_links_enabled = False
             self.build()
         if not self._sp_graph_ok:
@@ -1335,10 +1345,8 @@ class Pipeline:
                 "graph cannot row-shard: a branch feeds both an aggregator "
                 "pad (replicated under sp) and a sharded consumer; run "
                 "with dp only")
-        replicated = self._sp_replicated
-        heights = []
         for st in self._stages:
-            if st.passthrough or st.element.name in replicated:
+            if st.passthrough or st.element.name in self._sp_replicated:
                 continue  # replicated branches run unsharded
             e = st.element
             if not e.sp_row_shardable(st.in_spec, st.out_spec):
@@ -1346,14 +1354,12 @@ class Pipeline:
                     f"element {e.name} ({e.ELEMENT_NAME}) does not support "
                     f"spatial row sharding for its negotiated specs "
                     f"{st.in_spec} -> {st.out_spec}; run with dp only")
-            if st.in_spec is not None:
-                heights.append(st.in_spec.height)
-            heights.append(st.out_spec.height)
-        for s in self.sources:
-            if s.name in self._sp_rep_sources:
-                continue  # replicated upload: no divisibility constraint
-            heights.append(self._outgoing(s)[0].spec.height)
-        for h in heights:
+        g = self._phase_granularity()  # recompute: build() may have reset
+        for h in self._sp_heights():
+            if g > 1:
+                # phase-plane chains: _sp_phase_rows_ok held (or the plan
+                # fell back above); the full-height rules don't apply
+                continue
             rows = h // sp
             # even rows/shard: field parity + chroma half-rows + the 4:2:0
             # row-pair downsample; >= 4 rows: the widest halo (blur) reaches
@@ -1363,6 +1369,48 @@ class Pipeline:
                     f"plane height {h} cannot split over sp={sp}: needs "
                     f"h % sp == 0 with even rows/shard >= 4 (field parity, "
                     f"chroma half-rows and the 4-row blur halo)")
+
+    def _sp_heights(self):
+        """Plane-spec heights that shard under sp (active stages +
+        non-replicated source uploads)."""
+        heights = []
+        for st in self._stages:
+            if st.passthrough or st.element.name in self._sp_replicated:
+                continue
+            if st.in_spec is not None:
+                heights.append(st.in_spec.height)
+            heights.append(st.out_spec.height)
+        for s in self.sources:
+            if s.name in self._sp_rep_sources:
+                continue  # replicated upload: no divisibility constraint
+            heights.append(self._outgoing(s)[0].spec.height)
+        return heights
+
+    def _phase_granularity(self) -> int:
+        """Row granularity of the active link plan's phase planes: 4 when
+        any grid16/grid420 link is live, 2 for quad links or a
+        quad-provisioned source, 1 otherwise."""
+        g = 1
+        if any(v == "quad" for v in self._source_split.values()):
+            g = 2
+        for in_split, out_mode in (self.link_plan or {}).values():
+            if (in_split == "grid"
+                    or out_mode in ("grid", "packed32g", "packed420g")):
+                return 4
+            if (in_split == "quad"
+                    or out_mode in ("quad", "packed32q", "packed16q")):
+                g = max(g, 2)
+        return g
+
+    def _sp_phase_rows_ok(self, sp: int, g: int) -> bool:
+        """True when every sharded plane's PHASE rows (h // g) split
+        evenly over sp with >= 4 rows per shard (the widest phase-plane
+        halo is blur9_v_split's 2).  Conservative for mixed-granularity
+        grid chains: the quad-provisioned source head (granularity 2) is
+        held to the grid rule (g=4) too."""
+        return all(
+            (h % g == 0 and (h // g) % sp == 0 and (h // g) // sp >= 4)
+            for h in self._sp_heights())
 
     def _meta_source_of(self, elem):
         """The source whose per-buffer metadata reaches `elem` (walking the
