@@ -425,3 +425,122 @@ class TestDownsampleIntGate:
         monkeypatch.setenv("TPUVF_DOWN2X", "")
         assert convert._downsample_int_ok(192, 96, LINEAR, -2)
         assert not convert._downsample_int_ok(192, 96, LINEAR, -1)
+
+
+# -- round 4: kx (k >= 3) integer-factor upsample closed form ---------------
+
+
+def _ulp_diff(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return int(np.abs(a.view(np.int32).astype(np.int64)
+                      - b.view(np.int32).astype(np.int64)).max())
+
+
+def test_upsample_int_taps_gate():
+    from tpuvf.kernels import convert
+
+    # even k: phase-fixed everywhere (weights are exact multiples of
+    # 1/(2k) only structurally; the gate checks constancy + edge fold)
+    assert convert._upsample_int_taps(540, 4 * 540, "linear") is not None
+    assert convert._upsample_int_taps(24, 4 * 24, "linear") is not None
+    # odd k: f64 texcoord noise varies the fractional weight at many
+    # sizes — measured at 540; small sizes stay closed
+    assert convert._upsample_int_taps(540, 3 * 540, "linear") is None
+    assert convert._upsample_int_taps(24, 3 * 24, "linear") is not None
+    assert convert._upsample_int_taps(540, 5 * 540, "linear") is None
+    # 2x keeps its dedicated path; nearest and non-integer are out
+    assert convert._upsample_int_taps(64, 128, "linear") is None
+    assert convert._upsample_int_taps(64, 192, "nearest") is None
+    assert convert._upsample_int_taps(64, 100, "linear") is None
+
+
+@pytest.mark.parametrize("k,n", [(3, 24), (4, 24), (4, 180), (4, 540),
+                                 (6, 24), (8, 180)])
+def test_upsample_int_within_1ulp_of_dense(k, n, monkeypatch):
+    """The closed form sits <= 1 ulp from the dense matmul (the dense
+    dot's FMA keeps the first product unrounded — repo K-decomposition
+    rule); clamp-folded frame-edge rows are EXACT."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuvf.kernels import convert, sample
+
+    monkeypatch.setenv("TPUVF_UPKX", "both")  # cover the lane axis too
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(0, 1, (n, 64)).astype(np.float32))
+    t = sample.texcoords(k * n)
+    w = jnp.asarray(sample.sample_matrix(t, n, "linear"))
+    ref = jnp.einsum("oh,hw->ow", w, x,
+                     precision=jax.lax.Precision.HIGHEST)
+    got = convert.sample_axis(x, -2, k * n, "linear")
+    assert _ulp_diff(ref, got) <= 1
+    # frame-edge rows (clamp-folded single-tap) are the exact source row
+    np.testing.assert_array_equal(np.asarray(got)[0], np.asarray(x)[0])
+    np.testing.assert_array_equal(np.asarray(got)[-1], np.asarray(x)[-1])
+    # columns axis
+    ref_c = jnp.einsum("hw,ow->ho", x.T, w,
+                       precision=jax.lax.Precision.HIGHEST)
+    got_c = convert.sample_axis(x.T, -1, k * n, "linear")
+    assert _ulp_diff(ref_c, got_c) <= 1
+
+
+def test_upsample_int_pipeline_4x_vs_matrix(monkeypatch):
+    """End-to-end 4x upscale chain: closed form within 1 LSB of the
+    matrix path (knife-edge quantize flips only)."""
+    from tpuvf.cli.launch import parse_pipeline
+
+    desc = ("videotestsrc num-buffers=2 pattern=smpte "
+            "! video/x-raw,format=NV12,width=96,height=48 "
+            "! vfmetalconvertscale "
+            "! video/x-raw,format=BGRA,width=384,height=192 ! appsink")
+
+    def run():
+        p = parse_pipeline(desc)
+        p.negotiate()
+        p.build()
+        p.run()
+        return [np.asarray(f) for f in p.sinks[0].frames]
+
+    a = run()
+    monkeypatch.setenv("TPUVF_UPKX", "off")
+    b = run()
+    for fa, fb in zip(a, b):
+        d = np.abs(fa.astype(np.int32) - fb.astype(np.int32))
+        assert d.max() <= 1, int(d.max())
+        assert (d > 0).mean() < 0.02
+
+
+def test_letterbox2x_rows_closed_form_bitwise(monkeypatch):
+    """Letterboxed exactly-2x rows (round 4): the covered band rides the
+    2x stencil + zero pad; BITWISE vs the dense matrix path, border
+    bars identical."""
+    from tpuvf.cli.launch import parse_pipeline
+    from tpuvf.kernels import convert, sample
+
+    # plan detection: 270 -> 600 rows with 540-row content at y0=30
+    t = sample.texcoords(600, 540 / 600)
+    m = sample.coverage_mask(600, 540 / 600)
+    w = sample.sample_matrix(t, 270, "linear", m)
+    assert convert._letterbox2x_rows_offset(w, m, 270) == 30
+
+    desc = ("videotestsrc num-buffers=2 pattern=smpte "
+            "! video/x-raw,format=NV12,width=96,height=48 "
+            "! vfmetalconvertscale add-borders=true "
+            "border-color=0xFF336699 "
+            "! video/x-raw,format=BGRA,width=192,height=120 ! appsink")
+
+    def run():
+        p = parse_pipeline(desc)
+        p.negotiate()
+        p.build()
+        p.run()
+        return [np.asarray(f) for f in p.sinks[0].frames]
+
+    a = run()
+    monkeypatch.setenv("TPUVF_NO_LB2X", "1")
+    b = run()
+    for fa, fb in zip(a, b):
+        np.testing.assert_array_equal(fa, fb)
+    # bars are the border color (ARGB 0xFF336699 in BGRA byte order)
+    assert a[0][0, 0].tolist() == [0x99, 0x66, 0x33, 0xFF]

@@ -813,3 +813,21 @@ def test_sp_quad_dp_mesh_combined():
     plain = _run_plain(QUAD_SP_CHAIN, 2)
     spdp = _run_sp(QUAD_SP_CHAIN, 2, {"dp": 2, "sp": 2}, batch_size=2)
     _assert_close_1lsb(spdp, plain)
+
+
+def test_sp_upscale4x_closed_form():
+    """kx integer upsample closed form (round 4) under sp row sharding:
+    phase stencils are row-local with 1-row halos; bitwise across sp
+    layouts, <= 1 LSB vs unsharded."""
+    require_devices(4)
+    desc = ("videotestsrc num-buffers=2 pattern=smpte "
+            "! video/x-raw,format=NV12,width=64,height=48 "
+            "! vfmetalconvertscale "
+            "! video/x-raw,format=BGRA,width=256,height=192 "
+            "! vfmetalvideofilter contrast=1.2 ! appsink")
+    plain = _run_plain(desc, 2)
+    sp2 = _run_sp(desc, 2, {"dp": 1, "sp": 2})
+    sp4 = _run_sp(desc, 2, {"dp": 1, "sp": 4})
+    for a, b in zip(sp2, sp4):
+        assert_frames_equal(a, b)
+    _assert_close_1lsb(sp2, plain, frac=0.02)

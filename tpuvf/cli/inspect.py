@@ -132,6 +132,13 @@ def _apply_platform_override():
         import jax
 
         jax.config.update("jax_platforms", plat)
+        if plat == "tpu":
+            # accept TPUVF_PLATFORM=tpu where the TPU is exposed via the
+            # experimental remote-tunnel platform (see cli/launch.py)
+            try:
+                jax.devices()
+            except RuntimeError:
+                jax.config.update("jax_platforms", "axon,cpu")
 
 
 def main(argv=None) -> int:

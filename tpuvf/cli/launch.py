@@ -202,6 +202,15 @@ def _apply_platform_override():
         import jax
 
         jax.config.update("jax_platforms", plat)
+        if plat == "tpu":
+            # some containers expose the TPU through an experimental
+            # remote-tunnel platform ("axon") instead of the native
+            # "tpu" plugin; accept TPUVF_PLATFORM=tpu as "the TPU
+            # that's present" and fall back when native init fails
+            try:
+                jax.devices()
+            except RuntimeError:
+                jax.config.update("jax_platforms", "axon,cpu")
 
 
 def main(argv=None) -> int:

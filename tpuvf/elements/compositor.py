@@ -976,7 +976,7 @@ class Compositor(Element):
                 wp = out_w // 2
 
                 def lazy_phase_readers(p):
-                    """Per-phase window readers for split-provisioned RGB
+                    """Per-phase window readers for split-provisioned
                     pads, or None.  Cells partition the canvas, so each
                     source pixel lands in exactly one cell: slicing the raw
                     u8 input planes per cell and premultiplying inside the
@@ -984,7 +984,14 @@ class Compositor(Element):
                     (identical op order as sample_draw_split's prem) while
                     skipping the full-size premultiplied f32 planes — the
                     config-5 trace showed those materializing ~100 us/frame
-                    because the per-cell slices made them multi-consumer."""
+                    because the per-cell slices made them multi-consumer.
+                    4:2:0 pads stay EAGER: the round-4 lazy variant
+                    (chroma recomputed in-fusion per cell, pair
+                    broadcast-select rows) measured 670.6 vs 567.7
+                    us/frame on the config-5 trace — the pair
+                    interleave's broadcast materializes once per
+                    consumer fusion (scripts/probe_comp_cellforms.py
+                    has the full formulation table)."""
                     from tpuvf.kernels.color import as_unit_float
 
                     d = p["d"]
@@ -1045,8 +1052,6 @@ class Compositor(Element):
                             y0=vy0, y1=vy1, c0=c0, c1=c1, off=off,
                             ry0=vy0 - y, src=src_ph,
                             op=p["d"]["baked_op"], draw=p["draw"]))
-                    xs = sorted({0, wp} | {e["c0"] for e in entries}
-                                | {e["c1"] for e in entries})
                     ys = sorted({0, out_h} | {e["y0"] for e in entries}
                                 | {e["y1"] for e in entries})
                     # NOTE (measured, round 3): folding the overlay mixes
@@ -1055,8 +1060,24 @@ class Compositor(Element):
                     # SLOWER at 4K — the extra edges fragment the big
                     # cells into lane-unaligned concat pieces.  The
                     # post-pass apply_folds_split DUS stands.
-                    xs = [v for v in xs if 0 <= v <= wp]
                     ys = [v for v in ys if 0 <= v <= out_h]
+                    # column cuts PER ROW BAND (round 4): only the edges of
+                    # draws covering the band cut it — a draw no longer
+                    # gets sliced by a disjoint draw's column edge, so its
+                    # (eager) source decode stays single-consumer and fuses
+                    # into its one cell fold instead of materializing
+                    # full-size premultiplied f32 phase planes (the 1080p
+                    # NV12 pad in BASELINE config 5 paid ~100 us/frame for
+                    # that round trip).  ys cuts include every entry's
+                    # y0/y1, so within a band each entry covers all of the
+                    # band's rows or none.
+                    def band_xs(cy0, cy1):
+                        cuts = {0, wp}
+                        for e in entries:
+                            if e["y0"] <= cy0 and cy1 <= e["y1"]:
+                                cuts |= {e["c0"], e["c1"]}
+                        return [v for v in sorted(cuts) if 0 <= v <= wp]
+
                     chans = []
                     for c in range(4):
                         rows = []
@@ -1064,6 +1085,7 @@ class Compositor(Element):
                             cy0, cy1 = ys[yi], ys[yi + 1]
                             if cy1 <= cy0:
                                 continue
+                            xs = band_xs(cy0, cy1)
                             cols = []
                             for xi in range(len(xs) - 1):
                                 cc0, cc1 = xs[xi], xs[xi + 1]

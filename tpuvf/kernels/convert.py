@@ -125,6 +125,131 @@ def _downsample_int(img: jnp.ndarray, axis: int, k: int,
     raise ValueError("downsample supports the last two axes only")
 
 
+def _upsample_int_taps(in_size: int, out_size: int, filter: str):
+    """Per-phase closed-form stencils of an integer-factor (k >= 3)
+    LINEAR upsample, or None when the dense sampling matrix does not
+    reduce to them.
+
+    At out = k*in, output row k*m+q has texcoord s = m + (2q+1-k)/(2k):
+    a fixed 2-tap stencil (floor offset d0 in {-1, 0}, weights (1-f, f))
+    shared by every m of phase q — so the whole resample is k cheap
+    shifted FMAs + a stack/reshape interleave instead of a sampling
+    matmul (the kx analog of _upsample2x_linear; the 2x path keeps its
+    dedicated form).  The gate is EMPIRICAL, mirroring the round-4
+    NEAREST downscale fix: the f64 texcoords of odd k carry ~1e-15 noise
+    that varies the fractional weight across m at many sizes (measured:
+    k=3/5 at in=540) — any phase whose (d0, f32 frac) isn't constant
+    keeps the matrix path.  Clamp-folded edge rows (phase tap m-1 at
+    m=0, or m+1 at m=in-1) accumulate both weights on one texel in the
+    dense matrix; the closed form emits the exact source row there,
+    which equals the dense product only when f32(w0)+f32(w1) == 1.0
+    exactly — checked, else None.
+
+    PARITY CONTRACT: <= 1 ulp vs the dense matmul (NOT bitwise — the
+    dense dot's FMA keeps the first product unrounded, the repo-wide
+    K-decomposition rule from round 3b; measured 1-ulp flips on interior
+    rows at several sizes).  Edge rows are exact.  Post-quantize this
+    can flip knife-edge pixels by 1 LSB, like every other <=1-ulp
+    resampling plan (blockband, scaled-split phases).  TPUVF_UPKX gates
+    axes: "rows" (DEFAULT — the k-phase LANE interleave measured the
+    worst arm of the 4x A/B: both 544-677 vs rows 784-1472 vs matrix
+    617-1009 fps on the 540p->4K chain, scripts/bench_upkx_ab.py — the
+    axis-asymmetry rule again; rows beat the matrix in 3/4 interleaved
+    reps, up to +78%), "both", "off".
+
+    Returns a list of k (d0, w0, w1) tuples (numpy f32 weights).
+    Reference bilinear semantics:
+    /root/reference/src/convertscale/metalconvertscale_shaders.h:71-148.
+    """
+    if (filter != LINEAR or in_size < 2 or out_size <= in_size
+            or out_size % in_size):
+        return None
+    k = out_size // in_size
+    if k == 2:
+        return None  # the dedicated 2x fast path stands
+    s = sample.texcoords(out_size) * in_size - 0.5
+    x0 = np.floor(s).astype(np.int64)
+    f = (s - np.floor(s)).astype(np.float32)
+    m = np.arange(in_size, dtype=np.int64)
+    taps = []
+    for q in range(k):
+        d = x0[q::k] - m
+        fq = f[q::k]
+        if not (np.all(d == d[0]) and np.all(fq == fq[0])):
+            return None
+        d0 = int(d[0])
+        if d0 not in (-1, 0):
+            return None
+        w1 = fq[0]
+        w0 = np.float32(1.0) - w1
+        if np.float32(w0 + w1) != np.float32(1.0):
+            return None  # edge fold would not match the dense product
+        taps.append((d0, w0, w1))
+    return taps
+
+
+def _upsample_int_ok(in_size: int, out_size: int, filter: str,
+                     axis: int = -2) -> bool:
+    import os
+
+    mode = os.environ.get("TPUVF_UPKX", "rows")
+    if mode not in ("both", "rows", "off"):
+        mode = "rows"
+    if mode == "off" or (mode == "rows" and axis == -1):
+        return False
+    return _upsample_int_taps(in_size, out_size, filter) is not None
+
+
+def _upsample_int(img: jnp.ndarray, axis: int, taps) -> jnp.ndarray:
+    """Apply _upsample_int_taps stencils along `axis` (<= 1 ulp vs the
+    dense sampling matmul — see the parity contract in
+    _upsample_int_taps; clamp-folded edge rows emit the exact source
+    row, which the dense product also yields since the accumulated
+    weight is exactly 1.0).  Row-axis stencils are
+    halo-aware under spctx sharding (_shift_edge + global-row edge fix —
+    phase outputs are row-local, so each shard's k-times-taller band
+    reads only its own rows plus the 1-row halos)."""
+    from tpuvf.parallel import spctx
+
+    axis = axis % img.ndim
+    n = img.shape[axis]
+    prev = _shift_edge(img, axis, -1)
+    nxt = _shift_edge(img, axis, +1)
+    sharded_rows = (axis == img.ndim - 2
+                    and spctx.active_axis() is not None)
+
+    def fix_edge(body, at_last):
+        # the clamp-folded frame-edge output is the EXACT source row
+        # (w0*x + w1*x would round; the dense row is one accumulated
+        # 1.0 tap)
+        if not sharded_rows:
+            if axis == img.ndim - 2:
+                edge = (img[..., -1:, :] if at_last else img[..., :1, :])
+                return (jnp.concatenate([body[..., :-1, :], edge], axis=axis)
+                        if at_last else
+                        jnp.concatenate([edge, body[..., 1:, :]], axis=axis))
+            edge = (img[..., -1:] if at_last else img[..., :1])
+            return (jnp.concatenate([body[..., :-1], edge], axis=axis)
+                    if at_last else
+                    jnp.concatenate([edge, body[..., 1:]], axis=axis))
+        grow = spctx.global_row_iota(img.shape)
+        tgt = spctx.total_rows(n) - 1 if at_last else 0
+        return jnp.where(grow == tgt, img, body)
+
+    phases = []
+    for d0, w0, w1 in taps:
+        if w1 == 0.0 and w0 == 1.0:
+            phases.append(img)  # exact-integer phase (odd k center)
+        elif d0 == -1:
+            phases.append(fix_edge(w0 * prev + w1 * img, at_last=False))
+        else:
+            phases.append(fix_edge(w0 * img + w1 * nxt, at_last=True))
+    stacked = jnp.stack(phases, axis=axis + 1)
+    shape = list(img.shape)
+    shape[axis] = n * len(taps)
+    return stacked.reshape(shape)
+
+
 def shift_rows_cross_phase(x: jnp.ndarray, offset: int,
                            edge_src: jnp.ndarray) -> jnp.ndarray:
     """Row shift of phase plane `x` by offset (+-1) whose out-of-frame
@@ -196,6 +321,9 @@ def sample_axis(
             return _upsample2x_linear(img, axis)
         if filter == NEAREST and out_size == 2 * in_size:
             return jnp.repeat(img, 2, axis=axis)
+        if _upsample_int_ok(in_size, out_size, filter, axis):
+            return _upsample_int(
+                img, axis, _upsample_int_taps(in_size, out_size, filter))
         if _downsample_int_ok(in_size, out_size, filter, axis):
             return _downsample_int(img, axis, in_size // out_size, filter)
     t = sample.texcoords(out_size, scale)
@@ -308,6 +436,28 @@ def _use_pallas_banded(in_size, axis, filter, scale) -> bool:
 _blockband_plan = sample.blockband_plan  # shared planner (kernels.sample)
 
 
+def _letterbox2x_rows_offset(w, mask, in_size):
+    """y0 of a letterboxed exactly-2x rows band, or None.
+
+    Accepts only sampling matrices whose covered rows form ONE
+    contiguous [y0, y0+2*in) band that equals the plain 2x sampling
+    matrix bitwise — then the dense product over those rows is exactly
+    the 2x product, _upsample2x_linear is bitwise to THAT (including
+    the clamp-folded edge rows: 0.25x+0.75x == x holds in f32), and the
+    masked rows are exact +0.0 either way (zero matrix rows vs pad)."""
+    idx = np.nonzero(mask)[0]
+    if idx.size != 2 * in_size or idx.size == 0:
+        return None
+    y0 = int(idx[0])
+    if int(idx[-1]) - y0 + 1 != idx.size:
+        return None  # covered rows not contiguous
+    t2 = sample.texcoords(2 * in_size)
+    w2 = sample.sample_matrix(t2, in_size, LINEAR)
+    expect = np.zeros_like(w)
+    expect[y0:y0 + 2 * in_size] = w2
+    return y0 if np.array_equal(w, expect) else None
+
+
 def plan_axis_sampler(in_size, out_size, axis, filter, scale, bufs):
     """Plan sampling of one axis; matrices are registered on `bufs` and
     fetched from params at call time."""
@@ -318,6 +468,16 @@ def plan_axis_sampler(in_size, out_size, axis, filter, scale, bufs):
             return lambda img, params: _upsample2x_linear(img, axis)
         if filter == NEAREST and out_size == 2 * in_size:
             return lambda img, params: jnp.repeat(img, 2, axis=axis)
+        if _upsample_int_ok(in_size, out_size, filter, axis):
+            # kx (k >= 3) integer-factor upsample closed form: k shifted
+            # 2-tap FMAs + one stack/reshape interleave — no sampling
+            # matrix, no matmul; <= 1 ulp vs dense (gated empirically at
+            # plan time, see _upsample_int_taps).  Rows under sp: each
+            # shard's k-times-taller output band reads only its own input
+            # band plus the _shift_edge halos, which pad_rows_edge
+            # exchanges — phase stencils are row-local.
+            kx_taps = _upsample_int_taps(in_size, out_size, filter)
+            return lambda img, params: _upsample_int(img, axis, kx_taps)
         if _downsample_int_ok(in_size, out_size, filter, axis):
             # integer-factor closed form — no weight matrix, no matmul;
             # both axes fuse into the surrounding elementwise program.
@@ -351,6 +511,17 @@ def plan_axis_sampler(in_size, out_size, axis, filter, scale, bufs):
     cols_plan = None
     if axis == -1 and not os.environ.get("TPUVF_NO_BLOCKBAND"):
         cols_plan = _blockband_plan(w)
+    # LETTERBOXED exactly-2x rows (round 4): when the covered rows are a
+    # contiguous [y0, y0+2*in) band whose dense rows ARE the 2x stencil
+    # taps (checked bitwise against the matrix structure, like every
+    # closed form), the rows pass is the 2x stencil + a zero pad — the
+    # border mask downstream fills the bars exactly as it fills the
+    # dense matmul's zero rows.  Unsharded only (the dense path keeps
+    # its all-gather form under sp).
+    lb2x_y0 = None
+    if (axis == -2 and filter == LINEAR and scale != 1.0
+            and not os.environ.get("TPUVF_NO_LB2X")):
+        lb2x_y0 = _letterbox2x_rows_offset(w, mask, in_size)
 
     def run_dense(img, params):
         wm = fetch(params)
@@ -358,6 +529,13 @@ def plan_axis_sampler(in_size, out_size, axis, filter, scale, bufs):
         if a == img.ndim - 2:
             from tpuvf.parallel import spctx
 
+            if (lb2x_y0 is not None and spctx.active_axis() is None
+                    and img.shape[-2] == in_size):
+                up = _upsample2x_linear(img, -2)
+                pad = [(0, 0)] * img.ndim
+                pad[img.ndim - 2] = (
+                    lb2x_y0, out_size - lb2x_y0 - 2 * in_size)
+                return jnp.pad(up, pad)
             if (spctx.active_axis() is not None
                     and img.shape[-2] != in_size):
                 # row-sharded operand: the contraction is frame-global —
