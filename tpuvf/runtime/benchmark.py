@@ -177,8 +177,11 @@ def measure_device_us(step, make_planes, state0, params=None,
     }
     if not tpu_pids:
         return None
+    # skip the enclosing jit_* module spans — they envelope the per-op
+    # events and would double-count the total
     total_us = sum(e.get("dur", 0) for e in events
-                   if e.get("ph") == "X" and e.get("pid") in tpu_pids)
+                   if e.get("ph") == "X" and e.get("pid") in tpu_pids
+                   and not str(e.get("name", "")).startswith("jit"))
     if total_us <= 0:
         return None
     us = total_us / n_frames
