@@ -168,7 +168,7 @@ def parse_pipeline(desc: str) -> Pipeline:
 
 
 def launch(desc: str, num_frames: Optional[int] = None, quiet: bool = False,
-           batch: int = 0, verbose: bool = False) -> int:
+           batch: int = 0, verbose: bool = False, live: bool = False) -> int:
     pipe = parse_pipeline(desc)
     pipe.negotiate()
     if verbose:
@@ -185,10 +185,15 @@ def launch(desc: str, num_frames: Optional[int] = None, quiet: bool = False,
                 raise ValueError("batched mode needs num_frames or num-buffers")
             num_frames = min(limits)
         n = pipe.run_batched(num_frames, batch_size=batch)
+    elif live:
+        n = pipe.run_live(num_frames)
     else:
         n = pipe.run(num_frames=num_frames)
     if not quiet:
-        print(f"tpuvf-launch: processed {n} frames, reached end of stream")
+        dropped = pipe.stats.frames_dropped
+        tail = f" ({dropped} dropped, live QoS)" if dropped else ""
+        print(f"tpuvf-launch: processed {n} frames, reached end of "
+              f"stream{tail}")
     return n
 
 
@@ -219,6 +224,7 @@ def main(argv=None) -> int:
     num_frames = None
     batch = 0
     verbose = False
+    live = False
     while argv and argv[0].startswith("-"):
         flag = argv.pop(0)
         if flag in ("-n", "--num-frames"):
@@ -227,18 +233,21 @@ def main(argv=None) -> int:
             batch = int(argv.pop(0))
         elif flag in ("-v", "--verbose"):
             verbose = True
+        elif flag == "--live":
+            live = True
         elif flag in ("-q", "--quiet"):
             pass
         else:
             print(f"unknown flag {flag}", file=sys.stderr)
             return 2
     if not argv:
-        print("usage: tpuvf-launch [-n N] [-b BATCH] [-v] PIPELINE",
-              file=sys.stderr)
+        print("usage: tpuvf-launch [-n N] [-b BATCH] [--live] [-v] "
+              "PIPELINE", file=sys.stderr)
         return 2
     desc = " ".join(argv)
     try:
-        launch(desc, num_frames=num_frames, batch=batch, verbose=verbose)
+        launch(desc, num_frames=num_frames, batch=batch,
+               verbose=verbose, live=live)
         return 0
     except Exception as exc:  # mirror gst-launch: error message + nonzero exit
         print(f"ERROR: {exc}", file=sys.stderr)

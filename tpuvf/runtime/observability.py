@@ -87,6 +87,9 @@ class PipelineStats:
     frames: int = 0
     wall_seconds: float = 0.0
     compile_seconds: float = 0.0
+    # live mode (run_live): output clock ticks skipped because the
+    # pipeline was still busy at their deadline (QoS frame dropping)
+    frames_dropped: int = 0
     per_element_active: Dict[str, bool] = field(default_factory=dict)
 
     @property
@@ -100,6 +103,8 @@ class PipelineStats:
             f"({self.fps:.1f} fps)",
             f"compile {self.compile_seconds:.2f}s",
         ]
+        if self.frames_dropped:
+            parts.append(f"dropped {self.frames_dropped} (live QoS)")
         if elided:
             parts.append(f"passthrough-elided: {', '.join(elided)}")
         return "; ".join(parts)

@@ -1175,7 +1175,64 @@ class Pipeline:
             sel[s.name] = (gen_j, meta)
         return sel
 
-    def run(self, num_frames: Optional[int] = None, progress=False) -> int:
+    def latency(self):
+        """(min, max) pipeline latency in seconds — the GstAggregator
+        latency-query analog (the reference compositor inherits it from
+        GstVideoAggregator, src/compositor/gstvfmetalcompositor.m:574):
+        min 0 (in-memory processing, no buffering ahead of the clock),
+        max one output period (the aggregator's timeout — a live run
+        emits or drops each tick within one period)."""
+        out_fps, _ = self._clock()
+        return 0.0, 1.0 / out_fps
+
+    def _paced_indices(self, num_frames, out_fps, time_fn, sleep_fn):
+        """LIVE output-clock pacing (the GstAggregator timeout machinery,
+        gstvfmetalcompositor.m:574-684): output frame k is due at
+        t0 + k/out_fps.  Early -> sleep until the deadline; late past a
+        full tick -> the missed ticks are DROPPED (QoS) and processing
+        resumes at the newest due frame, exactly like an aggregator
+        that times out and aggregates the newest buffers.
+
+        Frame 0 is the PREROLL (the PAUSED->PLAYING transition): the
+        clock starts only after it completes, so first-dispatch XLA
+        compilation never burns live ticks — GStreamer's preroll
+        semantics."""
+        if num_frames <= 0:
+            return
+        yield 0  # preroll: compile + first frame, unpaced
+        t0 = time_fn()  # frame 0 presented now; frame k due at t0 + k/fps
+        k = 1
+        while k < num_frames:
+            now = time_fn()
+            due = int((now - t0) * out_fps)
+            if due > k:
+                skipped = min(due, num_frames) - k
+                self.stats.frames_dropped += skipped
+                _log.debug("live QoS: dropping %d late frame(s) at tick %d",
+                           skipped, k)
+                k += skipped
+                if k >= num_frames:
+                    return
+            deadline = t0 + k / out_fps
+            now = time_fn()
+            if now < deadline:
+                sleep_fn(deadline - now)
+            yield k
+            k += 1
+
+    def run_live(self, num_frames: Optional[int] = None, *,
+                 time_fn=None, sleep_fn=None, progress=False) -> int:
+        """Wall-clock-paced run: frames render on the output clock's
+        schedule, late ticks drop (stats.frames_dropped).  The offline
+        run() computes every frame as fast as the device allows; this is
+        the live-pipeline analog, for sinks that present in real time.
+        time_fn/sleep_fn are injectable for deterministic tests."""
+        return self.run(num_frames, progress=progress, _live=True,
+                        _time_fn=time_fn or time.perf_counter,
+                        _sleep_fn=sleep_fn or time.sleep)
+
+    def run(self, num_frames: Optional[int] = None, progress=False,
+            _live=False, _time_fn=None, _sleep_fn=None) -> int:
         """Frame loop: generate -> device -> step -> host -> sink(s)."""
         if self._step is None:
             self.build()
@@ -1208,7 +1265,10 @@ class Pipeline:
         # entry and a source buffer line up on the same timeline
         controlled = [el for el in self.elements
                       if getattr(el, "_controllers", None)]
-        for i in range(num_frames):
+        frame_iter = (self._paced_indices(num_frames, out_fps,
+                                          _time_fn, _sleep_fn)
+                      if _live else range(num_frames))
+        for i in frame_iter:
             # per-frame controlled-property sync (gst_object_sync_values
             # analog) BEFORE the rebuild check: a schedule that flips a
             # static gate (e.g. gamma crossing 1.0) rebuilds like any
