@@ -1071,7 +1071,19 @@ class Compositor(Element):
                     # that round trip).  ys cuts include every entry's
                     # y0/y1, so within a band each entry covers all of the
                     # band's rows or none.
+                    import os as _os
+
+                    all_xs = None
+                    if _os.environ.get("TPUVF_NO_BANDXS"):
+                        # A/B escape hatch: the round-3 global column cuts
+                        all_xs = sorted(
+                            {0, wp} | {e["c0"] for e in entries}
+                            | {e["c1"] for e in entries})
+                        all_xs = [v for v in all_xs if 0 <= v <= wp]
+
                     def band_xs(cy0, cy1):
+                        if all_xs is not None:
+                            return all_xs
                         cuts = {0, wp}
                         for e in entries:
                             if e["y0"] <= cy0 and cy1 <= e["y1"]:
