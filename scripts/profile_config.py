@@ -66,6 +66,11 @@ def main():
         if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
             continue
         name = e.get("name", "?")
+        # skip the enclosing jit_* module spans — they envelope the
+        # per-op events and double the total (same fix as
+        # runtime/benchmark.measure_device_us)
+        if str(name).startswith("jit"):
+            continue
         dur = e.get("dur", 0) / 1e3
         per_op[name] = per_op.get(name, 0.0) + dur
         total += dur
