@@ -547,6 +547,10 @@ def test_sp_scaled_chain_with_stencil_bit_exact():
     ("UYVY", "BGRA", (64, 48, 32, 24)),   # packed in, scaled decode
     ("NV12", "YUY2", (64, 48, 64, 48)),   # packed out, identity
     ("UYVY", "UYVY", (64, 96, 32, 48)),   # packed both sides, scaled
+    # round 4: packed 4:2:2 INPUT identity rides the can_split_422
+    # column-phase plan (u_e = u_o = u) — must compose with sp rows
+    ("UYVY", "BGRA", (64, 48, 64, 48)),   # identity split -> packed32 edge
+    ("YUY2", "NV12", (64, 48, 64, 48)),   # identity split -> 4:2:0 edge
 ])
 def test_sp_packed_422_bit_exact(fmt_in, fmt_out, wh):
     """Packed 4:2:2 under sp: macro-pixels exist only at the host edge —

@@ -408,19 +408,86 @@ def test_odd_height_overlay_falls_back_to_canonical(tmp_path):
     assert len(p.sinks[0].frames) == 1
 
 
-def test_packed_422_output_stays_canonical():
+def test_packed_422_output_takes_packed16_edge():
+    """Round 4: packed 4:2:2 joined the identity split dataflow — a 4:2:0
+    -> UYVY identity conversion now emits the packed16 sink edge (y u16
+    words whose bytes equal the interleaved u8 columns + stacked uv);
+    values stay bitwise vs the canonical layout."""
     s = (
         "videotestsrc num-buffers=1 ! video/x-raw,format=NV12,width=128,height=64 "
         "! vfmetalconvertscale ! video/x-raw,format=UYVY ! appsink"
     )
     p = _run(s)
     cs = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfconvertscale")
-    # split INPUT from the source is fine; packed 4:2:2 output keeps the
-    # canonical layout
-    assert p.link_plan.get(cs, (False, "full"))[1] == "full"
+    assert p.link_plan.get(cs, (False, "full"))[1] == "packed16"
     plain = _run(s, disable_links=True).sinks[0].frames
     for a, b in zip(p.sinks[0].frames, plain):
         np.testing.assert_array_equal(a, b)
+
+
+def _assert_frames_equal(frames_a, frames_b):
+    assert len(frames_a) == len(frames_b)
+    for a, b in zip(frames_a, frames_b):
+        if isinstance(a, dict):
+            assert a.keys() == b.keys()
+            for k in a:
+                np.testing.assert_array_equal(np.asarray(a[k]),
+                                              np.asarray(b[k]), err_msg=k)
+        else:
+            np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("fmt,out_fmt,edge", [
+    ("UYVY", "NV12", "packed16"),   # packed -> planar 4:2:0
+    ("YUY2", "BGRA", "packed32"),   # packed -> RGB
+    ("UYVY", "YUY2", "packed16"),   # packed -> packed (byte-order swap)
+])
+def test_packed_422_input_identity_split(fmt, out_fmt, edge):
+    """Round 4: packed 4:2:2 INPUT joined the identity split dataflow
+    (can_split_422) — 4:2:2 chroma is column-subsampled only and the
+    canonical path is NEAREST, so both output column phases read the
+    half-width plane unchanged (u_e = u_o = u, zero chroma work).
+    Only convertscale accepts UYVY/YUY2 (gstvfmetalconvertscale.m:48),
+    so the split path shows up as the packed sink edge.  Bitwise."""
+    s = (
+        f"videotestsrc num-buffers=2 ! video/x-raw,format={fmt},"
+        "width=128,height=64 "
+        f"! vfmetalconvertscale ! video/x-raw,format={out_fmt} ! appsink"
+    )
+    p = _run(s)
+    cs = next(e.name for e in p.elements
+              if e.ELEMENT_NAME == "vfconvertscale")
+    assert p.link_plan.get(cs, (False, "full"))[1] == edge
+    _assert_frames_equal(p.sinks[0].frames,
+                         _run(s, disable_links=True).sinks[0].frames)
+
+
+def test_packed_422_odd_height_gates():
+    """4:2:2 has no row pairing, so ODD heights keep the split plan for
+    RGB output — but a 4:2:0 OUTPUT at odd height must not (the 4:2:0
+    pack's 2x2 box average needs row pairs)."""
+    s = (
+        "videotestsrc num-buffers=1 ! video/x-raw,format=YUY2,"
+        "width=64,height=33 "
+        "! vfmetalconvertscale ! video/x-raw,format=BGRA ! appsink"
+    )
+    p = _run(s)
+    cs = next(e.name for e in p.elements
+              if e.ELEMENT_NAME == "vfconvertscale")
+    assert p.link_plan.get(cs, (False, "full"))[1] == "packed32"
+    _assert_frames_equal(p.sinks[0].frames,
+                         _run(s, disable_links=True).sinks[0].frames)
+    s2 = (
+        "videotestsrc num-buffers=1 ! video/x-raw,format=UYVY,"
+        "width=64,height=33 "
+        "! vfmetalconvertscale ! video/x-raw,format=NV12 ! appsink"
+    )
+    p2 = _run(s2)
+    cs = next(e.name for e in p2.elements
+              if e.ELEMENT_NAME == "vfconvertscale")
+    assert p2.link_plan.get(cs, (False, "full"))[1] == "full"
+    _assert_frames_equal(p2.sinks[0].frames,
+                         _run(s2, disable_links=True).sinks[0].frames)
 
 
 def test_scaled_split_engages_only_on_element_links():

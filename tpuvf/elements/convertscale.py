@@ -137,19 +137,36 @@ class ConvertScale(Element):
                 and (out_spec.format in RGB_FORMATS
                      or out_spec.height % 2 == 0))
 
+    def _split_identity_ok(self, in_spec, out_spec) -> bool:
+        """Identity-geometry column-phase eligibility: 4:2:0 (round 2) or
+        packed 4:2:2 (round 4) input.  4:2:0 OUTPUT additionally needs
+        even height for the pack's 2x2 box-average row pairs (free when
+        the input is 4:2:0 — identity keeps its even dims — but a 4:2:2
+        input only guarantees even width)."""
+        from tpuvf.core.formats import VideoFormat as _VF
+
+        scale_x, scale_y, border, _ = self._split_geometry(in_spec, out_spec)
+        ok = (convert.can_split_420(in_spec, out_spec.width,
+                                    out_spec.height, scale_x, scale_y,
+                                    border)
+              or convert.can_split_422(in_spec, out_spec.width,
+                                       out_spec.height, scale_x, scale_y,
+                                       border))
+        if ok and out_spec.format in (_VF.NV12, _VF.I420):
+            ok = out_spec.height % 2 == 0
+        return ok
+
     def edge_packed16_ok(self, in_spec=None, out_spec=None) -> bool:
-        """Sink-edge packed16 pays only on the 4:2:0 IDENTITY path (it
-        avoids the canonical path's f32 lane interleaves).  At scaled
-        geometry the canonical matmul path has no interleave to avoid —
-        the phase formulation just doubles the row-kernel calls (device
-        trace: 60.3 vs 76.4 us/frame on config 1) — so the scaled split
-        engages only on element links, never for the sink edge."""
+        """Sink-edge packed16 pays only on the IDENTITY phase paths
+        (4:2:0 or packed 4:2:2 input — it avoids the canonical path's
+        f32 lane interleaves / chroma lane repeat).  At scaled geometry
+        the canonical matmul path has no interleave to avoid — the phase
+        formulation just doubles the row-kernel calls (device trace:
+        60.3 vs 76.4 us/frame on config 1) — so the scaled split engages
+        only on element links, never for the sink edge."""
         if in_spec is None or out_spec is None:
             return True
-        scale_x, scale_y, border, _ = self._split_geometry(in_spec, out_spec)
-        return convert.can_split_420(in_spec, out_spec.width,
-                                     out_spec.height, scale_x, scale_y,
-                                     border)
+        return self._split_identity_ok(in_spec, out_spec)
 
     def edge_packed32_ok(self, in_spec=None, out_spec=None) -> bool:
         """RGB sink edges emit u32 pixel words (one fusion; the
@@ -166,26 +183,20 @@ class ConvertScale(Element):
         output: the non-presplit phase stencils read the full-width plane
         directly (the _upsample2x_linear expressions, no matmul), while a
         presplit upload would force the two-term phase matmuls."""
-        scale_x, scale_y, border, _ = self._split_geometry(in_spec, out_spec)
-        if convert.can_split_420(in_spec, out_spec.width, out_spec.height,
-                                 scale_x, scale_y, border):
+        if self._split_identity_ok(in_spec, out_spec):
             return True
+        scale_x, scale_y, border, _ = self._split_geometry(in_spec, out_spec)
         if out_mode == "full":
             return False
         return not (scale_x == 1.0
                     and out_spec.width == 2 * in_spec.width)
 
     def split_output_ok(self, in_spec, out_spec):
-        """Column-phase output: the 4:2:0 identity fast path, or the
-        scaled phase-matrix path, for RGB or 4:2:0 output formats (packed
-        4:2:2 keeps the canonical layout)."""
-        scale_x, scale_y, border, _ = self._split_geometry(in_spec, out_spec)
-        from tpuvf.core.formats import PACKED_YUV_FORMATS
-
-        return ((convert.can_split_420(in_spec, out_spec.width,
-                                       out_spec.height, scale_x, scale_y,
-                                       border)
-                 and out_spec.format not in PACKED_YUV_FORMATS)
+        """Column-phase output: the identity fast paths (4:2:0 round 2,
+        packed 4:2:2 round 4 — any output format pack_rgba_split
+        supports), or the scaled phase-matrix path (RGB / 4:2:0 outputs
+        only)."""
+        return (self._split_identity_ok(in_spec, out_spec)
                 or self._split_scaled_ok(in_spec, out_spec))
 
     def quad_output_ok(self, in_spec, out_spec):
@@ -252,14 +263,11 @@ class ConvertScale(Element):
         return True
 
     def split_input_ok(self, in_spec, out_spec):
-        """Consume pre-split planes: 4:2:0 at identity (the fast path), or
-        any split-capable input at scaled geometry (the phase-matrix
-        sampler contracts one tap per input phase — <= 1 ulp from
-        canonical; knife-edge pixels may flip 1 LSB)."""
-        scale_x, scale_y, border, _ = self._split_geometry(in_spec, out_spec)
-        return ((convert.can_split_420(in_spec, out_spec.width,
-                                       out_spec.height, scale_x, scale_y,
-                                       border)
+        """Consume pre-split planes: 4:2:0 or packed 4:2:2 at identity
+        (the fast paths), or any split-capable input at scaled geometry
+        (the phase-matrix sampler contracts one tap per input phase —
+        <= 1 ulp from canonical; knife-edge pixels may flip 1 LSB)."""
+        return ((self._split_identity_ok(in_spec, out_spec)
                  and in_spec.format not in RGB_FORMATS)
                 or (self._split_scaled_ok(in_spec, out_spec)
                     and in_spec.width % 2 == 0))
@@ -300,10 +308,21 @@ class ConvertScale(Element):
         from tpuvf.kernels.sample import WeightBuffers
 
         bufs = WeightBuffers(self.name)
-        if convert.can_split_420(in_spec, out_spec.width, out_spec.height,
-                                 scale_x, scale_y, border):
+        from tpuvf.core.formats import VideoFormat as _VF
+
+        ident_split = (
+            convert.can_split_420(in_spec, out_spec.width, out_spec.height,
+                                  scale_x, scale_y, border)
+            or convert.can_split_422(in_spec, out_spec.width,
+                                     out_spec.height, scale_x, scale_y,
+                                     border))
+        if (ident_split and out_spec.format in (_VF.NV12, _VF.I420)
+                and out_spec.height % 2):
+            ident_split = False  # 4:2:0 pack needs row pairs
+        if ident_split:
             # even/odd column-phase dataflow: no f32 lane interleave (the 2x
-            # chroma upsample happens per phase); bit-exact, ~1.34x at 4K
+            # chroma upsample happens per phase for 4:2:0; 4:2:2 chroma is
+            # a per-phase passthrough); bit-exact, ~1.34x at 4K
             split_sampler = convert.plan_rgba_sampler_split(
                 in_spec, filter=filt, matrix_index=matrix_in,
                 presplit=in_split)

@@ -713,6 +713,27 @@ def can_split_420(in_spec: FrameSpec, out_w: int, out_h: int,
     )
 
 
+def can_split_422(in_spec: FrameSpec, out_w: int, out_h: int,
+                  scale_x: float, scale_y: float, border) -> bool:
+    """Column-phase fast path for packed 4:2:2 inputs at identity geometry
+    (round 4).  4:2:2 chroma is column-subsampled only, and the canonical
+    path forces NEAREST sampling for packed formats (plan_rgba_sampler,
+    mirroring the reference's per-macro-pixel chroma reuse in
+    rgbaFromUYVY/rgbaFromYUY2, metalconvertscale_shaders.h:150-200), so
+    the 2x column upsample reads source column c//2 — BOTH output column
+    phases read the half-width plane unchanged (u_e = u_o = u).  The
+    split path therefore has zero chroma work: no lane repeat, no row
+    stencils (chroma is full height), and the only interleave left is
+    the u8/u16-word edge emit.  Height parity is irrelevant (nothing
+    pairs rows)."""
+    return (
+        in_spec.format in PACKED_YUV_FORMATS
+        and out_w == in_spec.width and out_h == in_spec.height
+        and scale_x == 1.0 and scale_y == 1.0 and border is None
+        and in_spec.width % 2 == 0
+    )
+
+
 def plan_rgba_sampler_split(in_spec: FrameSpec, filter: str = LINEAR,
                             matrix_index: int | None = None,
                             presplit: bool = False):
@@ -758,6 +779,13 @@ def plan_rgba_sampler_split(in_spec: FrameSpec, filter: str = LINEAR,
             import os
 
             cf = as_unit_float(c8)
+            if in_spec.format in PACKED_YUV_FORMATS:
+                # packed 4:2:2: chroma is column-subsampled only and the
+                # canonical path forces NEAREST (plan_rgba_sampler), whose
+                # 2x column upsample reads src col c//2 — both output
+                # column phases ARE the half-width plane.  Full height, so
+                # no row stencil and no repeat/barrier either.
+                return cf, cf
             if filter == LINEAR:
                 # rows: three formulations of the same 0.25/0.75 taps —
                 #   "pair":   row-pair broadcast-select (..., H/2, 2, W/2)
@@ -1681,7 +1709,20 @@ def pack_rgba_split(chans_e, chans_o, out_format: VideoFormat,
             _, u, v = color.rgb_to_yuv(ra, ga, ba, matrix_index)
             return {"y_e": quant_sim(ye), "y_o": quant_sim(yo),
                     "u": quant_sim(u), "v": quant_sim(v)}
-        raise ValueError("split links not supported for packed 4:2:2")
+        if out_format in PACKED_YUV_FORMATS:
+            # 4:2:2 split boundary (round 4): y phases carry straight
+            # through; chroma = mean of the two macro-pixel phases after
+            # the RGB->YUV matrix — exactly the canonical pack's
+            # uf[0::2]/uf[1::2] average (the lane-strided slices become
+            # direct phase reads), full height.  Layout
+            # {"y_e","y_o","u","v"} like 4:2:0, chroma (H, W/2).
+            ye, ue, ve = color.rgb_to_yuv(*fe[:3], matrix_index)
+            yo, uo, vo = color.rgb_to_yuv(*fo[:3], matrix_index)
+            half = np.float32(0.5)
+            return {"y_e": quant_sim(ye), "y_o": quant_sim(yo),
+                    "u": quant_sim((ue + uo) * half),
+                    "v": quant_sim((ve + vo) * half)}
+        raise ValueError(f"split links not supported for {out_format}")
     qe = tuple(quant(c) for c in chans_e)
     qo = tuple(quant(c) for c in chans_o)
     if out_format in RGB_FORMATS:
