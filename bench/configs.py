@@ -78,6 +78,11 @@ def _element_step(elem, in_spec, out_spec=None):
     edge = ("packed16"
             if (elem.split_output_ok(in_spec, out_spec)
                 and elem.edge_packed16_ok(in_spec, out_spec)) else "full")
+    if (edge == "packed16" and out_spec.format in RGB_FORMATS
+            and elem.edge_packed32_ok(in_spec, out_spec)):
+        # RGB edges emit u32 pixel words (mirrors Pipeline._link_plan):
+        # one fusion, no per-channel u16 planes
+        edge = "packed32"
     src_split = (elem.split_input_ok(in_spec, out_spec)
                  and elem.source_split_worth_it(in_spec, out_spec, edge))
     proc = elem.make_process_linked(in_spec, out_spec, static,
@@ -256,6 +261,21 @@ def config_scale1080to4k_nv12():
             in_spec)
 
 
+def config_convert422():
+    """Beyond-BASELINE: packed 4:2:2 decode at 4K identity (UYVY ->
+    BGRA) — the round-4 can_split_422 column-phase plan (both output
+    column phases read the half-width chroma plane unchanged;
+    scripts/bench_422_ab.py measured 9.2-15.6k vs canonical 1.0-1.7k
+    fps in clean windows)."""
+    in_spec = FrameSpec(VideoFormat.UYVY, 3840, 2160)
+    out_spec = FrameSpec(VideoFormat.BGRA, 3840, 2160,
+                         matrix=in_spec.matrix)
+    elem = make("vfconvertscale")
+    step, state0, params = _element_step(elem, in_spec, out_spec)
+    return ("4K UYVY -> BGRA identity decode", step, state0, params,
+            in_spec)
+
+
 ALL = {
     "headline": config_headline,
     "convertscale": config_convertscale,
@@ -267,4 +287,5 @@ ALL = {
     "scale8k4k": config_scale8k4k,
     "scale1080to4k": config_scale1080to4k,
     "scale1080to4k_nv12": config_scale1080to4k_nv12,
+    "convert422": config_convert422,
 }
