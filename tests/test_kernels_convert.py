@@ -325,7 +325,7 @@ class TestSplitScaled:
             out.append(full)
         return tuple(out)
 
-    @pytest.mark.parametrize("fmt", ["NV12", "I420", "BGRA"])
+    @pytest.mark.parametrize("fmt", ["NV12", "I420", "BGRA", "UYVY", "YUY2"])
     @pytest.mark.parametrize("geom", [((768, 320), (384, 192)),
                                       ((64, 48), (130, 94)),
                                       ((130, 94), (64, 48)),

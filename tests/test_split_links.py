@@ -490,6 +490,52 @@ def test_packed_422_odd_height_gates():
                          _run(s2, disable_links=True).sinks[0].frames)
 
 
+@pytest.mark.parametrize("fmt", ["UYVY", "YUY2"])
+def test_packed_422_scaled_split_link(fmt):
+    """Round 4 (late): packed 4:2:2 INPUT joined the SCALED split dataflow
+    (can_split_scaled) — NEAREST forced like the canonical planner, chroma
+    at half width / full height.  A scaled 4:2:2 -> RGB conversion feeding
+    a split consumer takes the split link; <= 1 LSB vs canonical (the
+    scaled-split program-shape contract)."""
+    s = (
+        f"videotestsrc num-buffers=2 ! video/x-raw,format={fmt},"
+        "width=128,height=64 "
+        "! vfmetalconvertscale ! video/x-raw,format=BGRA,width=64,height=32 "
+        "! vfmetalvideofilter brightness=0.1 ! appsink"
+    )
+    p = _run(s)
+    cs = next(e.name for e in p.elements
+              if e.ELEMENT_NAME == "vfconvertscale")
+    assert p.link_plan.get(cs, (False, "full"))[1] == "split"
+    plain = _run(s, disable_links=True).sinks[0].frames
+    for a, b in zip(p.sinks[0].frames, plain):
+        diff = np.abs(a.astype(np.int16) - b.astype(np.int16))
+        assert diff.max() <= 1, diff.max()
+
+
+def test_packed_422_scaled_output_split_link():
+    """Scaled 4:2:2 OUTPUT joins too: the phase-mean chroma pack is
+    geometry-independent, so a scaled RGB -> UYVY conversion feeding a
+    split-capable consumer (the only 4:2:2 consumer is convertscale)
+    links split; <= 1 LSB vs canonical."""
+    s = (
+        "videotestsrc num-buffers=2 ! video/x-raw,format=BGRA,"
+        "width=128,height=64 "
+        "! vfmetalconvertscale ! video/x-raw,format=UYVY,width=64,height=32 "
+        "! vfmetalconvertscale ! video/x-raw,format=NV12 ! appsink"
+    )
+    p = _run(s)
+    names = [e.name for e in p.elements
+             if e.ELEMENT_NAME == "vfconvertscale"]
+    assert p.link_plan.get(names[0], (False, "full"))[1] == "split"
+    plain = _run(s, disable_links=True).sinks[0].frames
+    for a, b in zip(p.sinks[0].frames, plain):
+        for k in a:
+            diff = np.abs(np.asarray(a[k]).astype(np.int16)
+                          - np.asarray(b[k]).astype(np.int16))
+            assert diff.max() <= 1, (k, diff.max())
+
+
 def test_scaled_split_engages_only_on_element_links():
     """Round 3b: scaled geometry joins the split dataflow, but ONLY where
     it buys a boundary — a standalone scaled convertscale keeps the

@@ -127,15 +127,20 @@ class ConvertScale(Element):
         """Column-phase dataflow at SCALED geometry (round 3b): output
         phases are row-slices of the dense sampling matrices — <= 1 LSB
         from the canonical path (convert.can_split_scaled; backend
-        K-grouping / presplit FMA rounding).  4:2:0 OUTPUT
-        additionally needs even height (pack_rgba_split row pairs)."""
-        from tpuvf.core.formats import PACKED_YUV_FORMATS
+        K-grouping / presplit FMA rounding).  Packed 4:2:2 joined both
+        sides in round 4 (NEAREST forced on input like canonical; the
+        phase-mean chroma pack is geometry-independent).  4:2:0 OUTPUT
+        additionally needs even height (pack_rgba_split row pairs);
+        4:2:2 output pairs columns only — the phases themselves."""
+        from tpuvf.core.formats import PACKED_YUV_FORMATS, VideoFormat as _VF
 
-        return (convert.can_split_scaled(in_spec, out_spec.width,
-                                         out_spec.height)
-                and out_spec.format not in PACKED_YUV_FORMATS
-                and (out_spec.format in RGB_FORMATS
-                     or out_spec.height % 2 == 0))
+        if not convert.can_split_scaled(in_spec, out_spec.width,
+                                        out_spec.height):
+            return False
+        if out_spec.format in (_VF.NV12, _VF.I420):
+            return out_spec.height % 2 == 0
+        return (out_spec.format in RGB_FORMATS
+                or out_spec.format in PACKED_YUV_FORMATS)
 
     def _split_identity_ok(self, in_spec, out_spec) -> bool:
         """Identity-geometry column-phase eligibility: 4:2:0 (round 2) or

@@ -1334,10 +1334,11 @@ def can_split_scaled(in_spec: FrameSpec, out_w: int, out_h: int) -> bool:
     output shape; PRESPLIT inputs additionally decompose the K axis by
     phase) — knife-edge pixels may flip 1 LSB after quantization, which
     the parity tests assert.  Applies to 4:2:0 and RGB inputs (packed
-    4:2:2
-    keeps the canonical layout); needs even output width for equal
-    phases, and even input dims for 4:2:0 chroma.  Letterbox masks slice
-    per phase."""
+    4:2:2 joined in round 4: NEAREST forced like the canonical path,
+    chroma at half width / full height); needs even output width for
+    equal phases, and even input dims for 4:2:0 chroma (even input
+    width only for packed 4:2:2 — nothing pairs rows).  Letterbox masks
+    slice per phase."""
     import os
 
     if os.environ.get("TPUVF_NO_SPLIT_SCALED"):
@@ -1346,6 +1347,8 @@ def can_split_scaled(in_spec: FrameSpec, out_w: int, out_h: int) -> bool:
         return False
     if in_spec.format in (VideoFormat.NV12, VideoFormat.I420):
         return in_spec.width % 2 == 0 and in_spec.height % 2 == 0
+    if in_spec.format in PACKED_YUV_FORMATS:
+        return in_spec.width % 2 == 0
     # identity columns slice (exact); 2x-upsample columns are phase-clean
     # stencils (the _upsample2x_linear expressions — bitwise); everything
     # else is a row-slice of the dense sampling matrix
@@ -1532,10 +1535,18 @@ def plan_rgba_sampler_split_scaled(
     if matrix_index is None:
         matrix_index = in_spec.matrix_index
     fmt = in_spec.format
+    if fmt in PACKED_YUV_FORMATS:
+        filter = NEAREST  # packed inputs always decode with nearest
+                          # (canonical parity, metalconvertscalerenderer.m:
+                          # 180-185 via plan_rgba_sampler)
     run_rows_y = plan_axis_sampler(
         in_spec.height, out_h, -2, filter, scale_y, bufs)
     if fmt not in RGB_FORMATS:
-        cw, ch2 = in_spec.width // 2, in_spec.height // 2
+        # chroma geometry: 4:2:0 subsamples both axes; packed 4:2:2 is
+        # column-subsampled only (full-height chroma rows)
+        cw = in_spec.width // 2
+        ch2 = (in_spec.height if fmt in PACKED_YUV_FORMATS
+               else in_spec.height // 2)
         run_rows_c = plan_axis_sampler(ch2, out_h, -2, filter, scale_y, bufs)
         cols_c = plan_cols_phase_sampler(
             cw, out_w, filter, scale_x, bufs, "c")
