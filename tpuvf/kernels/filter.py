@@ -143,21 +143,50 @@ def apply_color_adjustments_t(chans, p, frame_index, width, height,
     x_index = jnp.asarray(x_index, F32)
     r, g, b, alpha = chans
 
-    # Brightness
-    r, g, b = r + p["brightness"], g + p["brightness"], b + p["brightness"]
+    import os
 
-    # Contrast
-    c = p["contrast"]
-    r = (r - 0.5) * c + 0.5
-    g = (g - 0.5) * c + 0.5
-    b = (b - 0.5) * c + 0.5
+    if os.environ.get("TPUVF_NO_BCS_FOLD"):
+        # Sequential reference form (the shader's literal op order)
+        # Brightness
+        r, g, b = r + p["brightness"], g + p["brightness"], b + p["brightness"]
 
-    # Saturation (Rec.709 luma of the current rgb)
-    lum = REC709_LUMA[0] * r + REC709_LUMA[1] * g + REC709_LUMA[2] * b
-    s = p["saturation"]
-    r = lum + (r - lum) * s
-    g = lum + (g - lum) * s
-    b = lum + (b - lum) * s
+        # Contrast
+        c = p["contrast"]
+        r = (r - 0.5) * c + 0.5
+        g = (g - 0.5) * c + 0.5
+        b = (b - 0.5) * c + 0.5
+
+        # Saturation (Rec.709 luma of the current rgb)
+        lum = REC709_LUMA[0] * r + REC709_LUMA[1] * g + REC709_LUMA[2] * b
+        s = p["saturation"]
+        r = lum + (r - lum) * s
+        g = lum + (g - lum) * s
+        b = lum + (b - lum) * s
+    else:
+        # Brightness -> Contrast -> Saturation folded into ONE shared-luma
+        # affine (round 4): the shader applies the three stages back to
+        # back in f32 with no intermediate clamp (h:88-110), so they
+        # compose exactly:
+        #   x'   = c*x + k0,            k0 = (brightness - 0.5)*c + 0.5
+        #   lum' = L.x' = c*(L.x) + k0  (Rec.709 weights sum to 1)
+        #   out  = lum' + (x' - lum')*s = (c*s)*x + ((1-s)*c)*(L.x) + k0
+        # Per-frame scalar coefficients; ~13 ops/pixel vs ~26 sequential —
+        # the hot emit fusion is VPU-bound (BENCH.md round-3e: op-count
+        # reduction via affine folding is the designated lever).  Float
+        # association differs (<= 1-2 ulp), so quantized knife-edge pixels
+        # may flip 1 LSB vs the sequential form — the same contract class
+        # as blockband matmuls and grid links, inside the 2-LSB oracle
+        # tolerance.  TPUVF_NO_BCS_FOLD restores the sequential stages.
+        c = p["contrast"]
+        s = p["saturation"]
+        cs_ = c * s
+        m = (F32(1.0) - s) * c
+        k0 = (p["brightness"] - F32(0.5)) * c + F32(0.5)
+        lum0 = REC709_LUMA[0] * r + REC709_LUMA[1] * g + REC709_LUMA[2] * b
+        base = m * lum0 + k0
+        r = cs_ * r + base
+        g = cs_ * g + base
+        b = cs_ * b + base
 
     # Hue rotation — gated exactly like the uniform branch (|hue| > 0.001)
     if gates["hue"]:
