@@ -193,6 +193,16 @@ class ConvertScale(Element):
         scale_x, scale_y, border, _ = self._split_geometry(in_spec, out_spec)
         if out_mode == "full":
             return False
+        from tpuvf.core.formats import PACKED_YUV_FORMATS
+
+        if in_spec.format in PACKED_YUV_FORMATS:
+            # packed inputs decode NEAREST, so the 2x-upsample exception
+            # below (a LINEAR-stencil argument) does not apply: NEAREST
+            # 2x columns from a presplit upload are per-phase passthrough
+            # reads.  UYVY 1080p->4K chain A/B: presplit 1,902-5,722 fps
+            # every rep vs interleaved-split 275-5,193 and canonical
+            # 812-1,497 (scripts/bench_422_scaled_ab.py)
+            return True
         return not (scale_x == 1.0
                     and out_spec.width == 2 * in_spec.width)
 
