@@ -241,6 +241,43 @@ def test_png_lut(tmp_path):
     assert abs(table[0, 0, 7][0] - 1.0) < 0.01
 
 
+def test_bcs_fold_matches_sequential(monkeypatch):
+    """The brightness/contrast/saturation affine fold (round 4) vs the
+    sequential stage chain (TPUVF_NO_BCS_FOLD): the same mathematical
+    map with different float association — <= 1 LSB on quantization
+    knife edges, and EXACT at passthrough coefficients (the folded
+    scalars degenerate to multiply-by-1/add-0)."""
+    rng = np.random.default_rng(7)
+    monkeypatch.delenv("TPUVF_NO_BCS_FOLD", raising=False)
+    for trial in range(6):
+        props = {
+            "brightness": float(rng.uniform(-0.5, 0.5)),
+            "contrast": float(rng.uniform(0.2, 2.0)),
+            "saturation": float(rng.uniform(0.0, 2.0)),
+        }
+        spec = FrameSpec(VideoFormat.RGBA, 64, 48)
+        host = random_host_frame(rng, spec)
+        monkeypatch.delenv("TPUVF_NO_BCS_FOLD", raising=False)
+        got, _, _ = _run_filter("RGBA", 64, 48, props, host=host)
+        monkeypatch.setenv("TPUVF_NO_BCS_FOLD", "1")
+        want, _, _ = _run_filter("RGBA", 64, 48, props, host=host)
+        monkeypatch.delenv("TPUVF_NO_BCS_FOLD", raising=False)
+        for k in want:
+            d = np.abs(got[k].astype(np.int16) - want[k].astype(np.int16))
+            assert d.max() <= 1, (trial, props, k, d.max())
+
+    # passthrough coefficients: bitwise
+    props = {"brightness": 0.0, "contrast": 1.0, "saturation": 1.0,
+             "vignette": 0.3}  # vignette keeps the element non-elided
+    spec = FrameSpec(VideoFormat.RGBA, 64, 48)
+    host = random_host_frame(rng, spec)
+    got, _, _ = _run_filter("RGBA", 64, 48, props, host=host)
+    monkeypatch.setenv("TPUVF_NO_BCS_FOLD", "1")
+    want, _, _ = _run_filter("RGBA", 64, 48, props, host=host)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
 def test_lut_f32_exactness_knob(tmp_path, monkeypatch):
     # TPUVF_LUT_F32=1 keeps the corner table f32 (exact vs the reference's
     # RGBA32Float storage); default packs in-range tables to u8 fixed point
