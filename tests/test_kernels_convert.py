@@ -511,6 +511,81 @@ def test_upsample_int_pipeline_4x_vs_matrix(monkeypatch):
         assert (d > 0).mean() < 0.02
 
 
+# -- round 4: rational-factor (q-phase, stride-p) downscale closed form -----
+
+
+def test_rational_rows_taps_gate():
+    from tpuvf.kernels import convert
+
+    # config-1 geometries: 1080->480 and 540->240 are 9:4
+    p, q, taps = convert._rational_rows_taps(1080, 480, "linear")
+    assert (p, q) == (9, 4) and len(taps) == 4
+    p, q, taps = convert._rational_rows_taps(540, 240, "linear")
+    assert (p, q) == (9, 4)
+    # NEAREST rides the same machinery when the dense taps are arithmetic
+    assert convert._rational_rows_taps(1080, 480, "nearest") is not None
+    # ... and keeps the matrix where dense floor noise mixes taps
+    # (2160->1080: the round-4 advisor geometry)
+    assert convert._rational_rows_taps(2160, 1080, "nearest") is None
+    # upscales, q > 8, and identity are out
+    assert convert._rational_rows_taps(480, 1080, "linear") is None
+    assert convert._rational_rows_taps(110, 99, "linear") is None
+    assert convert._rational_rows_taps(64, 64, "linear") is None
+
+
+@pytest.mark.parametrize("i,o,f", [
+    (1080, 480, "linear"), (540, 240, "linear"), (720, 480, "linear"),
+    (100, 40, "linear"), (96, 36, "linear"), (1080, 480, "nearest"),
+])
+def test_rational_rows_vs_dense(i, o, f):
+    """The rational closed form sits <= 1 ulp from the dense
+    HIGHEST-precision matmul (bitwise on CPU, where the dot is mul+add;
+    the contract allows the TPU dot's FMA to differ in the last ulp)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpuvf.kernels import convert, sample
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0, 1, (i, 64)).astype(np.float32))
+    w = jnp.asarray(sample.sample_matrix(sample.texcoords(o), i, f))
+    ref = jnp.einsum("oh,hw->ow", w, x,
+                     precision=jax.lax.Precision.HIGHEST)
+    got = convert.sample_axis(x, -2, o, f)
+    assert _ulp_diff(ref, got) <= 1
+    # the planner path takes the same closed form
+    bufs = sample.WeightBuffers()
+    run = convert.plan_axis_sampler(i, o, -2, f, 1.0, bufs)
+    got2 = run(x, dict(bufs.buffers))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
+
+
+def test_rational_pipeline_vs_matrix(monkeypatch):
+    """End-to-end 9:4 downscale chain: closed form within 1 LSB of the
+    matrix path (knife-edge quantize flips only)."""
+    from tpuvf.cli.launch import parse_pipeline
+
+    desc = ("videotestsrc num-buffers=2 pattern=smpte "
+            "! video/x-raw,format=NV12,width=128,height=108 "
+            "! vfmetalconvertscale "
+            "! video/x-raw,format=BGRA,width=64,height=48 ! appsink")
+
+    def run():
+        p = parse_pipeline(desc)
+        p.negotiate()
+        p.build()
+        p.run()
+        return [np.asarray(f) for f in p.sinks[0].frames]
+
+    a = run()
+    monkeypatch.setenv("TPUVF_RATPHASE", "off")
+    b = run()
+    for fa, fb in zip(a, b):
+        d = np.abs(fa.astype(np.int32) - fb.astype(np.int32))
+        assert d.max() <= 1, int(d.max())
+        assert (d > 0).mean() < 0.02
+
+
 def test_letterbox2x_rows_closed_form_bitwise(monkeypatch):
     """Letterboxed exactly-2x rows (round 4): the covered band rides the
     2x stencil + zero pad; BITWISE vs the dense matrix path, border

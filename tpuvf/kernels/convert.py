@@ -125,6 +125,126 @@ def _downsample_int(img: jnp.ndarray, axis: int, k: int,
     raise ValueError("downsample supports the last two axes only")
 
 
+def _rational_rows_taps(in_size: int, out_size: int, filter: str):
+    """Phase-periodic closed form of a RATIONAL-factor downscale, or None.
+
+    With out/in = q/p in lowest terms, the sampling texcoords
+    s_j = (j+0.5)*(p/q) - 0.5 satisfy s_{j+q} = s_j + p exactly: the
+    dense sampling matrix is q-phase periodic with input stride p, so
+    each output phase r is ONE fixed 2-tap stencil (LINEAR: base
+    b_r = floor(s_r), weights (1-f_r, f_r)) or ONE fixed tap (NEAREST)
+    over the stride-p row slices img[b_r::p] / img[b_r+1::p] — the
+    rational generalization of the k:1 integer form (_downsample_int,
+    q=1).  Strict downscale keeps every tap strictly in range
+    (s_0 = 0.5*p/q - 0.5 >= 0 and s_last <= in - 1 - (p/q - 1) < in-1
+    for p > q), so no clamp folds exist; checked numerically anyway.
+
+    The gate is EMPIRICAL like _upsample_int_taps: the f64 texcoords
+    carry ~1e-15 rounding noise, so every phase's (tap offset, f32
+    fractional weight) must be constant across its rows IN THE DENSE
+    MATRIX's own arithmetic, else the matrix path stands.  That also
+    keeps odd-k integer LINEAR (q=1) on the matrix automatically — the
+    noise varies the second tap across rows at many sizes.
+
+    PARITY CONTRACT: <= 1 ulp vs the dense HIGHEST-precision matmul
+    (NOT bitwise — the dense dot's FMA keeps the first product
+    unrounded, the repo K-decomposition rule); NEAREST phases are
+    slice-exact (bitwise).  Post-quantize this can flip knife-edge
+    pixels by 1 LSB, the same class as blockband / kx-upsample plans.
+    Reference bilinear semantics:
+    /root/reference/src/convertscale/metalconvertscale_shaders.h:71-148.
+
+    Returns (p, q, taps) — taps a list of q (b_r, w0, w1) tuples
+    (w0/w1 None for NEAREST) — or None.
+    """
+    import math
+
+    if in_size <= out_size or out_size < 1:
+        return None  # strict downscale only (upscales have clamp folds)
+    g = math.gcd(in_size, out_size)
+    p, q = in_size // g, out_size // g
+    if q > 8:
+        return None  # phase count bound: q slices+FMAs and a q-way interleave
+    s = sample.texcoords(out_size) * in_size
+    if filter == NEAREST:
+        idx = np.clip(np.floor(s).astype(np.int64), 0, in_size - 1)
+        taps = []
+        for r in range(q):
+            base = idx[r::q] - p * np.arange(idx[r::q].size)
+            if not np.all(base == base[0]):
+                return None
+            b = int(base[0])
+            if b < 0 or b + p * (idx[r::q].size - 1) > in_size - 1:
+                return None
+            taps.append((b, None, None))
+        return p, q, taps
+    if filter != LINEAR:
+        return None
+    s = s - 0.5
+    x0 = np.floor(s).astype(np.int64)
+    f = (s - np.floor(s)).astype(np.float32)
+    taps = []
+    for r in range(q):
+        xr, fr = x0[r::q], f[r::q]
+        base = xr - p * np.arange(xr.size)
+        if not (np.all(base == base[0]) and np.all(fr == fr[0])):
+            return None
+        b = int(base[0])
+        if b < 0 or b + p * (xr.size - 1) + 1 > in_size - 1:
+            return None  # a clamp fold somewhere: keep the matrix
+        w1 = fr[0]
+        taps.append((b, np.float32(1.0) - w1, w1))
+    return p, q, taps
+
+
+def _rational_ok(in_size: int, out_size: int, filter: str,
+                 axis: int = -2) -> bool:
+    """Env gate for the rational-phase closed form.  TPUVF_RATPHASE
+    selects axes like TPUVF_DOWN2X: "rows" (DEFAULT — sublane strided
+    tap slices are near free; the lane form makes downstream loads
+    strided, the repo axis-asymmetry rule), "both", "cols", "off";
+    unknown values fall back to "rows"."""
+    import os
+
+    mode = os.environ.get("TPUVF_RATPHASE", "rows")
+    if mode not in ("rows", "both", "cols", "off"):
+        mode = "rows"
+    if mode == "off":
+        return False
+    if mode == "rows" and axis == -1:
+        return False
+    if mode == "cols" and axis == -2:
+        return False
+    return _rational_rows_taps(in_size, out_size, filter) is not None
+
+
+def _rational_apply(img: jnp.ndarray, axis: int, p: int, taps,
+                    out_size: int) -> jnp.ndarray:
+    """Apply _rational_rows_taps stencils along `axis`: q strided
+    2-tap FMAs (or slices for NEAREST) + one stack/reshape interleave.
+    Every tap is strictly in range (gated), so no edge fixes.  Requires
+    the full (unsharded) axis — plan wrappers fall back to the dense
+    path under spctx row sharding."""
+    axis = axis % img.ndim
+    q = len(taps)
+    m = out_size // q
+
+    def strided(b):
+        return jax.lax.slice_in_dim(
+            img, b, b + p * (m - 1) + 1, stride=p, axis=axis)
+
+    phases = []
+    for b, w0, w1 in taps:
+        if w0 is None:
+            phases.append(strided(b))
+        else:
+            phases.append(w0 * strided(b) + w1 * strided(b + 1))
+    stacked = jnp.stack(phases, axis=axis + 1)
+    shape = list(img.shape)
+    shape[axis] = out_size
+    return stacked.reshape(shape)
+
+
 def _upsample_int_taps(in_size: int, out_size: int, filter: str):
     """Per-phase closed-form stencils of an integer-factor (k >= 3)
     LINEAR upsample, or None when the dense sampling matrix does not
@@ -326,6 +446,13 @@ def sample_axis(
                 img, axis, _upsample_int_taps(in_size, out_size, filter))
         if _downsample_int_ok(in_size, out_size, filter, axis):
             return _downsample_int(img, axis, in_size // out_size, filter)
+        if _rational_ok(in_size, out_size, filter, axis):
+            from tpuvf.parallel import spctx
+
+            if (spctx.active_axis() is None
+                    and img.shape[axis % img.ndim] == in_size):
+                p_, _q, rtaps = _rational_rows_taps(in_size, out_size, filter)
+                return _rational_apply(img, axis, p_, rtaps, out_size)
     t = sample.texcoords(out_size, scale)
     mask = sample.coverage_mask(out_size, scale)
     w = sample.sample_matrix(t, in_size, filter, mask)
@@ -502,6 +629,15 @@ def plan_axis_sampler(in_size, out_size, axis, filter, scale, bufs):
                 return _downsample_int(img, -2, k, filter)
 
             return run_int_rows
+    rational = None
+    if scale == 1.0 and _rational_ok(in_size, out_size, filter, axis):
+        # rational-factor (q-phase, stride-p) closed form: q strided
+        # 2-tap FMAs fused into the surrounding program — no weight
+        # matrix fetch, no matmul, no separate Pallas launch (and no
+        # bottom-pad for non-8-multiple heights like 540-row chroma).
+        # <= 1 ulp vs dense (see _rational_rows_taps); sharded operands
+        # fall through to the dense all-gather path below.
+        rational = _rational_rows_taps(in_size, out_size, filter)
     t = sample.texcoords(out_size, scale)
     mask = sample.coverage_mask(out_size, scale)
     w = sample.sample_matrix(t, in_size, filter, mask)
@@ -559,7 +695,7 @@ def plan_axis_sampler(in_size, out_size, axis, filter, scale, bufs):
             precision=sample.MATMUL_PRECISION,
         )
 
-    if _use_pallas_banded(in_size, axis, filter, scale):
+    if _use_pallas_banded(in_size, axis, filter, scale) and rational is None:
         from tpuvf.kernels.pallas import resample as pres
 
         t_np = sample.texcoords(out_size, scale)
@@ -590,6 +726,20 @@ def plan_axis_sampler(in_size, out_size, axis, filter, scale, bufs):
             return out.reshape(img.shape[:-2] + out.shape[-2:])
 
         return run_banded
+    if rational is not None:
+        p_, _q, rtaps = rational
+
+        def run_rational(img, params):
+            from tpuvf.parallel import spctx
+
+            if (spctx.active_axis() is not None
+                    or img.shape[axis % img.ndim] != in_size):
+                # row-sharded operand: phase rows of a shard are not
+                # global phase rows — the dense all-gather path stands
+                return run_dense(img, params)
+            return _rational_apply(img, axis, p_, rtaps, out_size)
+
+        return run_rational
     return run_dense
 
 
