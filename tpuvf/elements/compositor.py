@@ -235,6 +235,31 @@ class Compositor(Element):
         )
         return base + (("pads", pads),)
 
+    # -- pad property schedules ("sink_0::xpos", GstController-on-pad
+    # analog: the reference marks every pad prop GST_PARAM_CONTROLLABLE,
+    # gstvfmetalcompositorpad.m:282-315).  Element.control/sync_frame
+    # route through these hooks, so pad ramps ride the same per-frame
+    # snapshot machinery (incl. run_batched's scanned schedule stacks).
+
+    def _ctl_has(self, name):
+        if "::" in name:
+            pad, prop = name.split("::", 1)
+            return self.get_pad(pad).has(prop)
+        return super()._ctl_has(name)
+
+    def _ctl_get(self, name):
+        if "::" in name:
+            pad, prop = name.split("::", 1)
+            return self.get_pad(pad).get(prop)
+        return super()._ctl_get(name)
+
+    def _ctl_set(self, name, value):
+        if "::" in name:
+            pad, prop = name.split("::", 1)
+            self.get_pad(pad).set(prop, value)
+            return
+        super()._ctl_set(name, value)
+
     def traced_params(self):
         out = super().traced_params()
         for name, bag in self.pads.items():

@@ -87,8 +87,18 @@ def parallel_batch_fn(step, mesh, params, dp_axis="dp", sp_axis=None,
     dp shards map to independent streams.  Stateful plane-shaped carry
     (deinterlace prev-frame) row-shards with the planes under sp.
 
-    Returns run(planes, state, tiled=False) -> (outs (B, ...), state_tiled).
-    Pass a previous call's returned state back with tiled=True.
+    `frame_params` (round-5, controllers under mesh): an optional
+    {element: {param: (B,) array}} of per-frame traced-scalar snapshots
+    (Element.control schedules, stacked by Pipeline.run_batched).  The
+    stacks shard over dp with the batch axis and replicate over sp; each
+    shard's local scan merges its frames' rows into the staged params —
+    the same per-frame override the non-mesh batch path applies
+    (reference per-frame property sync:
+    /root/reference/src/videofilter/gstvfmetalvideofilter.m:183-205).
+
+    Returns run(planes, state, tiled=False, frame_params=None)
+    -> (outs (B, ...), state_tiled).  Pass a previous call's returned
+    state back with tiled=True.
     """
     import functools
 
@@ -130,22 +140,26 @@ def parallel_batch_fn(step, mesh, params, dp_axis="dp", sp_axis=None,
 
     _compiled = {}
 
-    def get_fn(planes, state_tiled):
+    def get_fn(planes, state_tiled, frame_params):
         key = (
             jax.tree_util.tree_structure(planes),
             tuple(np.shape(x) for x in jax.tree_util.tree_leaves(planes)),
             jax.tree_util.tree_structure(state_tiled),
             tuple(np.shape(x)
                   for x in jax.tree_util.tree_leaves(state_tiled)),
+            jax.tree_util.tree_structure(frame_params),
+            tuple(np.shape(x)
+                  for x in jax.tree_util.tree_leaves(frame_params)),
         )
         hit = _compiled.get(key)
         if hit is not None:
             return hit
         in_specs = (tree_specs(planes, replicated_inputs),
-                    tree_specs(state_tiled, replicated_state), P())
+                    tree_specs(state_tiled, replicated_state), P(),
+                    tree_specs(frame_params))
         # output structure (for out_specs) from an abstract trace of the
         # scanned step — same leaf rule as the inputs
-        def scanned(pl, st_t, prm):
+        def scanned(pl, st_t, prm, fp):
             import jax.numpy as jnp
 
             pl = dict(pl)
@@ -157,25 +171,31 @@ def parallel_batch_fn(step, mesh, params, dp_axis="dp", sp_axis=None,
             # poison cross-call stream continuity
             pad = pl.pop("__pad__", None)
             state = jax.tree_util.tree_map(lambda s: s[0], st_t)
+            has_fp = bool(fp)
 
             def body(st, xs):
-                if pad is None:
-                    out, st2 = step(xs, st, prm)
-                    return st2, out
-                frame, is_pad = xs
-                out, st2 = step(frame, st, prm)
-                st2 = jax.tree_util.tree_map(
-                    lambda new, old: jnp.where(is_pad, old, new), st2, st)
+                fpi = xs.get("fp", {})
+                p = ({name: ({**prm[name], **fpi[name]} if name in fpi
+                             else prm[name]) for name in prm}
+                     if has_fp else prm)
+                out, st2 = step(xs["pl"], st, p)
+                if "pad" in xs:
+                    st2 = jax.tree_util.tree_map(
+                        lambda new, old: jnp.where(xs["pad"], old, new),
+                        st2, st)
                 return st2, out
 
-            xs = pl if pad is None else (pl, pad)
+            xs = {"pl": pl, "fp": fp}
+            if pad is not None:
+                xs["pad"] = pad
             st, outs = jax.lax.scan(body, state, xs)
             return outs, jax.tree_util.tree_map(lambda s: s[None], st)
 
         if sp:
             # eval_shape on GLOBAL shapes outside the spatial context (the
             # unsharded trace) just to learn the output pytree structure
-            out_shapes = jax.eval_shape(scanned, planes, state_tiled, params)
+            out_shapes = jax.eval_shape(scanned, planes, state_tiled,
+                                        params, frame_params)
             # the carried state keeps the SAME replication as its in_specs:
             # a replicated branch's plane-shaped state (deinterlace
             # prev-frame feeding a compositor pad) stays full-height on
@@ -192,9 +212,9 @@ def parallel_batch_fn(step, mesh, params, dp_axis="dp", sp_axis=None,
             out_specs=out_specs,
             check_vma=False,
         )
-        def sharded(pl, st_t, prm):
+        def sharded(pl, st_t, prm, fp):
             with spctx.spatial_axis(sp):
-                return scanned(pl, st_t, prm)
+                return scanned(pl, st_t, prm, fp)
 
         fn = jax.jit(sharded)
         _compiled[key] = fn
@@ -220,14 +240,16 @@ def parallel_batch_fn(step, mesh, params, dp_axis="dp", sp_axis=None,
     staged_params = []  # device_put ONCE — weight buffers / LUT tables are
     # the dominant per-call transfer on the remote-tunnel backend
 
-    def run(planes, state, tiled=False):
+    def run(planes, state, tiled=False, frame_params=None):
+        fp = frame_params or {}
         dev = put(planes, replicated_inputs)
         st = state if tiled else tile_state(state)
         dev_state = put(st, replicated_state)
+        dev_fp = put(fp)  # (B,) leaves -> dp-sharded, sp-replicated
         if not staged_params:
             staged_params.append(jax.device_put(params, replicated(mesh)))
-        fn = get_fn(planes, st)
+        fn = get_fn(planes, st, fp)
         with mesh:
-            return fn(dev, dev_state, staged_params[0])
+            return fn(dev, dev_state, staged_params[0], dev_fp)
 
     return run

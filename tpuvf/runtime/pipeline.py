@@ -1648,11 +1648,6 @@ class Pipeline:
         # _select_step applies the same mismatch-fallback guard as run()
         step = self._select_step(self.params())
 
-        if controlled and mesh is not None:
-            raise ValueError(
-                "controlled properties (Element.control) are not supported "
-                "with mesh=... yet — drive the schedule across run_batched "
-                "calls or use run()")
         # controlled-property schedules may not change pipeline STRUCTURE
         # mid-call (run() rebuilds per frame; one scanned program can't):
         # capture the entry structure and verify it per frame below
@@ -1748,11 +1743,16 @@ class Pipeline:
             if controlled:
                 # per-frame controlled-property snapshots, stacked and
                 # scanned alongside the inputs (the reference's per-frame
-                # GST_OBJECT_LOCK snapshot, gstvfmetalvideofilter.m:183-205)
+                # GST_OBJECT_LOCK snapshot, gstvfmetalvideofilter.m:183-205).
+                # Mesh mode (round-5): the stacks shard over dp with the
+                # batch axis and replicate over sp — each dp shard scans
+                # its own frames' snapshots; tail padding repeats the last
+                # row (those outputs are dropped like the frames')
                 rows = [
                     self._ctl_frame_params(done + i, ctl_structure)
                     for i in range(n)
                 ]
+                rows += [rows[-1]] * pad
                 fp = {name: {k: np.stack([r[name][k] for r in rows])
                              for k in rows[0][name]}
                       for name in rows[0]}
@@ -1761,7 +1761,8 @@ class Pipeline:
             try:
                 if dp_run is not None:
                     outs, dp_state = dp_run(stacked, dp_state,
-                                            tiled=dp_tiled)
+                                            tiled=dp_tiled,
+                                            frame_params=fp)
                     dp_tiled = True
                 else:
                     stacked = jax.device_put(stacked)
