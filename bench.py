@@ -63,6 +63,23 @@ def main():
             measure_fps(step, make_planes, state0, params,
                         batch_small=4, batch_large=16)["fps"])
     fps = statistics.median(samples)
+    # window-independent floor (round 5, VERDICT r4 item 3): per-frame
+    # device time from a jax.profiler trace — tunnel congestion moves the
+    # wall-clock median up to 20x between driver runs but not this figure.
+    # Sequential-dispatch floor; scan-batched wall readings can exceed it
+    # by overlapping weight fetches (round-3b trace-vs-scan caveat).
+    from tpuvf.runtime.benchmark import measure_device_us
+
+    extra = {}
+    try:
+        dev = measure_device_us(step, make_planes, state0, params)
+        if dev is not None:
+            extra = {
+                "device_us_per_frame": round(dev["us_per_frame"], 2),
+                "fps_device_floor": round(dev["fps_device"], 2),
+            }
+    except Exception:
+        pass
     print(json.dumps({
         "metric": "4K NV12 convertscale+videofilter chain fps/chip (HBM-resident)",
         "value": round(fps, 2),
@@ -71,6 +88,7 @@ def main():
         "min": round(min(samples), 2),
         "fast_window": round(max(samples), 2),
         "samples": [round(s, 1) for s in samples],
+        **extra,
     }))
 
 

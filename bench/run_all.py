@@ -56,18 +56,26 @@ def run(name: str) -> dict:
         "unit": "fps",
         "vs_baseline": round(res["fps"] / 60.0, 3),
     }
-    if name == "transform":
+    # EVERY config publishes its device-time floor alongside the
+    # wall-clock reading (round 5, VERDICT r4 item 3): the trace per-op
+    # sum (jit spans excluded) is window-independent — tunnel congestion
+    # moves the wall-clock median up to 20x but not this figure.  Note
+    # the floor counts sequential per-frame dispatch; scan-batched wall
+    # readings can legitimately EXCEED it by overlapping weight fetches
+    # (round-3b trace-vs-scan caveat).
+    dev = measure_device_us(step, make_planes, state0, params)
+    if dev is not None:
+        out["device_us_per_frame"] = round(dev["us_per_frame"], 2)
+        out["fps_device_floor"] = round(dev["fps_device"], 2)
+    if name == "transform" and dev is not None:
         # frames run ~6-40 us on device — far below the ~35 ms tunnel
         # jitter, so the wall-clock slope (27k-155k fps spread) is noise.
         # Publish the DEVICE-trace figure as the config's number and keep
         # the scan-overlap wall reading as a capability note (VERDICT r3).
-        dev = measure_device_us(step, make_planes, state0, params)
-        if dev is not None:
-            out["scan_overlap_fps_note"] = out["value"]
-            out["value"] = round(dev["fps_device"], 2)
-            out["unit"] = "fps (device-time)"
-            out["device_us_per_frame"] = round(dev["us_per_frame"], 2)
-            out["vs_baseline"] = round(dev["fps_device"] / 60.0, 3)
+        out["scan_overlap_fps_note"] = out["value"]
+        out["value"] = round(dev["fps_device"], 2)
+        out["unit"] = "fps (device-time)"
+        out["vs_baseline"] = round(dev["fps_device"] / 60.0, 3)
     return out
 
 

@@ -25,7 +25,11 @@ FORMATS = ["BGRA", "RGBA", "NV12", "I420", "UYVY", "YUY2"]
 # mix of sp-friendly (8-divisible) and gate-exercising (odd/indivisible)
 SIZES = [(64, 48), (128, 96), (64, 32), (96, 64), (37, 23), (62, 46)]
 MESHES = [{"dp": 1, "sp": 2}, {"dp": 2, "sp": 2}, {"dp": 1, "sp": 4},
-          {"dp": 2, "sp": 4}, {"dp": 1, "sp": 8}]
+          {"dp": 2, "sp": 4}, {"dp": 1, "sp": 8},
+          # round 5: MISALIGNED counts — quad/grid chains keep their plan
+          # via proportional row padding (Pipeline._sp_pad_plan); full
+          # plans still reject with the round-3 clear error
+          {"dp": 1, "sp": 3}, {"dp": 2, "sp": 3}, {"dp": 1, "sp": 6}]
 
 def _fuzz_png():
     """A deterministic RGBA overlay image on disk (parse-time dependency
@@ -122,7 +126,7 @@ def _run_sp(desc, axes, animate, seed):
         _animate(np.random.default_rng(1000 + seed + 500), sp)
     m = pmesh.make_mesh(axes)
     sp.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")
-    return sp.sinks[0].frames
+    return sp.sinks[0].frames, getattr(sp, "_sp_row_pad", None)
 
 
 def _planes(frame):
@@ -146,7 +150,7 @@ def _run_one(seed):
     except (ValueError, NotImplementedError):
         return "invalid", desc  # chain itself rejected; nothing to compare
     try:
-        a_frames = _run_sp(desc, axes, animate, seed)
+        a_frames, a_pad = _run_sp(desc, axes, animate, seed)
     except ValueError:
         return "sp-rejected", desc  # clear dispatch-time rejection: ok
     except PipelineError as exc:
@@ -183,22 +187,28 @@ def _run_one(seed):
                 assert (d > 0).mean() < 0.005, f"{desc} mesh={axes}"
     # cross-shard-count bitwise check (same dp, different sp)
     sp_n = axes.get("sp", 1)
-    alt = dict(axes, sp=2 if sp_n != 2 else 4)
+    # misaligned primaries pair with the other misaligned count (3 and 6
+    # usually share the pad ratio -> bitwise oracle stays live for them)
+    alt = dict(axes, sp={3: 6, 6: 3}.get(sp_n, 2 if sp_n != 2 else 4))
     if alt["dp"] * alt["sp"] <= len(jax.devices()) and alt["sp"] > 1:
         try:
-            c_frames = _run_sp(desc, alt, animate, seed)
+            c_frames, c_pad = _run_sp(desc, alt, animate, seed)
         except ValueError:
             c_frames = None  # alt layout gated (rows/shard constraints)
         if c_frames is not None:
             for a, c in zip(a_frames, c_frames):
                 planes_a, planes_c = _planes(a), _planes(c)
                 for k in planes_a:
-                    if grain:
-                        # the grain hash is FMA-chaotic across program
-                        # shapes (CLAUDE.md); tolerance as above
+                    if grain or a_pad != c_pad:
+                        # grain: FMA-chaotic across program shapes
+                        # (CLAUDE.md).  Different row-pad ratios are
+                        # different PROGRAM SHAPES too — compare with
+                        # the knife-edge tolerance; same-pad layouts
+                        # below keep the bitwise halo oracle
                         d = np.abs(planes_a[k].astype(int)
                                    - planes_c[k].astype(int))
-                        assert d.max() <= 4, f"{desc} {axes} vs {alt}"
+                        assert d.max() <= (4 if grain else 1), \
+                            f"{desc} {axes} vs {alt}"
                     else:
                         np.testing.assert_array_equal(
                             planes_a[k], planes_c[k],

@@ -835,3 +835,148 @@ def test_sp_upscale4x_closed_form():
     for a, b in zip(sp2, sp4):
         assert_frames_equal(a, b)
     _assert_close_1lsb(sp2, plain, frac=0.02)
+
+
+# -- round 5: MISALIGNED sp counts keep the quad/grid plan via row padding --
+# When phase rows don't split evenly over sp (e.g. 32 phase rows at sp=3),
+# the pipeline bottom-pads every sharded plane PROPORTIONALLY to the next
+# alignment (Pipeline._sp_pad_plan) instead of rebuilding on the
+# column-split plan; stencil frame-edge clamps stay exact because
+# spctx.total_rows/frame_last_row are true-frame aware, and pad-row
+# outputs are cropped at readback.  Oracle: bitwise across two padded
+# layouts that share the pad (sp=3 and sp=6 both pad 64 -> 72), <= 1 LSB
+# vs unsharded (VERDICT r4 item 2 done-condition).
+
+
+def _run_sp_pipeline(desc, n, axes, sp_axis="sp", batch_size=None, **kw):
+    p = parse_pipeline(desc)
+    p.negotiate()
+    p.build()
+    m = pmesh.make_mesh(axes)
+    p.run_batched(n, batch_size=batch_size or n, mesh=m, sp_axis=sp_axis,
+                  **kw)
+    return p
+
+
+def _assert_pad_kept_quad(p, expect_ratio):
+    assert p._sp_row_pad == expect_ratio, p._sp_row_pad
+    assert any(v == "quad" for v in p._source_split.values()), \
+        "quad plan must survive misaligned sp via row padding"
+
+
+def test_sp_quad_misaligned_pads_and_keeps_plan():
+    require_devices(6)
+    plain = _run_plain(QUAD_SP_CHAIN, 2)
+    p3 = _run_sp_pipeline(QUAD_SP_CHAIN, 2, {"dp": 1, "sp": 3})
+    _assert_pad_kept_quad(p3, (64, 72))
+    p6 = _run_sp_pipeline(QUAD_SP_CHAIN, 2, {"dp": 1, "sp": 6})
+    _assert_pad_kept_quad(p6, (64, 72))
+    sp3 = p3.sinks[0].frames
+    sp6 = p6.sinks[0].frames
+    for a, b in zip(sp3, sp6):
+        assert_frames_equal(a, b)
+    _assert_close_1lsb(sp3, plain)
+
+
+def test_sp_quad_misaligned_sharpness_halo():
+    """blur9_v_split across a PADDED shard boundary: the frame-bottom
+    clamp must read the true last phase row (a pad row sits below it)."""
+    require_devices(3)
+    desc = QUAD_SP_CHAIN.replace("vignette=0.4", "sharpness=0.7")
+    plain = _run_plain(desc, 2)
+    p3 = _run_sp_pipeline(desc, 2, {"dp": 1, "sp": 3})
+    _assert_pad_kept_quad(p3, (64, 72))
+    _assert_close_1lsb(p3.sinks[0].frames, plain)
+
+
+def test_sp_grid_misaligned_two_heights():
+    """Grid16 2x upscale carries TWO heights (64 in, 128 out) in exact
+    ratio; one frame ratio pads both consistently (64->72, 128->144)."""
+    require_devices(3)
+    desc = (
+        "videotestsrc num-buffers=2 pattern=smpte "
+        "! video/x-raw,format=NV12,width=96,height=64 "
+        "! vfmetalconvertscale "
+        "! video/x-raw,format=BGRA,width=192,height=128 "
+        "! vfmetalvideofilter brightness=0.1 contrast=1.2 "
+        "! appsink"
+    )
+    plain = _run_plain(desc, 2)
+    p3 = _run_sp_pipeline(desc, 2, {"dp": 1, "sp": 3})
+    _assert_pad_kept_quad(p3, (64, 72))
+    _assert_close_1lsb(p3.sinks[0].frames, plain, frac=0.02)
+
+
+def test_sp_quad_misaligned_deinterlace_state_continuity():
+    """greedyh prev-frame state pads with the planes, resumes padded
+    across calls (_mesh_state), and crops back for non-mesh use."""
+    require_devices(3)
+    desc = (
+        "videotestsrc num-buffers=4 pattern=ball "
+        "! video/x-raw,format=NV12,width=96,height=64 "
+        "! vfmetaldeinterlace method=greedyh "
+        "! appsink"
+    )
+    ref = parse_pipeline(desc)
+    ref.negotiate(); ref.build()
+    ref.run_batched(2, batch_size=2)
+    ref.run_batched(2, batch_size=2)
+    p = parse_pipeline(desc)
+    p.negotiate(); p.build()
+    m = pmesh.make_mesh({"dp": 1, "sp": 3})
+    p.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")
+    p.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")
+    _assert_pad_kept_quad(p, (64, 72))
+    _assert_close_1lsb(p.sinks[0].frames, ref.sinks[0].frames)
+    # published dp=1 state is CROPPED back to true rows for non-mesh use
+    for leaf in jax.tree_util.tree_leaves(p._state):
+        if np.ndim(leaf) >= 2:
+            assert np.asarray(leaf).shape[-2] in (32, 16), leaf.shape
+
+
+def test_sp_quad_misaligned_overlay_bottom_edge():
+    """Overlay rect reaching the TRUE frame bottom under padding: phase
+    pieces zero-extend through shard_rows, pad rows get no blend."""
+    require_devices(3)
+    import os
+    from tpuvf.io import png as tpng
+
+    path = "/tmp/tpuvf-sp-pad-overlay.png"
+    if not os.path.exists(path):
+        r = np.random.default_rng(11)
+        tpng.write(path, r.integers(0, 256, (12, 14, 4)).astype(np.uint8))
+    desc = (
+        "videotestsrc num-buffers=2 pattern=smpte "
+        "! video/x-raw,format=NV12,width=96,height=64 "
+        "! vfmetalconvertscale ! video/x-raw,format=BGRA "
+        f"! vfmetaloverlay location={path} x=9 y=52 alpha=0.7 "
+        "! appsink"
+    )
+    plain = _run_plain(desc, 2)
+    p3 = _run_sp_pipeline(desc, 2, {"dp": 1, "sp": 3})
+    _assert_pad_kept_quad(p3, (64, 72))
+    _assert_close_1lsb(p3.sinks[0].frames, plain)
+
+
+def test_sp_quad_misaligned_dp_mesh_combined():
+    require_devices(6)
+    plain = _run_plain(QUAD_SP_CHAIN, 2)
+    p = _run_sp_pipeline(QUAD_SP_CHAIN, 2, {"dp": 2, "sp": 3},
+                         batch_size=2)
+    _assert_pad_kept_quad(p, (64, 72))
+    _assert_close_1lsb(p.sinks[0].frames, plain)
+
+
+def test_sp_pad_does_not_apply_to_full_plans():
+    """Padding is scoped to whole-chain phase plans: a full-plane chain
+    with a misaligned height still gets the round-3 clear error."""
+    require_devices(3)
+    desc = ("videotestsrc num-buffers=2 "
+            "! video/x-raw,format=BGRA,width=96,height=64 "
+            "! vfmetaltransform method=clockwise "
+            "! appsink")
+    p = parse_pipeline(desc)
+    p.negotiate(); p.build()
+    m = pmesh.make_mesh({"dp": 1, "sp": 3})
+    with pytest.raises(ValueError, match="cannot split|does not support"):
+        p.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")

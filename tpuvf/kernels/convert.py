@@ -398,8 +398,12 @@ def shift_rows_cross_phase(x: jnp.ndarray, offset: int,
     if offset == -1:
         return jnp.where(grow == 0, edge_src[..., :1, :], shifted)
     if offset == +1:
+        # total_rows/frame_last_row are TRUE-frame under host row padding
+        # (spctx row_pad): the clamp fires at the true frame edge and
+        # reads the true edge row, so pad-row content is don't-care
         last = spctx.total_rows(x.shape[-2]) - 1
-        return jnp.where(grow == last, edge_src[..., -1:, :], shifted)
+        return jnp.where(grow == last, spctx.frame_last_row(edge_src),
+                         shifted)
     raise ValueError(f"offset {offset} not supported")
 
 
@@ -1037,8 +1041,14 @@ def plan_rgba_sampler_quad(in_spec: FrameSpec, filter: str = LINEAR,
                     u_r = 0.25 * _shift_edge(uf, -2, -1) + 0.75 * uf
                     v_r = 0.25 * _shift_edge(vf, -2, -1) + 0.75 * vf
                 else:          # output rows 2k+1: 0.75*c[k] + 0.25*c[k+1]
-                    u_r = 0.75 * uf + 0.25 * _shift_edge(uf, -2, +1)
-                    v_r = 0.75 * vf + 0.25 * _shift_edge(vf, -2, +1)
+                    # +1 row taps clamp at the TRUE frame bottom (the
+                    # cross-phase shift with the plane as its own edge
+                    # source — identical values unpadded; exact under
+                    # spctx row padding where the local bottom is a pad)
+                    u_r = 0.75 * uf + 0.25 * shift_rows_cross_phase(
+                        uf, +1, uf)
+                    v_r = 0.75 * vf + 0.25 * shift_rows_cross_phase(
+                        vf, +1, vf)
                 u_e = 0.25 * _shift_edge(u_r, -1, -1) + 0.75 * u_r
                 u_o = 0.75 * u_r + 0.25 * _shift_edge(u_r, -1, +1)
                 v_e = 0.25 * _shift_edge(v_r, -1, -1) + 0.75 * v_r
@@ -1279,12 +1289,16 @@ def _grid2x_cols(e, o, p):
 
 def _grid4x_phase(c, idx, axis):
     """Phase idx of a 4x upsample along `axis` from the full plane
-    (half-texel quarter-phase 2-tap weights, _GRID16_CHROMA_W)."""
+    (half-texel quarter-phase 2-tap weights, _GRID16_CHROMA_W).  Row-axis
+    +1 taps clamp at the TRUE frame bottom (see shift_rows_cross_phase —
+    identical values unpadded; exact under spctx row padding)."""
     f32 = np.float32
     wlo, whi = _GRID16_CHROMA_W[idx]
     if idx < 2:  # taps (prev, cur)
         return f32(wlo) * _shift_edge(c, axis, -1) + f32(whi) * c
-    return f32(wlo) * c + f32(whi) * _shift_edge(c, axis, +1)
+    nxt = (shift_rows_cross_phase(c, +1, c) if axis in (-2, c.ndim - 2)
+           else _shift_edge(c, axis, +1))
+    return f32(wlo) * c + f32(whi) * nxt
 
 
 def plan_rgba_sampler_grid420(matrix_index: int):

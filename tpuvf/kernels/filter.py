@@ -513,10 +513,10 @@ def blur9_v_split(e: jnp.ndarray, o: jnp.ndarray):
     from tpuvf.parallel import spctx
 
     half = e.shape[-2]
-    half_g = spctx.total_rows(half)
+    half_g = spctx.total_rows(half)  # TRUE phase rows under host row pad
     row = spctx.global_row_iota(e.shape)
     first_e = jax.lax.slice_in_dim(e, 0, 1, axis=-2)
-    last_o = jax.lax.slice_in_dim(o, half - 1, half, axis=-2)
+    last_o = spctx.frame_last_row(o)
 
     def tap(base, j_off):
         shifted = _shift_edge(base, -2, j_off)
@@ -575,7 +575,8 @@ def blur9_grid4(phases, axis: int):
                                        iota_dim)
         idx = jnp.broadcast_to(idx, phases[0].shape)
     first = jax.lax.slice_in_dim(phases[0], 0, 1, axis=axis)
-    last = jax.lax.slice_in_dim(phases[3], n - 1, n, axis=axis)
+    last = (spctx.frame_last_row(phases[3]) if axis == -2
+            else jax.lax.slice_in_dim(phases[3], n - 1, n, axis=axis))
 
     def tap(q, s):
         shifted = _shift_edge(phases[q], axis, s)

@@ -73,7 +73,8 @@ def shard_batch(planes: Dict, mesh, dp_axis="dp", sp_axis=None) -> Dict:
 
 def parallel_batch_fn(step, mesh, params, dp_axis="dp", sp_axis=None,
                       replicated_inputs=frozenset(),
-                      replicated_state=frozenset()):
+                      replicated_state=frozenset(),
+                      row_pad=None):
     """Data(+spatial)-parallel batch execution: shard_map over the dp axis
     (each shard runs a *local* lax.scan over its sub-batch — scanning a
     dp-sharded axis directly would serialize across chips) and, with
@@ -213,7 +214,11 @@ def parallel_batch_fn(step, mesh, params, dp_axis="dp", sp_axis=None,
             check_vma=False,
         )
         def sharded(pl, st_t, prm, fp):
-            with spctx.spatial_axis(sp):
+            # row_pad: (true, padded) frame-row ratio when the caller
+            # bottom-padded plane rows to realign phase plans with sp
+            # (Pipeline._sp_pad_plan) — stencil frame-edge clamps consult
+            # it via spctx.total_rows/frame_last_row
+            with spctx.spatial_axis(sp, row_pad=row_pad if sp else None):
                 return scanned(pl, st_t, prm, fp)
 
         fn = jax.jit(sharded)

@@ -32,19 +32,30 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_STATE = {"axis": None}
+_STATE = {"axis": None, "row_pad": None}
 
 
 @contextmanager
-def spatial_axis(axis_name: Optional[str]):
+def spatial_axis(axis_name: Optional[str], row_pad=None):
     """Mark `axis_name` as the active row-sharding mesh axis while tracing
-    a shard-local step (None = no-op)."""
-    prev = _STATE["axis"]
+    a shard-local step (None = no-op).
+
+    `row_pad` (round 5): a `(true_frame_rows, padded_frame_rows)` ratio
+    when the host bottom-padded every sharded plane's rows so misaligned
+    phase-plane geometry still splits evenly over the axis
+    (Pipeline._sp_pad_plan).  Every plane pads PROPORTIONALLY (a plane
+    with R rows physically carries R*padded/true rows), so one global
+    ratio recovers any plane's TRUE row count; `total_rows` reports the
+    true count and `frame_last_row` locates the true frame-edge row, so
+    stencil frame-edge clamps stay exact while pad-row outputs (dropped
+    by the host) are don't-care."""
+    prev = (_STATE["axis"], _STATE["row_pad"])
     _STATE["axis"] = axis_name
+    _STATE["row_pad"] = row_pad if axis_name is not None else None
     try:
         yield
     finally:
-        _STATE["axis"] = prev
+        _STATE["axis"], _STATE["row_pad"] = prev
 
 
 def active_axis() -> Optional[str]:
@@ -135,10 +146,31 @@ def shard_rows(x: jnp.ndarray, local_rows: int) -> jnp.ndarray:
     active axis or when the array is already local-sized; under an
     active axis, rows [axis_index*local_rows, +local_rows).  XLA fuses
     the slice into the surrounding pad/elementwise expression, so the
-    full-height intermediate is never materialized per shard."""
+    full-height intermediate is never materialized per shard.
+
+    Under a row_pad ratio the build-time array still has TRUE frame
+    rows while local_rows reflects the padded layout: zero-extend the
+    bottom first so every shard's slice aligns with its padded global
+    rows (the zero rows land only in pad-row outputs, which the host
+    drops) — without this, dynamic_slice start-clamping would SHIFT the
+    tail shard's true rows."""
     axis_name = _STATE["axis"]
-    if axis_name is None or x.shape[-2] == local_rows:
+    if x.shape[-2] == local_rows:
         return x
+    if axis_name is None:
+        # unsharded trace over row-PADDED planes (the mesh runner's
+        # eval_shape pass): extend the build-time true-height array to
+        # the padded height
+        if x.shape[-2] < local_rows:
+            pad = [(0, 0)] * x.ndim
+            pad[-2] = (0, local_rows - x.shape[-2])
+            return jnp.pad(x, pad)
+        return x
+    need = local_rows * jax.lax.axis_size(axis_name)
+    if x.shape[-2] < need:
+        pad = [(0, 0)] * x.ndim
+        pad[-2] = (0, need - x.shape[-2])
+        x = jnp.pad(x, pad)
     idx = jax.lax.axis_index(axis_name)
     start = idx * np.int32(local_rows)
     return jax.lax.dynamic_slice_in_dim(x, start, local_rows, axis=-2)
@@ -160,9 +192,32 @@ def global_row_iota(shape) -> jnp.ndarray:
 
 
 def total_rows(local_rows: int) -> int:
-    """GLOBAL row count of a row-sharded plane (static: local rows x
-    shard count)."""
-    return local_rows * axis_size()
+    """TRUE global row count of a row-sharded plane (static: local rows x
+    shard count, with any host row padding removed via the active
+    row_pad ratio).  Every caller is a frame-edge clamp condition, which
+    must fire at the TRUE frame edge — the padded rows below it are
+    dropped by the host."""
+    physical = local_rows * axis_size()
+    rp = _STATE["row_pad"]
+    if rp is None:
+        return physical
+    true_frame, padded_frame = rp
+    num = physical * true_frame
+    if num % padded_frame:
+        raise ValueError(
+            f"plane with {physical} padded rows is not proportional to "
+            f"row_pad ratio {true_frame}/{padded_frame}")
+    return num // padded_frame
+
+
+def frame_last_row(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., 1, W) slice holding the FRAME's true last row on the shard
+    that owns it (meaningless elsewhere — pair with a global-row
+    `where`, the cross-phase clamp pattern).  Without row padding this
+    is the shard-local last row, exactly the pre-round-5 expression."""
+    local = x.shape[-2]
+    li = (total_rows(local) - 1) % local
+    return jax.lax.slice_in_dim(x, li, li + 1, axis=-2)
 
 
 def global_rows(local_rows: int, global_rows_total: int) -> jnp.ndarray:

@@ -39,6 +39,33 @@ from tpuvf.runtime.observability import (
 _log = get_logger("pipeline")
 
 
+def _pad_rows_host(arr: np.ndarray, row_pad) -> np.ndarray:
+    """Bottom-pad a host plane's rows (-2) to the row_pad ratio
+    (true_frame_rows, padded_frame_rows) with edge replication.  Leaves
+    whose rows aren't proportional to the ratio pass through unchanged
+    (non-plane state)."""
+    true_r, padded_r = row_pad
+    r = arr.shape[-2]
+    if (r * padded_r) % true_r:
+        return arr
+    rp = r * padded_r // true_r
+    if rp == r:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[-2] = (0, rp - r)
+    return np.pad(arr, widths, mode="edge")
+
+
+def _crop_rows_host(arr: np.ndarray, row_pad) -> np.ndarray:
+    """Inverse of _pad_rows_host: drop the pad rows from a host result."""
+    true_r, padded_r = row_pad
+    r = arr.shape[-2]
+    if (r * true_r) % padded_r:
+        return arr
+    rt = r * true_r // padded_r
+    return arr if rt == r else arr[..., :rt, :]
+
+
 @dataclass
 class Link:
     upstream: Element
@@ -1378,6 +1405,7 @@ class Pipeline:
         if sp_axis not in mesh.axis_names:
             raise ValueError(
                 f"sp_axis {sp_axis!r} not in mesh axes {mesh.axis_names}")
+        self._sp_row_pad = None
         sp = mesh.shape[sp_axis]
         if sp <= 1:
             return
@@ -1393,13 +1421,27 @@ class Pipeline:
         # layout tolerance.
         g = self._phase_granularity()
         if g > 1 and not self._sp_phase_rows_ok(sp, g):
-            _log.info(
+            # round 5 (VERDICT r4 item 2): before giving up the 1.4-2.2x
+            # quad/grid win, try BOTTOM-PADDING every sharded plane's rows
+            # proportionally to the next alignment — frame-edge clamps
+            # stay exact (spctx.total_rows/frame_last_row are true-frame
+            # aware) and the host drops pad-row outputs
+            pad_plan = self._sp_pad_plan(sp, g)
+            if pad_plan is not None:
+                self._sp_row_pad = pad_plan
+                _log.info(
+                    "sp=%d misaligned with the %d-row phase plan: bottom-"
+                    "padding plane rows by ratio %d/%d, quad/grid links "
+                    "kept", sp, g, pad_plan[1], pad_plan[0])
+            else:
+                _log.info(
                 "sp=%d does not align with the %d-row phase plan "
-                "(phase rows must split evenly with >= 4 rows/shard): "
-                "disabling quad/grid links and rebuilding with the "
-                "column-split plan", sp, g)
-            self._quad_links_enabled = False
-            self.build()
+                    "(phase rows must split evenly with >= 4 rows/shard) "
+                    "and row padding does not apply: disabling quad/grid "
+                    "links and rebuilding with the column-split plan",
+                    sp, g)
+                self._quad_links_enabled = False
+                self.build()
         if not self._sp_graph_ok:
             raise ValueError(
                 "graph cannot row-shard: a branch feeds both an aggregator "
@@ -1468,9 +1510,62 @@ class Pipeline:
         halo is blur9_v_split's 2).  Conservative for mixed-granularity
         grid chains: the quad-provisioned source head (granularity 2) is
         held to the grid rule (g=4) too."""
-        return all(
-            (h % g == 0 and (h // g) % sp == 0 and (h // g) // sp >= 4)
-            for h in self._sp_heights())
+        return all(self._phase_rows_fit(h, sp, g)
+                   for h in self._sp_heights())
+
+    @staticmethod
+    def _phase_rows_fit(h: int, sp: int, g: int) -> bool:
+        return h % g == 0 and (h // g) % sp == 0 and (h // g) // sp >= 4
+
+    def _sp_pad_plan(self, sp: int, g: int):
+        """(true_frame_rows, padded_frame_rows) ratio that realigns a
+        quad/grid phase plan with sp row sharding by bottom-padding every
+        sharded plane PROPORTIONALLY (round 5, VERDICT r4 item 2), or
+        None when padding does not apply.
+
+        Scope: the whole active chain must ride phase links (quad/grid
+        in-splits or quad/grid/packed-phase out modes) with every source
+        quad-provisioned and no aggregator-replicated branches — exactly
+        the plans whose row geometry is identity or the grid 2x stencils,
+        where the TRUE-frame clamp machinery (spctx.total_rows /
+        frame_last_row, shift_rows_cross_phase, blur9_v_split/_grid4)
+        makes pad-row content don't-care.  Dense row resampling
+        (transform, scaled convertscale) never negotiates these links,
+        so it can't be mis-padded.
+
+        Chains may carry two heights in exactly-2x ratio (grid16 in/out);
+        one frame ratio pads both consistently.  The pad step is 2*g so
+        every derived plane's pad (full, half, quarter rows) stays
+        integral."""
+        if self._sp_replicated or self._sp_rep_sources:
+            return None
+        quad_modes = {"quad", "packed32q", "packed16q",
+                      "grid", "packed32g", "packed420g"}
+        plan = self.link_plan or {}
+        for st in self._stages:
+            if st.passthrough or st.in_spec is None:
+                continue
+            in_split, out_mode = plan.get(st.element.name, (False, "full"))
+            if in_split not in ("quad", "grid") \
+                    and out_mode not in quad_modes:
+                return None
+        if not self.sources or any(
+                self._source_split.get(s.name) != "quad"
+                for s in self.sources):
+            return None
+        heights = sorted(set(self._sp_heights()))
+        if not heights:
+            return None
+        h1 = heights[0]
+        if any(h % h1 or h // h1 not in (1, 2) for h in heights):
+            return None
+        step = 2 * g
+        for pad in range(step, step * sp * 8 + 1, step):
+            hp = h1 + pad
+            if all(self._phase_rows_fit(h // h1 * hp, sp, g)
+                   for h in heights):
+                return (h1, hp)
+        return None
 
     def _meta_source_of(self, elem):
         """The source whose per-buffer metadata reaches `elem` (walking the
@@ -1666,15 +1761,19 @@ class Pipeline:
             st, outs = jax.lax.scan(body, state, (inputs, frame_params))
             return outs, st
 
+        row_pad = None
         if mesh is not None:
             sp_live = (sp_axis is not None and sp_axis in mesh.axis_names
                        and mesh.shape[sp_axis] > 1)
+            if sp_live:
+                row_pad = getattr(self, "_sp_row_pad", None)
             dp_run = parallel_batch_fn(
                 step, mesh, self.params(), sp_axis=sp_axis,
                 replicated_inputs=(frozenset(self._sp_rep_sources)
                                    if sp_live else frozenset()),
                 replicated_state=(frozenset(self._sp_replicated)
-                                  if sp_live else frozenset()))
+                                  if sp_live else frozenset()),
+                row_pad=row_pad)
         else:
             dp_run = None
         if dp_run is None:  # the mesh path never uses these
@@ -1692,6 +1791,13 @@ class Pipeline:
             held = getattr(self, "_mesh_state", None)
             if held is not None and held[0] == mesh_key:
                 dp_state, dp_tiled = held[1], True
+            elif row_pad is not None:
+                # misaligned-sp row padding (spctx row_pad): plane-shaped
+                # state carries pad rows like the planes; resumed padded
+                # state (above) skips this
+                dp_state = jax.tree_util.tree_map(
+                    lambda a: (_pad_rows_host(np.asarray(a), row_pad)
+                               if np.ndim(a) >= 2 else a), dp_state)
         done = 0
         t_run = time.perf_counter()
         while done < num_frames:
@@ -1733,6 +1839,14 @@ class Pipeline:
                     k: np.stack([m[k] for m in metas] + [metas[-1][k]] * pad)
                     for k in metas[0]
                 }
+            if row_pad is not None:
+                # misaligned-sp row padding: every plane leaf bottom-pads
+                # proportionally so phase rows split evenly over sp; the
+                # outputs' pad rows are cropped after readback
+                for name, d in stacked.items():
+                    for k, v in d.items():
+                        if k != "__meta__" and np.ndim(v) >= 3:
+                            d[k] = _pad_rows_host(v, row_pad)
             if pad:
                 # tail padding: mark the phantom frames so the mesh scan
                 # FREEZES the carried state across them (their outputs are
@@ -1786,6 +1900,10 @@ class Pipeline:
                 ) from exc
             if sinks:
                 host = jax.tree_util.tree_map(np.asarray, outs)
+                if row_pad is not None:
+                    host = jax.tree_util.tree_map(
+                        lambda a: (_crop_rows_host(a, row_pad)
+                                   if np.ndim(a) >= 3 else a), host)
                 for i in range(n):
                     frame_out = jax.tree_util.tree_map(
                         lambda v: v[i], host)
@@ -1806,6 +1924,10 @@ class Pipeline:
             if mesh.shape["dp"] == 1:
                 state = jax.tree_util.tree_map(
                     lambda s: np.asarray(s)[0], dp_state)
+                if row_pad is not None:
+                    state = jax.tree_util.tree_map(
+                        lambda a: (_crop_rows_host(a, row_pad)
+                                   if np.ndim(a) >= 2 else a), state)
         self._state = state
         self.stats.frames += done
         self.stats.wall_seconds += time.perf_counter() - t_run
