@@ -193,10 +193,21 @@ def config_compositor():
         return out, state
 
     def make_planes(batch):
+        from tpuvf.core.formats import PLANAR_YUV_FORMATS
+
         rng = np.random.default_rng(0)
+
+        def split_mode(name, spec):
+            if name not in split_pads:
+                return False
+            # 4:2:0 pads upload the host PAIR chroma alongside
+            # (mirrors Pipeline "cols_pair" provisioning, round 5)
+            return ("pair" if spec.format in PLANAR_YUV_FORMATS
+                    and spec.height % 2 == 0 else True)
+
         return {
             name: random_planes_for_spec(spec, batch, rng,
-                                         split=name in split_pads)
+                                         split=split_mode(name, spec))
             for name, spec in pad_specs.items()
         }
 

@@ -525,3 +525,153 @@ def test_scaled_pads_keep_interleaved_renderer():
     assert not comp.aggregate_split_ok(pad_specs, out_spec)
     b1.set("width", -1); b1.set("height", -1)  # back to native size
     assert comp.aggregate_split_ok(pad_specs, out_spec)
+
+
+# -- host PAIR chroma provisioning (round 5, VERDICT r4 item 4) --------------
+#
+# 4:2:0 split-provisioned pads upload full-height (main, adj) u8 chroma
+# planes (frame.chroma_pair_rows) so the LINEAR chroma row 2x-upsample is
+# the pure elementwise 0.25*adj + 0.75*main inside every consumer fold —
+# no multi-consumer f32 relayout (the characterized config-5 residual:
+# 17.6 MB/op re-read by 8 sibling cell fusions).  Everything here asserts
+# BITWISE equality vs the pair-disabled program.
+
+
+def _pair_agg(out_mode="packed16"):
+    comp = make("vfcompositor")
+    comp.set_property("background", 1)
+    pad_specs = {
+        "sink_0": FrameSpec(VideoFormat.BGRA, 256, 128),
+        "sink_1": FrameSpec(VideoFormat.NV12, 128, 64),
+        "sink_2": FrameSpec(VideoFormat.BGRA, 64, 32),
+        "sink_3": FrameSpec(VideoFormat.NV12, 64, 32),
+    }
+    comp.get_pad("sink_0")
+    b1 = comp.get_pad("sink_1"); b1.set("xpos", 128); b1.set("ypos", 0)
+    b2 = comp.get_pad("sink_2"); b2.set("xpos", 0); b2.set("ypos", 64)
+    b2.set("alpha", 0.7)
+    # odd offsets: exercise the phase mapping + off-alignment cell windows
+    b3 = comp.get_pad("sink_3"); b3.set("xpos", 37); b3.set("ypos", 21)
+    b3.set("operator", 2)
+    out_spec = comp.aggregate_spec(
+        pad_specs, CapsFilter(format=VideoFormat.BGRA))
+    assert comp.aggregate_split_ok(pad_specs, out_spec)
+    split_pads = frozenset(pad_specs)
+    agg = comp.make_aggregate(pad_specs, out_spec, out_mode=out_mode,
+                              split_pads=split_pads)
+    return comp, pad_specs, split_pads, agg
+
+
+def _pair_planes(pad_specs, split_pads, pair):
+    from tpuvf.runtime.benchmark import random_planes_for_spec
+
+    rng = np.random.default_rng(7)
+    out = {}
+    for name, spec in pad_specs.items():
+        mode = False
+        if name in split_pads:
+            mode = ("pair" if pair and spec.format == VideoFormat.NV12
+                    else True)
+        out[name] = {k: v[0] for k, v in random_planes_for_spec(
+            spec, 1, rng, split=mode).items()}
+    return out
+
+
+def test_pair_chroma_cells_and_fast_bitwise(monkeypatch):
+    comp, pad_specs, split_pads, agg = _pair_agg()
+    params = comp.traced_params()
+    pp = _pair_planes(pad_specs, split_pads, pair=True)
+    pn = _pair_planes(pad_specs, split_pads, pair=False)
+    # same rng stream: the shared planes are identical data
+    for n in pad_specs:
+        for k in pn[n]:
+            assert np.array_equal(np.asarray(pp[n][k]), np.asarray(pn[n][k]))
+
+    monkeypatch.delenv("TPUVF_NO_CHROMA_PAIR", raising=False)
+    out_cells, _ = agg.variants["cells"](pp, (), params)
+    out_fast, _ = agg.variants["fast"](pp, (), params)
+    monkeypatch.setenv("TPUVF_NO_CHROMA_PAIR", "1")
+    base_cells, _ = agg.variants["cells"](pn, (), params)
+    base_fast, _ = agg.variants["fast"](pn, (), params)
+    for k in base_cells:
+        np.testing.assert_array_equal(np.asarray(out_cells[k]),
+                                      np.asarray(base_cells[k]), err_msg=k)
+    for k in base_fast:
+        np.testing.assert_array_equal(np.asarray(out_fast[k]),
+                                      np.asarray(base_fast[k]), err_msg=k)
+
+
+def test_pair_chroma_planes_are_consumed():
+    """Corrupting u_m must change the cells output — proves the lazy
+    4:2:0 cell readers actually read the PAIR planes (not the canonical
+    u/v fallback)."""
+    import jax.numpy as jnp
+
+    comp, pad_specs, split_pads, agg = _pair_agg()
+    params = comp.traced_params()
+    pp = _pair_planes(pad_specs, split_pads, pair=True)
+    out0, _ = agg.variants["cells"](pp, (), params)
+    pp2 = {n: dict(d) for n, d in pp.items()}
+    pp2["sink_1"]["u_m"] = jnp.asarray(
+        np.asarray(pp["sink_1"]["u_m"]) ^ 255)
+    out1, _ = agg.variants["cells"](pp2, (), params)
+    changed = sum(int(np.sum(np.asarray(out0[k]) != np.asarray(out1[k])))
+                  for k in out0)
+    assert changed > 0
+
+
+def test_pair_chroma_pipeline_provisioning_bitwise(monkeypatch):
+    """End-to-end: source-fed 4:2:0 pads negotiate the cols_pair upload
+    (Pipeline._link_plan) and the pipeline output bit-matches the
+    pair-disabled build."""
+    # a split edge needs a downstream split consumer (a compositor
+    # feeding the sink directly keeps the canonical layout by design)
+    desc = (
+        "vfmetalcompositor name=c background=black "
+        "sink_1::xpos=37 sink_1::ypos=21 "
+        "! video/x-raw,format=BGRA "
+        "! vfmetalvideofilter brightness=0.1 ! appsink "
+        "videotestsrc num-buffers=2 "
+        "! video/x-raw,format=BGRA,width=128,height=64 ! c.sink_0 "
+        "videotestsrc num-buffers=2 pattern=ball "
+        "! video/x-raw,format=NV12,width=64,height=32 ! c.sink_1"
+    )
+
+    def run(no_pair):
+        if no_pair:
+            monkeypatch.setenv("TPUVF_NO_CHROMA_PAIR", "1")
+        else:
+            monkeypatch.delenv("TPUVF_NO_CHROMA_PAIR", raising=False)
+        p = parse_pipeline(desc)
+        p.negotiate()
+        p.build()
+        p.run()
+        return p
+
+    p_pair = run(False)
+    assert any(v == "cols_pair" for v in p_pair._source_split.values())
+    p_base = run(True)
+    assert all(v != "cols_pair" for v in p_base._source_split.values())
+    monkeypatch.delenv("TPUVF_NO_CHROMA_PAIR", raising=False)
+    fa = p_pair.sinks[0].frames
+    fb = p_base.sinks[0].frames
+    assert len(fa) == len(fb) == 2
+    for a, b in zip(fa, fb):
+        if not isinstance(a, dict):
+            a, b = {"rgba": a}, {"rgba": b}
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]),
+                                          np.asarray(b[k]), err_msg=k)
+
+
+def test_chroma_pair_rows_layout():
+    from tpuvf.core.frame import chroma_pair_rows
+
+    c = np.arange(4 * 3, dtype=np.uint8).reshape(4, 3)
+    m, a = chroma_pair_rows(c)
+    assert m.shape == a.shape == (8, 3)
+    for k in range(4):
+        assert np.array_equal(m[2 * k], c[k])
+        assert np.array_equal(m[2 * k + 1], c[k])
+        assert np.array_equal(a[2 * k], c[max(k - 1, 0)])
+        assert np.array_equal(a[2 * k + 1], c[min(k + 1, 3)])

@@ -174,11 +174,14 @@ def test_sp_aligned_keeps_quad():
         assert (d > 0).mean() < 0.005, float((d > 0).mean())
 
 
-def test_sp_misaligned_falls_back_to_split():
+def test_sp_misaligned_keeps_quad_via_row_padding():
     # h=24 -> 12 phase rows over sp=4 gives 3 phase rows/shard — below
-    # the 4-row phase-halo floor — so the plan must fall back to the
-    # column-split links, rebuild, and still run (full rows 6/shard pass
-    # the column-split evenness rules)
+    # the 4-row phase-halo floor.  Round 5 (VERDICT r4 item 2): instead
+    # of falling back to the column-split plan, a pure phase-link chain
+    # bottom-pads every sharded plane's rows proportionally
+    # (Pipeline._sp_pad_plan) and KEEPS the quad links; outputs stay
+    # bitwise vs the unsharded batched run (sp-only meshes preserve the
+    # batch shape).
     import jax
 
     from tpuvf.parallel.mesh import make_mesh
@@ -188,11 +191,28 @@ def test_sp_misaligned_falls_back_to_split():
     desc = CHAIN_RGB.replace("height=108", "height=24")
     p = _run(desc)
     assert any(v == "quad" for v in p._source_split.values())
+
+    plain = parse_pipeline(desc)
+    plain.negotiate()
+    plain.build()
+    plain.run_batched(2, batch_size=2)
+
     mesh = make_mesh({"dp": 1, "sp": 4})
-    p.run_batched(2, batch_size=2, mesh=mesh, sp_axis="sp")
-    assert all(v != "quad" for v in p._source_split.values())
-    assert all(m[1] not in ("quad", "packed32q", "packed16q")
-               for m in p.link_plan.values())
+    p2 = parse_pipeline(desc)
+    p2.negotiate()
+    p2.build()
+    p2.run_batched(2, batch_size=2, mesh=mesh, sp_axis="sp")
+    # the quad plan survived (no column-split rebuild), via row padding
+    assert any(v == "quad" for v in p2._source_split.values())
+    assert p2._sp_row_pad is not None
+    assert len(p2.sinks[0].frames) == len(plain.sinks[0].frames)
+    for fa, fb in zip(p2.sinks[0].frames, plain.sinks[0].frames):
+        if not isinstance(fa, dict):
+            fa, fb = {"rgba": fa}, {"rgba": fb}
+        assert fa.keys() == fb.keys()
+        for k in fa:
+            np.testing.assert_array_equal(np.asarray(fa[k]),
+                                          np.asarray(fb[k]), err_msg=k)
 
 
 # -- kernel/host-edge unit tests --------------------------------------------

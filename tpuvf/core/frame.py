@@ -21,6 +21,7 @@ import numpy as np
 
 from tpuvf.core.formats import (
     PACKED_YUV_FORMATS,
+    PLANAR_YUV_FORMATS,
     RGB_FORMATS,
     VideoFormat,
     chroma_dims_420,
@@ -321,7 +322,30 @@ def quad_planes_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
     return out
 
 
-def split_planes_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
+def chroma_pair_rows(c: np.ndarray):
+    """(..., ch, cw) chroma plane -> full-height (..., 2*ch, cw) PAIR
+    planes (main, adj): row 2k reads c[k] / c[max(k-1,0)], row 2k+1 reads
+    c[k] / c[min(k+1,ch-1)].  The device-side LINEAR chroma row
+    2x-upsample (taps 0.25/0.75, edge-clamped — the texture sampler's
+    bilinear rows, metalconvertscale_shaders.h:71-148) then becomes the
+    pure elementwise expression ``0.25*adj + 0.75*main``: bitwise equal
+    to the stencil forms (IEEE addition commutes), but with NO device
+    relayout/interleave to pin — it fuses into every consumer, so
+    sibling compositor cell folds stop re-reading a materialized
+    full-height f32 chroma plane (round-4's characterized config-5
+    residual: 17.6 MB/op x 8 fusions)."""
+    ch = c.shape[-2]
+    m = np.repeat(c, 2, axis=-2)
+    a = np.empty_like(m)
+    idx_prev = np.maximum(np.arange(ch) - 1, 0)
+    idx_next = np.minimum(np.arange(ch) + 1, ch - 1)
+    a[..., 0::2, :] = c[..., idx_prev, :]
+    a[..., 1::2, :] = c[..., idx_next, :]
+    return np.ascontiguousarray(m), np.ascontiguousarray(a)
+
+
+def split_planes_host(planes: Dict[str, np.ndarray], spec: FrameSpec,
+                      chroma_pair: bool = False):
     """Canonical planes -> column-phase SPLIT planes, on the host.
 
     Device-side u8 deinterleaves cost full-plane relayout copies (~150 us
@@ -346,7 +370,15 @@ def split_planes_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
             out[f"{n}_e"], out[f"{n}_o"] = deint(rgba[c])
         return out
     y_e, y_o = deint(planes["y"])
-    return {"y_e": y_e, "y_o": y_o, "u": planes["u"], "v": planes["v"]}
+    out = {"y_e": y_e, "y_o": y_o, "u": planes["u"], "v": planes["v"]}
+    if (chroma_pair and spec.format in PLANAR_YUV_FORMATS
+            and spec.height % 2 == 0):
+        # compositor-pad provisioning (round 5): full-height PAIR chroma
+        # alongside the canonical half-height planes (the general/
+        # animated variant still reads "u"/"v")
+        for n in ("u", "v"):
+            out[f"{n}_m"], out[f"{n}_a"] = chroma_pair_rows(planes[n])
+    return out
 
 
 def frame_from_host(data, spec: FrameSpec, device=None) -> Frame:

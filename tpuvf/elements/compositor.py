@@ -1010,21 +1010,26 @@ class Compositor(Element):
                     skipping the full-size premultiplied f32 planes — the
                     config-5 trace showed those materializing ~100 us/frame
                     because the per-cell slices made them multi-consumer.
-                    4:2:0 pads stay EAGER: the round-4 lazy variant
-                    (chroma recomputed in-fusion per cell, pair
-                    broadcast-select rows) measured 670.6 vs 567.7
-                    us/frame on the config-5 trace — the pair
-                    interleave's broadcast materializes once per
-                    consumer fusion (scripts/probe_comp_cellforms.py
-                    has the full formulation table)."""
+                    4:2:0 pads go lazy only when the upload carries the
+                    host PAIR chroma (u_m/u_a full-height u8,
+                    frame.chroma_pair_rows): the round-4 in-XLA lazy
+                    variant (chroma row-interleave recomputed per cell
+                    via pair broadcast-select) measured 670.6 vs 567.7
+                    us/frame because the interleave's broadcast
+                    materializes once per consumer fusion
+                    (scripts/probe_comp_cellforms.py); with the host
+                    pair planes the row upsample is pure elementwise-
+                    from-u8, so each cell fold fuses its own chroma
+                    decode and nothing materializes."""
                     from tpuvf.kernels.color import as_unit_float
 
                     d = p["d"]
-                    if (d["pad"].name not in split_pads
-                            or d["fmt"] not in RGB_FORMATS):
+                    if d["pad"].name not in split_pads:
                         return None
                     planes = pad_inputs[d["pad"].name]
                     k = p["alpha"] * p["draw"]
+                    if d["fmt"] not in RGB_FORMATS:
+                        return lazy_420_readers(d, planes, k)
                     names = ("r", "g", "b", "a")
 
                     def make(suffix):
@@ -1036,6 +1041,70 @@ class Compositor(Element):
                             v = as_unit_float(
                                 planes[f"{names[c]}_{suffix}"][sy, sx])
                             return v * a
+                        return read
+
+                    return make("e"), make("o")
+
+                def lazy_420_readers(d, planes, k):
+                    """Lazy per-cell readers for a split-provisioned
+                    4:2:0 pad with host PAIR chroma, or None.  Bitwise
+                    equal to sample_draw_split + prem: luma dequant,
+                    chroma = the same 0.25/0.75 row (pair elementwise)
+                    and column (clamped-window) taps, yuv_to_rgb, then
+                    * (1*k) premultiply — identical mul/add order, only
+                    sliced to the cell BEFORE the math so every input
+                    is a window of a raw u8 parameter and the whole
+                    decode fuses into the cell's blend+quantize fold."""
+                    import os as _os2
+
+                    from tpuvf.kernels.color import as_unit_float
+
+                    if ("u_m" not in planes
+                            or _os2.environ.get("TPUVF_NO_CHROMA_PAIR")):
+                        return None
+                    mi = d["matrix"]
+
+                    def cwin(name, sy, lo, hi):
+                        # clamped column window [lo, hi) of the row-
+                        # upsampled chroma (edge cols duplicate, matching
+                        # _shift_edge)
+                        m8 = planes[f"{name}_m"]
+                        a8 = planes[f"{name}_a"]
+                        w2 = m8.shape[-1]
+                        lo_c, hi_c = max(lo, 0), min(hi, w2)
+                        v = (0.25 * as_unit_float(a8[sy, lo_c:hi_c])
+                             + 0.75 * as_unit_float(m8[sy, lo_c:hi_c]))
+                        parts = []
+                        if lo < 0:
+                            parts.append(jnp.repeat(v[:, :1], -lo, axis=1))
+                        parts.append(v)
+                        if hi > w2:
+                            parts.append(
+                                jnp.repeat(v[:, -1:], hi - w2, axis=1))
+                        return (jnp.concatenate(parts, axis=1)
+                                if len(parts) > 1 else v)
+
+                    def make(suffix):
+                        def read(c, sy, sx):
+                            c0, c1 = sx.start, sx.stop
+                            if c == 3:
+                                return jnp.full(
+                                    (sy.stop - sy.start, c1 - c0), 1.0,
+                                    jnp.float32) * k
+                            y = as_unit_float(
+                                planes[f"y_{suffix}"][sy, sx])
+                            if suffix == "e":
+                                u = (0.25 * cwin("u", sy, c0 - 1, c1 - 1)
+                                     + 0.75 * cwin("u", sy, c0, c1))
+                                v = (0.25 * cwin("v", sy, c0 - 1, c1 - 1)
+                                     + 0.75 * cwin("v", sy, c0, c1))
+                            else:
+                                u = (0.75 * cwin("u", sy, c0, c1)
+                                     + 0.25 * cwin("u", sy, c0 + 1, c1 + 1))
+                                v = (0.75 * cwin("v", sy, c0, c1)
+                                     + 0.25 * cwin("v", sy, c0 + 1, c1 + 1))
+                            rgb = kcolor.yuv_to_rgb(y, u, v, mi)
+                            return rgb[c] * (jnp.ones_like(rgb[c]) * k)
                         return read
 
                     return make("e"), make("o")

@@ -929,9 +929,10 @@ def plan_rgba_sampler_split(in_spec: FrameSpec, filter: str = LINEAR,
             y_e = dequant(yp[..., 0])
             y_o = dequant(yp[..., 1])
 
-        def chroma(c8):
+        def chroma(name):
             import os
 
+            c8 = planes[name]
             cf = as_unit_float(c8)
             if in_spec.format in PACKED_YUV_FORMATS:
                 # packed 4:2:2: chroma is column-subsampled only and the
@@ -940,6 +941,21 @@ def plan_rgba_sampler_split(in_spec: FrameSpec, filter: str = LINEAR,
                 # column phases ARE the half-width plane.  Full height, so
                 # no row stencil and no repeat/barrier either.
                 return cf, cf
+            if (filter == LINEAR and f"{name}_m" in planes
+                    and not os.environ.get("TPUVF_NO_CHROMA_PAIR")):
+                # host PAIR provisioning (round 5, frame.chroma_pair_rows):
+                # full-height u8 (main, adj) planes make the row upsample
+                # the pure elementwise 0.25*adj + 0.75*main — bitwise equal
+                # to the stencil forms below (addition commutes; the muls
+                # are identical), but with no relayout to pin, so it FUSES
+                # into every consumer instead of materializing a
+                # multi-consumer full-height f32 plane (the config-5
+                # compositor residual).
+                cf = (0.25 * as_unit_float(planes[f"{name}_a"])
+                      + 0.75 * as_unit_float(planes[f"{name}_m"]))
+                prev = _shift_edge(cf, -1, -1)
+                nxt = _shift_edge(cf, -1, +1)
+                return 0.25 * prev + 0.75 * cf, 0.75 * cf + 0.25 * nxt
             if filter == LINEAR:
                 # rows: three formulations of the same 0.25/0.75 taps —
                 #   "pair":   row-pair broadcast-select (..., H/2, 2, W/2)
@@ -990,8 +1006,8 @@ def plan_rgba_sampler_split(in_spec: FrameSpec, filter: str = LINEAR,
             cf = jax.lax.optimization_barrier(cf)
             return cf, cf
 
-        u_e, u_o = chroma(planes["u"])
-        v_e, v_o = chroma(planes["v"])
+        u_e, u_o = chroma("u")
+        v_e, v_o = chroma("v")
         re, ge, be = color.yuv_to_rgb(y_e, u_e, v_e, matrix_index)
         ro, go, bo = color.yuv_to_rgb(y_o, u_o, v_o, matrix_index)
         return ((re, ge, be, jnp.ones_like(re)),

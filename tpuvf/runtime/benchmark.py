@@ -129,6 +129,12 @@ def random_planes_for_spec(spec, batch, rng=None, split=False):
             y = out.pop("y")
             out["y_e"] = np.ascontiguousarray(y[..., 0::2])
             out["y_o"] = np.ascontiguousarray(y[..., 1::2])
+            if split == "pair":
+                # compositor-pad provisioning: + full-height PAIR chroma
+                from tpuvf.core.frame import chroma_pair_rows
+
+                for n in ("u", "v"):
+                    out[f"{n}_m"], out[f"{n}_a"] = chroma_pair_rows(out[n])
     return {k: jnp.asarray(v) for k, v in out.items()}
 
 

@@ -937,7 +937,17 @@ class Pipeline:
                 if (isinstance(up, SourceElement)
                         and len(self._outgoing(up)) == 1):
                     pads.add(ln.sink_pad)
-                    source_split[up.name] = "cols"
+                    # 4:2:0 pads also provision full-height PAIR chroma
+                    # (frame.chroma_pair_rows): the LINEAR row upsample
+                    # becomes elementwise-from-u8 and fuses into each
+                    # cell fold instead of materializing a multi-
+                    # consumer f32 plane (round-4's config-5 residual)
+                    from tpuvf.core.formats import \
+                        PLANAR_YUV_FORMATS as _PLANAR
+                    pair = (ln.spec.format in _PLANAR
+                            and ln.spec.height % 2 == 0
+                            and not os.environ.get("TPUVF_NO_CHROMA_PAIR"))
+                    source_split[up.name] = "cols_pair" if pair else "cols"
             if pads:
                 comp_split_pads[e.name] = frozenset(pads)
 
@@ -1325,10 +1335,13 @@ class Pipeline:
                         from tpuvf.core.frame import (quad_planes_host,
                                                       split_planes_host)
 
-                        if self._source_split[s.name] == "quad":
+                        mode = self._source_split[s.name]
+                        if mode == "quad":
                             planes = quad_planes_host(planes, spec)
                         else:
-                            planes = split_planes_host(planes, spec)
+                            planes = split_planes_host(
+                                planes, spec,
+                                chroma_pair=mode == "cols_pair")
                     dev = {k: jax.device_put(v) for k, v in planes.items()}
                     gen_cache[s.name] = (gen_j, dev)
                 else:
@@ -1824,10 +1837,13 @@ class Pipeline:
                             from tpuvf.core.frame import (quad_planes_host,
                                                           split_planes_host)
 
-                            if self._source_split[s.name] == "quad":
+                            mode = self._source_split[s.name]
+                            if mode == "quad":
                                 hp = quad_planes_host(hp, spec)
                             else:
-                                hp = split_planes_host(hp, spec)
+                                hp = split_planes_host(
+                                    hp, spec,
+                                    chroma_pair=mode == "cols_pair")
                         gen_cache = (gen_j, hp)
                     frames.append(gen_cache[1])
                     metas.append(meta)
