@@ -171,6 +171,17 @@ def planes_to_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
             planes[k] = v.view(np.uint8).reshape(v.shape[:-1] + (2 * v.shape[-1],))
     nat = _get_native()
     if fmt in RGB_FORMATS:
+        if "w_g8" in planes:
+            # pipeline-edge "packed32g8" plane: (64, H/8, W/8) u32 PIXEL
+            # words, GRID64 (row mod 8 x col mod 8) phases stacked
+            # row-major (kernels.convert.pack_rgba_grid64, round 5) —
+            # the 8x8 rows+columns interleave in one repack pass
+            wg = np.ascontiguousarray(planes["w_g8"])
+            h8, w8 = wg.shape[-2:]
+            out = np.empty((8 * h8, 8 * w8), np.uint32)
+            for i in range(64):
+                out[i // 8::8, i % 8::8] = wg[i]
+            return out.view(np.uint8).reshape(out.shape[0], out.shape[1], 4)
         if "w_g" in planes:
             # pipeline-edge "packed32g" plane: (16, H/4, W/4) u32 PIXEL
             # words, GRID16 (row mod 4 x col mod 4) phases stacked

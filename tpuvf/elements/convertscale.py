@@ -254,6 +254,19 @@ class ConvertScale(Element):
                                        out_spec.height, scale_x, scale_y,
                                        border, filt))
 
+    def grid64_head_ok(self, in_spec, out_spec):
+        """GRID64 head: exactly-4x/4x bilinear 4:2:0->RGB upscale — the
+        mod-8 output grid makes every luma tap a quarter-phase 2-tap
+        stencil over the quad-provisioned col/row parity planes and
+        every chroma tap an eighth-phase 2-tap stencil off the half-res
+        planes (convert.can_grid64, round 5 — the round-3f mod-8 gap)."""
+        scale_x, scale_y, border, filt = self._split_geometry(
+            in_spec, out_spec)
+        return (out_spec.format in RGB_FORMATS
+                and convert.can_grid64(in_spec, out_spec.width,
+                                       out_spec.height, scale_x, scale_y,
+                                       border, filt))
+
     def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
         return self.make_process_linked(in_spec, out_spec, static)
 
@@ -295,6 +308,10 @@ class ConvertScale(Element):
             self._linked_quad = True
             return self._make_process_grid(in_spec, out_spec, static,
                                            out_mode)
+        if out_mode in ("grid8", "packed32g8"):
+            self._linked_quad = True
+            return self._make_process_grid64(in_spec, out_spec, static,
+                                             out_mode)
         quad = (in_split == "quad"
                 or out_mode in ("quad", "packed32q", "packed16q"))
         self._linked_quad = quad
@@ -429,6 +446,32 @@ class ConvertScale(Element):
             return out, state
 
         return process_grid
+
+    def _make_process_grid64(self, in_spec, out_spec, static, out_mode):
+        """GRID64 head: quad-provisioned 4:2:0 source planes in,
+        sixty-four (row mod 8, col mod 8) output phases out — the 4x
+        luma and 8x chroma bilinear taps are phase-fixed 2-tap stencils
+        that fuse into the per-phase emits
+        (convert.plan_rgba_sampler_grid64, round 5)."""
+        cfg = dict(static)
+        filt = NEAREST if cfg["method"] == METHOD_NEAREST else LINEAR
+        if not self.grid64_head_ok(in_spec, out_spec):
+            raise NotImplementedError(
+                "convertscale grid64 links require the exactly-4x "
+                "bilinear 4:2:0->RGB upscale geometry")
+        sampler_g = convert.plan_rgba_sampler_grid64(
+            in_spec, filter=filt, matrix_index=in_spec.matrix_index)
+        matrix_out = out_spec.matrix_index
+        self._buffers = {}
+
+        def process_grid64(planes, state, params):
+            chg = sampler_g(planes, params)
+            out = convert.pack_rgba_grid64(
+                chg, out_spec.format, matrix_out, mode=out_mode,
+                unit_range=True)
+            return out, state
+
+        return process_grid64
 
     def _make_process_quad(self, in_spec, out_spec, static, out_mode):
         """QUAD (row x col phase) path: 4:2:0 identity geometry, inputs

@@ -1504,6 +1504,177 @@ def pack_420_grid16(chans: dict, out_format: VideoFormat,
             "uv_g": jnp.stack(uv_rows, axis=-3)}
 
 
+GRID64_PHASES = tuple(f"{qr}{qc}" for qr in range(8) for qc in range(8))
+
+# Per-phase 2-tap stencil weights for the 8x chroma upsample at 4x
+# 4:2:0 geometry (half-texel bilinear: src = (8n+q+0.5)/8 - 0.5 =
+# n + (q-3.5)/8, the same mapping the dense sampler's texcoords produce
+# for an 8x axis — metalconvertscale_shaders.h:71-148); phases 0-3 tap
+# (prev, cur), 4-7 (cur, next).  All sixteenths: exact in f32.
+_GRID64_CHROMA_W = (
+    (0.4375, 0.5625), (0.3125, 0.6875), (0.1875, 0.8125), (0.0625, 0.9375),
+    (0.9375, 0.0625), (0.8125, 0.1875), (0.6875, 0.3125), (0.5625, 0.4375),
+)
+
+
+def can_grid64(in_spec: FrameSpec, out_w: int, out_h: int,
+               scale_x: float = 1.0, scale_y: float = 1.0,
+               border=None, filter: str = LINEAR) -> bool:
+    """GRID64 (8x8 row x col phase) dataflow at EXACTLY 4x/4x 4:2:0
+    upscale geometry (round 5, VERDICT r4 item 5).
+
+    The mod-8 resolution of the round-3f gap note: at 4x the luma taps
+    are phase-fixed only mod 4 ON THE SOURCE index (output col 4m+p
+    reads src m + (p-1.5)/4), but writing the output col as 8n+q makes
+    the source index 2n + (q>=4) — a COLUMN-PARITY slice of the
+    quad-provisioned luma — with quarter-phase weights
+    (_GRID16_CHROMA_W[q%4]); the 4:2:0 chroma's 8x taps are then
+    phase-fixed too (src n + (q-3.5)/8, _GRID64_CHROMA_W).  So a mod-8
+    output grid makes the whole 4x upscale per-phase 2-tap stencil
+    chains with zero resampling materialization, exactly like grid16
+    at 2x."""
+    import os
+
+    if os.environ.get("TPUVF_NO_SPLIT_SCALED"):
+        return False
+    return (in_spec.format in (VideoFormat.NV12, VideoFormat.I420)
+            and filter == LINEAR
+            and scale_x == 1.0 and scale_y == 1.0 and border is None
+            and out_w == 4 * in_spec.width and out_h == 4 * in_spec.height
+            and in_spec.width % 2 == 0 and in_spec.height % 2 == 0)
+
+
+def plan_rgba_sampler_grid64(in_spec: FrameSpec, filter: str = LINEAR,
+                             matrix_index: int | None = None):
+    """4x/4x 4:2:0 upscale -> {grid phase: (r, g, b, a)} planes, each
+    (H_out/8, W_out/8) = (H_in/2, W_in/2) — the same shape as the
+    quad luma parity planes AND the chroma planes, so every phase emit
+    is one homogeneous fusion.
+
+    Inputs are QUAD-provisioned ({"y_ee","y_eo","y_oe","y_oo"} u8 plus
+    full {"u","v"}).  Luma: output rows 8m+qr read source rows
+    2m + (qr>=4) with quarter-phase 2-tap weights — rows m-1/m/m+1 of
+    the row-parity planes (_grid4x_rows); columns mirror on the
+    col-parity planes (_grid4x_cols).  Chroma: eighth-phase 2-tap
+    stencils straight off the half-res planes (_grid8x_phase).  Tap
+    weights equal the dense half-texel bilinear sampler's bitwise (all
+    sixteenths); the 2-term stencil products may contract differently
+    from the canonical matmul FMA -> knife-edge pixels can flip 1 LSB
+    vs the canonical path (the scaled-split rule)."""
+    if matrix_index is None:
+        matrix_index = in_spec.matrix_index
+    if filter != LINEAR:
+        raise NotImplementedError("grid64 links are bilinear-only")
+    from tpuvf.kernels.color import as_unit_float
+
+    def run_grid(planes, params):
+        ys = {ph: as_unit_float(planes[f"y_{ph}"]) for ph in QUAD_PHASES}
+        uf = as_unit_float(planes["u"])
+        vf = as_unit_float(planes["v"])
+        out = {}
+        for qr in range(8):
+            e = _grid4x_rows(ys["ee"], ys["oe"], qr)
+            o = _grid4x_rows(ys["eo"], ys["oo"], qr)
+            u_r = _grid8x_phase(uf, qr, -2)
+            v_r = _grid8x_phase(vf, qr, -2)
+            for qc in range(8):
+                y = _grid4x_cols(e, o, qc)
+                u = _grid8x_phase(u_r, qc, -1)
+                v = _grid8x_phase(v_r, qc, -1)
+                r, g, b = color.yuv_to_rgb(y, u, v, matrix_index)
+                out[f"{qr}{qc}"] = (r, g, b, jnp.ones_like(r))
+        return out
+
+    return run_grid
+
+
+def _grid4x_rows(y0, y1, qr):
+    """Output row phase qr (mod 8) of a 4x row upsample whose source
+    rows 2m/2m+1 live in parity planes y0/y1: source row 2m + (qr>=4),
+    quarter-phase 2-tap weights _GRID16_CHROMA_W[qr % 4]; edge rows
+    clamp to the true frame edge (shift_rows_cross_phase)."""
+    f32 = np.float32
+    wlo, whi = _GRID16_CHROMA_W[qr % 4]
+    if qr < 2:  # src 2m, taps 2m-1 (y1 rows m-1), 2m; clamp row -1 -> 0
+        ym1 = shift_rows_cross_phase(y1, -1, y0)
+        return f32(wlo) * ym1 + f32(whi) * y0
+    if qr < 6:  # taps 2m, 2m+1 (qr 2-3 anchor 2m; qr 4-5 anchor 2m+1)
+        return f32(wlo) * y0 + f32(whi) * y1
+    # qr 6-7: src 2m+1, taps 2m+1, 2m+2 (y0 rows m+1); clamp H -> H-1
+    y2 = shift_rows_cross_phase(y0, +1, y1)
+    return f32(wlo) * y1 + f32(whi) * y2
+
+
+def _grid4x_cols(e, o, qc):
+    """Column mirror of _grid4x_rows (source cols 2j/2j+1 in e/o)."""
+    f32 = np.float32
+    wlo, whi = _GRID16_CHROMA_W[qc % 4]
+    if qc < 2:  # taps 2j-1, 2j; clamp col -1 -> 0
+        om1 = jnp.concatenate([e[..., :, :1], o[..., :, :-1]], axis=-1)
+        return f32(wlo) * om1 + f32(whi) * e
+    if qc < 6:  # taps 2j, 2j+1
+        return f32(wlo) * e + f32(whi) * o
+    # qc 6-7: taps 2j+1, 2j+2; clamp col W -> W-1
+    e2 = jnp.concatenate([e[..., :, 1:], o[..., :, -1:]], axis=-1)
+    return f32(wlo) * o + f32(whi) * e2
+
+
+def _grid8x_phase(c, idx, axis):
+    """Phase idx of an 8x upsample along `axis` from the full plane
+    (half-texel eighth-phase 2-tap weights, _GRID64_CHROMA_W).  Row-axis
+    +1 taps clamp at the TRUE frame bottom (shift_rows_cross_phase)."""
+    f32 = np.float32
+    wlo, whi = _GRID64_CHROMA_W[idx]
+    if idx < 4:  # taps (prev, cur)
+        return f32(wlo) * _shift_edge(c, axis, -1) + f32(whi) * c
+    nxt = (shift_rows_cross_phase(c, +1, c) if axis in (-2, c.ndim - 2)
+           else _shift_edge(c, axis, +1))
+    return f32(wlo) * c + f32(whi) * nxt
+
+
+def pack_rgba_grid64(chans: dict, out_format: VideoFormat,
+                     matrix_index: int, mode: str,
+                     unit_range: bool = False) -> dict:
+    """pack_rgba_grid16's 64-phase analog (RGB outputs only).
+
+    Modes:
+    - "grid8":      f32 quant_sim boundary planes {"r_00",...,"a_77"}
+                    (a downstream grid64-capable consumer reads them
+                    with convert.split_rgb_chans_grid64)
+    - "packed32g8": {"w_g8": (64, H/8, W/8)} u32 pixel words, phases
+                    stacked row-major on a leading axis (ONE stacked
+                    scan output — the lax.scan in-place-stacking rule,
+                    see pack_rgba_grid16); the host interleaves
+                    rows+columns mod 8 in one repack pass
+                    (core.frame.planes_to_host)."""
+    from tpuvf.kernels.color import quant_sim, quant_sim_unit, quant_unit
+
+    if out_format not in RGB_FORMATS:
+        raise ValueError("grid64 links support RGB output formats only")
+    if mode == "grid8":
+        sim = quant_sim_unit if unit_range else quant_sim
+        names = ("r", "g", "b", "a")
+        return {f"{n}_{ph}": sim(c)
+                for ph in GRID64_PHASES
+                for n, c in zip(names, chans[ph])}
+    if mode == "packed32g8":
+        qfn = quant_unit if unit_range else quant
+        return {"w_g8": jnp.stack(
+            [pack_words_u32(tuple(qfn(c) for c in chans[ph]), out_format)
+             for ph in GRID64_PHASES],
+            axis=-3)}
+    raise ValueError(f"unknown grid64 pack mode {mode}")
+
+
+def split_rgb_chans_grid64(planes):
+    """{"r_00",...} grid64 boundary planes -> {phase: (r, g, b, a)}."""
+    from tpuvf.kernels.color import as_unit_float
+
+    names = ("r", "g", "b", "a")
+    return {ph: tuple(as_unit_float(planes[f"{n}_{ph}"]) for n in names)
+            for ph in GRID64_PHASES}
+
+
 def can_split_scaled(in_spec: FrameSpec, out_w: int, out_h: int) -> bool:
     """Column-phase dataflow at SCALED geometry (round 3b).
 
