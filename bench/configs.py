@@ -260,6 +260,16 @@ def config_scale1080to4k():
         1920, 1080, 3840, 2160)
 
 
+def config_scale540to4k():
+    """Beyond-BASELINE: 540p NV12 -> 4K BGRA 4x-UPSAMPLE + videofilter
+    chain (exercises the GRID64 mod-8 phase path, round 5: every 4x
+    bilinear tap phase-fixed; device 178 vs 414 us/frame standalone,
+    scripts/bench_grid64_ab.py)."""
+    return _chain_config(
+        "540p NV12 -> 4K BGRA 4x-upscale convertscale+videofilter chain",
+        960, 540, 3840, 2160)
+
+
 def config_scale1080to4k_nv12():
     """Beyond-BASELINE: format-preserving 2x upscale (NV12 1080p ->
     NV12 4K, the default fixation) — the grid16 packed420g sink edge."""
@@ -297,6 +307,7 @@ ALL = {
     "chain8k": config_chain8k,
     "scale8k4k": config_scale8k4k,
     "scale1080to4k": config_scale1080to4k,
+    "scale540to4k": config_scale540to4k,
     "scale1080to4k_nv12": config_scale1080to4k_nv12,
     "convert422": config_convert422,
 }

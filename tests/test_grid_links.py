@@ -509,3 +509,54 @@ def test_w_g8_host_interleave_layout():
         for qc in range(8):
             ph = wg[qr * 8 + qc]
             assert np.array_equal(words[qr::8, qc::8], ph), (qr, qc)
+
+
+CHAIN64 = (
+    "videotestsrc num-buffers=2 ! video/x-raw,format=NV12,width=96,height=56 "
+    "! vfmetalconvertscale ! video/x-raw,format=BGRA,width=384,height=224 "
+    "! vfmetalvideofilter brightness=0.1 contrast=1.2 saturation=1.3 "
+    "! appsink"
+)
+
+
+def test_grid64_chain_negotiated_and_close():
+    p = _run(CHAIN64)
+    names = {e.ELEMENT_NAME: e.name for e in p.elements}
+    assert p.link_plan[names["vfconvertscale"]] == ("quad", "grid8")
+    assert p.link_plan[names["vfvideofilter"]] == ("grid8", "packed32g8")
+    assert any(v == "quad" for v in p._source_split.values())
+    _assert_within_1lsb(CHAIN64)
+
+
+def test_grid64_head_only_packed32g8_edge():
+    desc = (
+        "videotestsrc num-buffers=2 "
+        "! video/x-raw,format=NV12,width=96,height=56 "
+        "! vfmetalconvertscale ! video/x-raw,format=BGRA,"
+        "width=384,height=224 ! appsink"
+    )
+    p = _run(desc)
+    names = {e.ELEMENT_NAME: e.name for e in p.elements}
+    assert p.link_plan[names["vfconvertscale"]] == ("quad", "packed32g8")
+    _assert_within_1lsb(desc)
+
+
+def test_grid64_sharpness_falls_back():
+    # blur9's mod-8 cross-phase stencils aren't built: sharpened 4x
+    # chains keep the non-grid64 plan and still match the canonical run
+    desc = CHAIN64.replace("brightness=0.1", "brightness=0.1 sharpness=0.5")
+    p = _run(desc)
+    assert all(m[1] not in ("grid8", "packed32g8")
+               for m in p.link_plan.values())
+    _assert_within_1lsb(desc)
+
+
+def test_grid64_all_pointwise_gates_close():
+    desc = CHAIN64.replace(
+        "brightness=0.1 contrast=1.2 saturation=1.3",
+        "brightness=0.05 contrast=1.1 saturation=1.2 hue=0.2 gamma=1.2 "
+        "sepia=0.4 vignette=0.3 noise=0.05 chroma-key-enabled=true")
+    p = _run(desc)
+    names = {e.ELEMENT_NAME: e.name for e in p.elements}
+    assert p.link_plan[names["vfvideofilter"]] == ("grid8", "packed32g8")
+    _assert_within_1lsb(desc)

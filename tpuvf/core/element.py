@@ -353,6 +353,31 @@ class Element:
         """True if make_process_linked(in_split="grid") is supported."""
         return False
 
+    # -- GRID64 (8x8 row x col phase) dataflow (round 5) ---------------------
+    # The 4x-upscale extension: writing the output col as 8n+q makes the
+    # luma taps quarter-phase stencils over the quad parity planes and
+    # the 4:2:0 chroma 8x taps eighth-phase stencils — all phase-fixed
+    # (convert.can_grid64).  RGB outputs only; 2.3x device time over the
+    # canonical 4x sampler (scripts/bench_grid64_ab.py).
+
+    def grid64_head_ok(self, in_spec: FrameSpec, out_spec: FrameSpec) -> bool:
+        """True if this element can HEAD a grid64 chain: consume the
+        quad-provisioned 4:2:0 source and emit the 64 output phases
+        (make_process_linked(in_split="quad",
+        out_mode="grid8"/"packed32g8"))."""
+        return False
+
+    def grid64_output_ok(self, in_spec: FrameSpec,
+                         out_spec: FrameSpec) -> bool:
+        """True if make_process_linked(out_mode="grid8"/"packed32g8") is
+        supported for this configuration."""
+        return False
+
+    def grid64_input_ok(self, in_spec: FrameSpec,
+                        out_spec: FrameSpec) -> bool:
+        """True if make_process_linked(in_split="grid8") is supported."""
+        return False
+
     def source_split_worth_it(self, in_spec: FrameSpec, out_spec: FrameSpec,
                               out_mode: str) -> bool:
         """Whether a split-provisioned SOURCE upload pays off for this

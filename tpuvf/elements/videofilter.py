@@ -284,6 +284,30 @@ class VideoFilter(Element):
     def grid_output_ok(self, in_spec, out_spec):
         return self._grid_capable(in_spec, out_spec)
 
+    def _grid64_capable(self, in_spec, out_spec) -> bool:
+        """GRID64 (8x8 phase) dataflow from a grid64 4x-upscale head
+        (RGB boundaries {"r_00",...,"a_77"}), dims divisible by 8, no
+        LUT (same gather-site rule as grid16) and no sharpness (the
+        blur9 mod-8 cross-phase stencils aren't built — the 2-phase
+        plan serves sharpened 4x chains).  The pointwise chain rides
+        x_index/y_index at stride 8."""
+        from tpuvf.core.formats import RGB_FORMATS
+
+        self._sync_lut()
+        if not (in_spec.format in RGB_FORMATS
+                and out_spec.format == in_spec.format
+                and in_spec.width % 8 == 0 and in_spec.height % 8 == 0
+                and self._lut is None):
+            return False
+        return not dict(self.static_config(in_spec, out_spec))[
+            "use_sharpness"]
+
+    def grid64_input_ok(self, in_spec, out_spec):
+        return self._grid64_capable(in_spec, out_spec)
+
+    def grid64_output_ok(self, in_spec, out_spec):
+        return self._grid64_capable(in_spec, out_spec)
+
     def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
         return self.make_process_linked(in_spec, out_spec, static)
 
@@ -301,23 +325,32 @@ class VideoFilter(Element):
         from tpuvf.kernels.sample import WeightBuffers
 
         bufs = WeightBuffers(self.name)
-        grid = (in_split == "grid"
-                or out_mode in ("grid", "packed32g", "packed420g"))
+        grid8 = (in_split == "grid8" or out_mode in ("grid8", "packed32g8"))
+        grid = grid8 or (in_split == "grid"
+                         or out_mode in ("grid", "packed32g", "packed420g"))
         if grid:
-            if not self._grid_capable(in_spec, out_spec):
+            gp = 8 if grid8 else 4  # grid period (phases per axis)
+            if grid8:
+                if not self._grid64_capable(in_spec, out_spec):
+                    raise NotImplementedError(
+                        "videofilter grid64 links require RGB planes with "
+                        "mod-8 dims, no LUT and no sharpness")
+            elif not self._grid_capable(in_spec, out_spec):
                 raise NotImplementedError(
                     "videofilter grid16 links require phase-capable "
                     "planes with mod-4 dims and no LUT")
             # sp opt-out rides the quad flag: grid phases aren't row shards
             self._linked_quad = True
             self._buffers = bufs.buffers
-            if in_spec.format in RGB_FORMATS:
+            if grid8:
+                reader_g = convert.split_rgb_chans_grid64
+            elif in_spec.format in RGB_FORMATS:
                 reader_g = lambda planes: \
                     convert.split_rgb_chans_grid16(planes)
             else:
                 reader420 = convert.plan_rgba_sampler_grid420(matrix_in)
                 reader_g = lambda planes: reader420(planes, {})
-            x_base = np.arange(w // 4, dtype=np.float32) * 4.0
+            x_base = np.arange(w // gp, dtype=np.float32) * float(gp)
 
             def process_grid(planes, state, params):
                 from tpuvf.parallel import spctx
@@ -326,11 +359,13 @@ class VideoFilter(Element):
                 frame_index = state["frame_index"]
                 outg = {}
                 for ph, ch in chg.items():
-                    # GLOBAL frame rows of this phase's plane rows: 4x the
-                    # global phase row + the row-phase offset (sp-aware —
-                    # plain arange on one device, bitwise the old y_base)
-                    y_idx = (spctx.global_rows(ch[0].shape[-2], h // 4)
-                             * np.float32(4.0) + np.float32(float(ph[0])))
+                    # GLOBAL frame rows of this phase's plane rows: gp x
+                    # the global phase row + the row-phase offset (sp-
+                    # aware — plain arange on one device, bitwise the old
+                    # y_base)
+                    y_idx = (spctx.global_rows(ch[0].shape[-2], h // gp)
+                             * np.float32(float(gp))
+                             + np.float32(float(ph[0])))
                     outg[ph] = kfilter.apply_color_adjustments_t(
                         ch, params, frame_index, w, h, gates=gates,
                         x_index=x_base + float(ph[1]),
@@ -382,6 +417,10 @@ class VideoFilter(Element):
                 if out_mode == "packed420g":
                     out = convert.pack_420_grid16(
                         outg, out_spec.format, matrix_out,
+                        unit_range=True)
+                elif grid8:
+                    out = convert.pack_rgba_grid64(
+                        outg, out_spec.format, matrix_out, mode=out_mode,
                         unit_range=True)
                 else:
                     out = convert.pack_rgba_grid16(

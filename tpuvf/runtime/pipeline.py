@@ -1072,6 +1072,55 @@ class Pipeline:
                 if len(chain) > 1:
                     plan[tail.name] = ["grid", gedge]
                 source_split[up.name] = "quad"
+
+        # -- GRID64 (8x8 phase) upgrade for exactly-4x 4:2:0 -> RGB
+        # upscale chains (round 5): the mod-8 output grid makes every 4x
+        # bilinear tap phase-fixed — luma quarter-phase stencils over the
+        # quad parity planes, chroma eighth-phase stencils
+        # (convert.can_grid64; device 178 vs 414 us/frame on 540p->4K,
+        # scripts/bench_grid64_ab.py).  RGB sink edges only.
+        if (not os.environ.get("TPUVF_NO_QUAD_LINKS")
+                and getattr(self, "_quad_links_enabled", True)):
+            from tpuvf.core.formats import RGB_FORMATS as _RGB
+
+            for e, i_s, o_s, pt in list(info.values()):
+                if pt or not e.grid64_head_ok(i_s, o_s):
+                    continue
+                up = real_upstream(e)
+                if not (isinstance(up, SourceElement)
+                        and len(self._outgoing(up)) == 1):
+                    continue
+                chain = [(e, i_s, o_s)]
+                node, reaches_sink = e, False
+                while True:
+                    outs = self._outgoing(node)
+                    if len(outs) != 1:
+                        break
+                    node = outs[0].downstream
+                    d = info.get(id(node))
+                    if d is None:
+                        reaches_sink = isinstance(node, SinkElement)
+                        break
+                    if d[3]:
+                        continue  # passthrough forwards the dict untouched
+                    ce, ci, co, _ = d
+                    if not (ce.grid64_input_ok(ci, co)
+                            and ce.grid64_output_ok(ci, co)):
+                        break
+                    chain.append((ce, ci, co))
+                if not reaches_sink:
+                    continue
+                tail, t_i, t_o = chain[-1]
+                if not (t_o.format in _RGB
+                        and tail.edge_packed32_ok(t_i, t_o)):
+                    continue
+                plan[e.name] = ["quad", "packed32g8"
+                                if len(chain) == 1 else "grid8"]
+                for ce, _, _ in chain[1:-1]:
+                    plan[ce.name] = ["grid8", "grid8"]
+                if len(chain) > 1:
+                    plan[tail.name] = ["grid8", "packed32g8"]
+                source_split[up.name] = "quad"
         return ({k: (v[0], v[1]) for k, v in plan.items()},
                 source_split, comp_split_pads)
 
@@ -1509,6 +1558,10 @@ class Pipeline:
         if any(v == "quad" for v in self._source_split.values()):
             g = 2
         for in_split, out_mode in (self.link_plan or {}).values():
+            if (in_split == "grid8"
+                    or out_mode in ("grid8", "packed32g8")):
+                return 8
+        for in_split, out_mode in (self.link_plan or {}).values():
             if (in_split == "grid"
                     or out_mode in ("grid", "packed32g", "packed420g")):
                 return 4
@@ -1553,13 +1606,14 @@ class Pipeline:
         if self._sp_replicated or self._sp_rep_sources:
             return None
         quad_modes = {"quad", "packed32q", "packed16q",
-                      "grid", "packed32g", "packed420g"}
+                      "grid", "packed32g", "packed420g",
+                      "grid8", "packed32g8"}
         plan = self.link_plan or {}
         for st in self._stages:
             if st.passthrough or st.in_spec is None:
                 continue
             in_split, out_mode = plan.get(st.element.name, (False, "full"))
-            if in_split not in ("quad", "grid") \
+            if in_split not in ("quad", "grid", "grid8") \
                     and out_mode not in quad_modes:
                 return None
         if not self.sources or any(
