@@ -560,3 +560,35 @@ def test_grid64_all_pointwise_gates_close():
     names = {e.ELEMENT_NAME: e.name for e in p.elements}
     assert p.link_plan[names["vfvideofilter"]] == ("grid8", "packed32g8")
     _assert_within_1lsb(desc)
+
+
+def test_sp_keeps_grid64_bitwise():
+    # grid64 x sp: h_in=64 -> 32 quad phase rows, out 256 -> 32 grid8
+    # phase rows — both split evenly over sp=2 with >= 4 rows/shard, so
+    # the grid64 plan stays under row sharding; the stencils ride the
+    # same shift_rows_cross_phase halo machinery as grid16 (sp-only
+    # meshes preserve the batch shape -> bitwise vs unsharded batched)
+    import jax
+
+    from tpuvf.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    desc = CHAIN64.replace("height=56", "height=64").replace(
+        "height=224", "height=256")
+    plain = _run(desc)
+    assert any(m[1] in ("grid8", "packed32g8")
+               for m in plain.link_plan.values())
+    p = parse_pipeline(desc)
+    p.negotiate()
+    p.build()
+    plain2 = parse_pipeline(desc)
+    plain2.negotiate()
+    plain2.build()
+    plain2.run_batched(2, batch_size=2)
+    mesh = make_mesh({"dp": 1, "sp": 2})
+    p.run_batched(2, batch_size=2, mesh=mesh, sp_axis="sp")
+    assert any(m[1] in ("grid8", "packed32g8")
+               for m in p.link_plan.values())
+    for a, b in zip(p.sinks[0].frames, plain2.sinks[0].frames):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
