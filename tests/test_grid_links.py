@@ -19,6 +19,7 @@ alone flips ~1.3% by 1 LSB on CPU).
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -541,14 +542,39 @@ def test_grid64_head_only_packed32g8_edge():
     _assert_within_1lsb(desc)
 
 
-def test_grid64_sharpness_falls_back():
-    # blur9's mod-8 cross-phase stencils aren't built: sharpened 4x
-    # chains keep the non-grid64 plan and still match the canonical run
-    desc = CHAIN64.replace("brightness=0.1", "brightness=0.1 sharpness=0.5")
-    p = _run(desc)
-    assert all(m[1] not in ("grid8", "packed32g8")
-               for m in p.link_plan.values())
-    _assert_within_1lsb(desc)
+def test_grid64_sharpness_stays_on_grid():
+    # round 5: blur9 decomposes into mod-8 cross-phase stencils
+    # (kfilter.blur9_gridk period=8), so sharpened 4x chains KEEP the
+    # grid64 plan and still match the canonical run
+    for sharp in ("0.5", "-0.4"):
+        desc = CHAIN64.replace("brightness=0.1",
+                               f"brightness=0.1 sharpness={sharp}")
+        p = _run(desc)
+        names = {e.ELEMENT_NAME: e.name for e in p.elements}
+        assert p.link_plan[names["vfvideofilter"]] == (
+            "grid8", "packed32g8"), sharp
+        _assert_within_1lsb(desc)
+
+
+def test_blur9_gridk8_bitwise_vs_blur9():
+    # the mod-8 decomposition is expression-exact vs the interleaved
+    # 9-tap blur on both axes, including the cross-phase edge clamps
+    from tpuvf.kernels import filter as kfilter
+
+    rng = np.random.default_rng(7)
+    img = rng.random((1, 40, 64), dtype=np.float32)
+    for axis in (-1, -2):
+        ref = np.asarray(kfilter.blur9(jnp.asarray(img), axis))
+        n = img.shape[axis]
+        if axis == -1:
+            phases = [jnp.asarray(img[..., p::8]) for p in range(8)]
+        else:
+            phases = [jnp.asarray(img[..., p::8, :]) for p in range(8)]
+        out = kfilter.blur9_gridk(phases, axis, 8)
+        for p in range(8):
+            got = np.asarray(out[p])
+            want = ref[..., p::8] if axis == -1 else ref[..., p::8, :]
+            np.testing.assert_array_equal(got, want, err_msg=f"{axis}/{p}")
 
 
 def test_grid64_all_pointwise_gates_close():

@@ -1060,7 +1060,11 @@ class Compositor(Element):
                     from tpuvf.kernels.color import as_unit_float
 
                     if ("u_m" not in planes
-                            or _os2.environ.get("TPUVF_NO_CHROMA_PAIR")):
+                            or _os2.environ.get("TPUVF_NO_CHROMA_PAIR")
+                            or _os2.environ.get("TPUVF_NO_LAZY420")):
+                        # TPUVF_NO_LAZY420: A/B hatch — eager
+                        # sample_draw_split (which still rides the pair
+                        # chroma) instead of per-cell decode
                         return None
                     mi = d["matrix"]
 

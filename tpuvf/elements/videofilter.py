@@ -287,20 +287,18 @@ class VideoFilter(Element):
     def _grid64_capable(self, in_spec, out_spec) -> bool:
         """GRID64 (8x8 phase) dataflow from a grid64 4x-upscale head
         (RGB boundaries {"r_00",...,"a_77"}), dims divisible by 8, no
-        LUT (same gather-site rule as grid16) and no sharpness (the
-        blur9 mod-8 cross-phase stencils aren't built — the 2-phase
-        plan serves sharpened 4x chains).  The pointwise chain rides
+        LUT (same gather-site rule as grid16).  Sharpness is fine: the
+        9-tap blur decomposes into mod-8 cross-phase stencils
+        (kfilter.blur9_gridk period=8, expression-exact incl. the
+        cross-phase edge clamps).  The pointwise chain rides
         x_index/y_index at stride 8."""
         from tpuvf.core.formats import RGB_FORMATS
 
         self._sync_lut()
-        if not (in_spec.format in RGB_FORMATS
+        return (in_spec.format in RGB_FORMATS
                 and out_spec.format == in_spec.format
                 and in_spec.width % 8 == 0 and in_spec.height % 8 == 0
-                and self._lut is None):
-            return False
-        return not dict(self.static_config(in_spec, out_spec))[
-            "use_sharpness"]
+                and self._lut is None)
 
     def grid64_input_ok(self, in_spec, out_spec):
         return self._grid64_capable(in_spec, out_spec)
@@ -373,26 +371,26 @@ class VideoFilter(Element):
                 if use_sharpness:
                     # RGBA8 boundaries between the blur passes, per grid
                     # phase (the reference renders each pass to an RGBA8
-                    # texture); H blur crosses the four COLUMN phases per
-                    # row phase, V blur the four ROW phases per column
-                    # phase (kfilter.blur9_grid4, expression-exact incl.
+                    # texture); H blur crosses the gp COLUMN phases per
+                    # row phase, V blur the gp ROW phases per column
+                    # phase (kfilter.blur9_gridk, expression-exact incl.
                     # cross-phase edge clamps)
                     q1 = {ph: tuple(quant(c) for c in outg[ph])
                           for ph in outg}
                     bh = {}
-                    for qq in range(4):
-                        per_chan = [kfilter.blur9_grid4(
-                            [dequant(q1[f"{qq}{p}"][c]) for p in range(4)],
-                            -1) for c in range(4)]
-                        for p in range(4):
+                    for qq in range(gp):
+                        per_chan = [kfilter.blur9_gridk(
+                            [dequant(q1[f"{qq}{p}"][c]) for p in range(gp)],
+                            -1, gp) for c in range(4)]
+                        for p in range(gp):
                             bh[f"{qq}{p}"] = tuple(
                                 quant(per_chan[c][p]) for c in range(4))
                     bv = {}
-                    for p in range(4):
-                        per_chan = [kfilter.blur9_grid4(
-                            [dequant(bh[f"{qq}{p}"][c]) for qq in range(4)],
-                            -2) for c in range(4)]
-                        for qq in range(4):
+                    for p in range(gp):
+                        per_chan = [kfilter.blur9_gridk(
+                            [dequant(bh[f"{qq}{p}"][c]) for qq in range(gp)],
+                            -2, gp) for c in range(4)]
+                        for qq in range(gp):
                             bv[f"{qq}{p}"] = tuple(
                                 quant(per_chan[c][qq]) for c in range(4))
                     amount = params["sharpness"]

@@ -542,18 +542,23 @@ def blur9_v_split(e: jnp.ndarray, o: jnp.ndarray):
 
 
 def blur9_grid4(phases, axis: int):
-    """9-tap blur across FOUR mod-4 phase planes along `axis` (the GRID16
-    dataflow's blur: horizontal crosses the four column phases per row
-    phase with axis=-1; vertical the four row phases per column phase
-    with axis=-2).
+    """9-tap blur across FOUR mod-4 phase planes (see blur9_gridk)."""
+    return blur9_gridk(phases, axis, 4)
+
+
+def blur9_gridk(phases, axis: int, period: int):
+    """9-tap blur across `period` mod-`period` phase planes along `axis`
+    (the GRID16/GRID64 dataflows' blur: horizontal crosses the column
+    phases per row phase with axis=-1; vertical the row phases per
+    column phase with axis=-2).
 
     Expression mirror of blur9(interleaved, axis): output phase p index
-    j (full coordinate 4j+p) accumulates tap i at full coordinate
-    clip(4j+p-4+i, 0, N-1) — phase (p-4+i) mod 4 shifted by
-    floor((p-4+i)/4), in the same i order with the same weights.  Edge
-    clamping CROSSES phases: a tap clipped to coordinate 0 reads
-    phases[0][0] and one clipped to N-1 reads phases[3][n-1] (N a
-    multiple of 4).
+    j (full coordinate period*j+p) accumulates tap i at full coordinate
+    clip(period*j+p-4+i, 0, N-1) — phase (p-4+i) mod period shifted by
+    floor((p-4+i)/period), in the same i order with the same weights.
+    Edge clamping CROSSES phases: a tap clipped to coordinate 0 reads
+    phases[0][0] and one clipped to N-1 reads phases[period-1][n-1]
+    (N a multiple of period).
 
     sp-safe on axis=-2 (round 4): indices/extents are frame-global under
     spctx (same pattern as blur9_v_split); the lane axis is never
@@ -575,8 +580,9 @@ def blur9_grid4(phases, axis: int):
                                        iota_dim)
         idx = jnp.broadcast_to(idx, phases[0].shape)
     first = jax.lax.slice_in_dim(phases[0], 0, 1, axis=axis)
-    last = (spctx.frame_last_row(phases[3]) if axis == -2
-            else jax.lax.slice_in_dim(phases[3], n - 1, n, axis=axis))
+    last = (spctx.frame_last_row(phases[period - 1]) if axis == -2
+            else jax.lax.slice_in_dim(phases[period - 1], n - 1, n,
+                                      axis=axis))
 
     def tap(q, s):
         shifted = _shift_edge(phases[q], axis, s)
@@ -587,12 +593,12 @@ def blur9_grid4(phases, axis: int):
         return shifted
 
     out = []
-    for p in range(4):
+    for p in range(period):
         acc = None
         for i, w in enumerate(BLUR_WEIGHTS):
             dd = p - 4 + i
-            q = dd % 4
-            s = (dd - q) // 4
+            q = dd % period
+            s = (dd - q) // period
             t = tap(q, s) * F32(w)
             acc = t if acc is None else acc + t
         out.append(acc)
