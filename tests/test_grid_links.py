@@ -487,9 +487,13 @@ def test_grid64_gates():
     assert not elem.grid64_head_ok(
         in_spec, FrameSpec(VideoFormat.BGRA, 192, 108,
                            matrix=in_spec.matrix))
-    # 4:2:0 output: grid64 is RGB-out only
-    assert not elem.grid64_head_ok(
+    # 4:2:0 output joined in round 5 (packed420g8 edge)
+    assert elem.grid64_head_ok(
         in_spec, FrameSpec(VideoFormat.NV12, 384, 216,
+                           matrix=in_spec.matrix))
+    # packed 4:2:2 output stays off grid64
+    assert not elem.grid64_head_ok(
+        in_spec, FrameSpec(VideoFormat.UYVY, 384, 216,
                            matrix=in_spec.matrix))
     # nearest method
     elem.set_property("method", 1)
@@ -540,6 +544,52 @@ def test_grid64_head_only_packed32g8_edge():
     names = {e.ELEMENT_NAME: e.name for e in p.elements}
     assert p.link_plan[names["vfconvertscale"]] == ("quad", "packed32g8")
     _assert_within_1lsb(desc)
+
+
+def test_grid64_420_out_packed420g8_edge():
+    # format-preserving 4x upscale (the default fixation at 4x): the
+    # head emits the 4:2:0 edge directly (convert.pack_420_grid64);
+    # cross-4:2:0 outputs (NV12 -> I420) ride the same edge
+    for infmt, outfmt in (("NV12", "NV12"), ("I420", "I420"),
+                          ("NV12", "I420")):
+        desc = ("videotestsrc num-buffers=2 pattern=ball "
+                f"! video/x-raw,format={infmt},width=96,height=56 "
+                f"! vfmetalconvertscale ! video/x-raw,format={outfmt},"
+                "width=384,height=224 ! appsink")
+        p = _run(desc)
+        cs = next(e.name for e in p.elements
+                  if e.ELEMENT_NAME == "vfconvertscale")
+        assert p.link_plan[cs] == ("quad", "packed420g8"), (infmt, outfmt)
+        _assert_within_1lsb(desc)
+
+
+def test_pack_420_grid64_edge_layout():
+    # y_g8 entry 2*qr+h packs row phase qr's col phases 4h..4h+3 one
+    # byte per word; uv_g8 entry 2*ca+h bytes are NV12's interleaved uv
+    # bytes for chroma cols 4c+2h, 4c+2h+1 — checked via the host
+    # repack against the canonical interleave of per-phase bytes
+    from tpuvf.core.frame import planes_to_host
+
+    out_spec = FrameSpec(VideoFormat.NV12, 16, 16)
+    rng = np.random.default_rng(11)
+    yg = rng.integers(0, 2**32, (16, 2, 2), dtype=np.uint32)
+    uvg = rng.integers(0, 2**32, (8, 2, 2), dtype=np.uint32)
+    out = planes_to_host({"y_g8": yg, "uv_g8": uvg}, out_spec)
+    y, uv = out["y"], out["uv"]
+    yb = yg.view(np.uint8).reshape(16, 2, 2, 4)
+    for qr in range(8):
+        for c in range(2):
+            for h in range(2):
+                for j in range(4):
+                    assert np.array_equal(y[qr::8, 8 * c + 4 * h + j],
+                                          yb[2 * qr + h, :, c, j]), (qr, h)
+    uvb = uvg.view(np.uint8).reshape(8, 2, 2, 4)
+    for ca in range(4):
+        for c in range(2):
+            for h in range(2):
+                for j in range(4):
+                    assert np.array_equal(uv[ca::4, 8 * c + 4 * h + j],
+                                          uvb[2 * ca + h, :, c, j]), (ca, h)
 
 
 def test_grid64_sharpness_stays_on_grid():

@@ -235,6 +235,36 @@ def planes_to_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
         uvs = np.ascontiguousarray(planes["uv_s"])
         planes = dict(planes, u=uvs[0], v=uvs[1])
         del planes["uv_s"]
+    if "y_g8" in planes and fmt in (VideoFormat.NV12, VideoFormat.I420):
+        # pipeline-edge "packed420g8" planes (kernels.convert.
+        # pack_420_grid64): y_g8 (16, H/8, W/8) u32 — entry 2*qr+h is row
+        # phase qr's col phases 4h..4h+3; uv_g8 (8, H/8, W/8) u32 —
+        # entry 2*ca+h's bytes are NV12's interleaved uv bytes for
+        # chroma cols 4c+2h, 4c+2h+1.  Interleave the two half-word
+        # streams per block column (u32 ops), then rows mod 8 / mod 4.
+        yg = np.ascontiguousarray(planes["y_g8"])
+        h8, w8 = yg.shape[-2:]
+        y = np.empty((h, w), np.uint8)
+        row = np.empty((h8, 2 * w8), np.uint32)
+        for qr in range(8):
+            row[:, 0::2] = yg[2 * qr]
+            row[:, 1::2] = yg[2 * qr + 1]
+            y[qr::8] = row.view(np.uint8).reshape(h8, w)
+        uvg = np.ascontiguousarray(planes["uv_g8"])
+        cw, ch = chroma_dims_420(w, h)
+        uv = np.empty((ch, 2 * cw), np.uint8)
+        for ca in range(4):
+            row[:, 0::2] = uvg[2 * ca]
+            row[:, 1::2] = uvg[2 * ca + 1]
+            uv[ca::4] = row.view(np.uint8).reshape(h8, 2 * cw)
+        if fmt == VideoFormat.NV12:
+            return {"y": y, "uv": uv}
+        if nat is not None:
+            u, v = nat.deinterleave2(uv)
+        else:
+            u = np.ascontiguousarray(uv[:, 0::2])
+            v = np.ascontiguousarray(uv[:, 1::2])
+        return {"y": y, "u": u, "v": v}
     if "y_g" in planes and fmt in (VideoFormat.NV12, VideoFormat.I420):
         # pipeline-edge "packed420g" planes (kernels.convert.pack_420_grid16):
         # y_g (4, H/4, W/4) u32 — bytes are row phase qq's full-width luma

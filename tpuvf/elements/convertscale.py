@@ -255,14 +255,20 @@ class ConvertScale(Element):
                                        border, filt))
 
     def grid64_head_ok(self, in_spec, out_spec):
-        """GRID64 head: exactly-4x/4x bilinear 4:2:0->RGB upscale — the
+        """GRID64 head: exactly-4x/4x bilinear 4:2:0 upscale — the
         mod-8 output grid makes every luma tap a quarter-phase 2-tap
         stencil over the quad-provisioned col/row parity planes and
         every chroma tap an eighth-phase 2-tap stencil off the half-res
-        planes (convert.can_grid64, round 5 — the round-3f mod-8 gap)."""
+        planes (convert.can_grid64, round 5 — the round-3f mod-8 gap).
+        RGB outputs feed grid8 boundaries/packed32g8 edges; 4:2:0
+        outputs (the format-preserving default fixation, e.g. NV12
+        540p -> NV12 4K) emit the packed420g8 sink edge directly."""
+        from tpuvf.core.formats import VideoFormat as _VF
+
         scale_x, scale_y, border, filt = self._split_geometry(
             in_spec, out_spec)
-        return (out_spec.format in RGB_FORMATS
+        return ((out_spec.format in RGB_FORMATS
+                 or out_spec.format in (_VF.NV12, _VF.I420))
                 and convert.can_grid64(in_spec, out_spec.width,
                                        out_spec.height, scale_x, scale_y,
                                        border, filt))
@@ -308,7 +314,7 @@ class ConvertScale(Element):
             self._linked_quad = True
             return self._make_process_grid(in_spec, out_spec, static,
                                            out_mode)
-        if out_mode in ("grid8", "packed32g8"):
+        if out_mode in ("grid8", "packed32g8", "packed420g8"):
             self._linked_quad = True
             return self._make_process_grid64(in_spec, out_spec, static,
                                              out_mode)
@@ -463,6 +469,15 @@ class ConvertScale(Element):
             in_spec, filter=filt, matrix_index=in_spec.matrix_index)
         matrix_out = out_spec.matrix_index
         self._buffers = {}
+
+        if out_mode == "packed420g8":
+            def process_grid64_420(planes, state, params):
+                chg = sampler_g(planes, params)
+                out = convert.pack_420_grid64(
+                    chg, out_spec.format, matrix_out, unit_range=True)
+                return out, state
+
+            return process_grid64_420
 
         def process_grid64(planes, state, params):
             chg = sampler_g(planes, params)

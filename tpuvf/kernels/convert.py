@@ -1666,6 +1666,81 @@ def pack_rgba_grid64(chans: dict, out_format: VideoFormat,
     raise ValueError(f"unknown grid64 pack mode {mode}")
 
 
+def pack_420_grid64(chans: dict, out_format: VideoFormat,
+                    matrix_index: int, unit_range: bool = False) -> dict:
+    """GRID64 phases -> the "packed420g8" 4:2:0 sink edge (4x NV12/I420
+    upscale chains — the format-preserving default fixation at 4x, e.g.
+    NV12 540p -> NV12 4K).  pack_420_grid16's mod-8 analog.
+
+    Value path (identical order to pack_420_grid16 / the canonical
+    pack): quantize each phase's RGB (the RGBA8 render-target write,
+    vfmetalshaders.m:104-124), dequantize, RGB->YUV per phase for luma,
+    and the 2x2 box average BEFORE the matrix for chroma (row pairs
+    then column pairs, color.rgb_to_chroma_downsampled's order).  The
+    box's 2x2 output pixels are adjacent grid phases: chroma pixel
+    (4k+ca, 4l+cb) averages grid row phases {2ca, 2ca+1} x col phases
+    {2cb, 2cb+1} at block (k, l) — chroma is a 4x4 phase grid of
+    (H_out/8, W_out/8) planes with NO interleave on device.
+
+    Outputs (single stacked arrays — the lax.scan in-place-stacking
+    rule, see pack_rgba_grid16):
+    - "y_g8":  (16, H_out/8, W_out/8) u32 — entry 2*qr+h packs row
+               phase qr's col phases 4h..4h+3 one byte each
+               (little-endian byte j = output col 8c+4h+j); the host
+               interleaves the two half-words per block column then
+               copies rows mod 8.
+    - "uv_g8": (8, H_out/8, W_out/8) u32 — entry 2*ca+h packs chroma
+               row phase ca, words u[2h] | v[2h]<<8 | u[2h+1]<<16 |
+               v[2h+1]<<24: bytes equal NV12's interleaved uv rows.
+               I420 hosts deinterleave."""
+    from tpuvf.kernels.color import quant_unit
+
+    if out_format not in (VideoFormat.NV12, VideoFormat.I420):
+        raise ValueError("packed420g8 applies to 4:2:0 output formats")
+    qfn = quant_unit if unit_range else quant
+    q = {ph: tuple(qfn(c) for c in chans[ph]) for ph in GRID64_PHASES}
+    d = {ph: tuple(dequant(c) for c in q[ph][:3]) for ph in GRID64_PHASES}
+
+    def u32(x):
+        return x.astype(jnp.uint32)
+
+    def word4(b):
+        return (u32(b[0]) | (u32(b[1]) << np.uint32(8))
+                | (u32(b[2]) << np.uint32(16))
+                | (u32(b[3]) << np.uint32(24)))
+
+    y_words = []
+    for qr in range(8):
+        yq = []
+        for p in range(8):
+            yph, _, _ = color.rgb_to_yuv(*d[f"{qr}{p}"], matrix_index)
+            yq.append(quant(yph))
+        y_words.append(word4(yq[0:4]))
+        y_words.append(word4(yq[4:8]))
+
+    half = np.float32(0.5)
+
+    def chroma(ca, cb):
+        def box(ci):
+            ae = (d[f"{2 * ca}{2 * cb}"][ci]
+                  + d[f"{2 * ca + 1}{2 * cb}"][ci]) * half
+            ao = (d[f"{2 * ca}{2 * cb + 1}"][ci]
+                  + d[f"{2 * ca + 1}{2 * cb + 1}"][ci]) * half
+            return (ae + ao) * half
+
+        _, uu, vv = color.rgb_to_yuv(box(0), box(1), box(2), matrix_index)
+        return quant(uu), quant(vv)
+
+    uv_words = []
+    for ca in range(4):
+        uvs = [chroma(ca, cb) for cb in range(4)]
+        for h in range(2):
+            (u0, v0), (u1, v1) = uvs[2 * h], uvs[2 * h + 1]
+            uv_words.append(word4((u0, v0, u1, v1)))
+    return {"y_g8": jnp.stack(y_words, axis=-3),
+            "uv_g8": jnp.stack(uv_words, axis=-3)}
+
+
 def split_rgb_chans_grid64(planes):
     """{"r_00",...} grid64 boundary planes -> {phase: (r, g, b, a)}."""
     from tpuvf.kernels.color import as_unit_float

@@ -1082,6 +1082,7 @@ class Pipeline:
         if (not os.environ.get("TPUVF_NO_QUAD_LINKS")
                 and getattr(self, "_quad_links_enabled", True)):
             from tpuvf.core.formats import RGB_FORMATS as _RGB
+            from tpuvf.core.formats import VideoFormat as _VFt
 
             for e, i_s, o_s, pt in list(info.values()):
                 if pt or not e.grid64_head_ok(i_s, o_s):
@@ -1111,15 +1112,21 @@ class Pipeline:
                 if not reaches_sink:
                     continue
                 tail, t_i, t_o = chain[-1]
-                if not (t_o.format in _RGB
-                        and tail.edge_packed32_ok(t_i, t_o)):
+                if t_o.format in _RGB and tail.edge_packed32_ok(t_i, t_o):
+                    g8edge = "packed32g8"
+                elif t_o.format in (_VFt.NV12, _VFt.I420):
+                    # format-preserving 4x upscale (e.g. NV12 540p ->
+                    # NV12 4K, the default fixation): the head emits
+                    # the 4:2:0 edge directly (convert.pack_420_grid64)
+                    g8edge = "packed420g8"
+                else:
                     continue
-                plan[e.name] = ["quad", "packed32g8"
+                plan[e.name] = ["quad", g8edge
                                 if len(chain) == 1 else "grid8"]
                 for ce, _, _ in chain[1:-1]:
                     plan[ce.name] = ["grid8", "grid8"]
                 if len(chain) > 1:
-                    plan[tail.name] = ["grid8", "packed32g8"]
+                    plan[tail.name] = ["grid8", g8edge]
                 source_split[up.name] = "quad"
         return ({k: (v[0], v[1]) for k, v in plan.items()},
                 source_split, comp_split_pads)
@@ -1559,7 +1566,7 @@ class Pipeline:
             g = 2
         for in_split, out_mode in (self.link_plan or {}).values():
             if (in_split == "grid8"
-                    or out_mode in ("grid8", "packed32g8")):
+                    or out_mode in ("grid8", "packed32g8", "packed420g8")):
                 return 8
         for in_split, out_mode in (self.link_plan or {}).values():
             if (in_split == "grid"
@@ -1607,7 +1614,7 @@ class Pipeline:
             return None
         quad_modes = {"quad", "packed32q", "packed16q",
                       "grid", "packed32g", "packed420g",
-                      "grid8", "packed32g8"}
+                      "grid8", "packed32g8", "packed420g8"}
         plan = self.link_plan or {}
         for st in self._stages:
             if st.passthrough or st.in_spec is None:
