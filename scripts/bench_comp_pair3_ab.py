@@ -1,14 +1,16 @@
 """3-way device-time A/B of BASELINE config 5 (round 5): separates the
 two effects the pair-provisioning commit combined —
 
-  full   : pair chroma upload + LAZY per-cell 4:2:0 decode
-  pairlz : pair chroma upload, EAGER sample_draw_split decode
-           (TPUVF_NO_LAZY420=1 — still rides the pair planes)
-  eager  : round-4 path (TPUVF_NO_CHROMA_PAIR=1)
+  pair_eager : pair chroma upload, EAGER sample_draw_split decode
+               (the shipped default)
+  pair_lazy  : pair chroma upload + LAZY per-cell 4:2:0 decode
+               (TPUVF_LAZY420=1)
+  no_pair    : round-4 path (TPUVF_NO_CHROMA_PAIR=1)
 
-The round-5 first A/B read full=596.2 vs eager=569.2 us/frame — a
-device-time LOSS for the combined change; this separates which half
-hurts so the default can be set per-effect.  Device traces are the
+MEASURED (round 5, v5e device traces): pair+lazy 596.3 / pair+eager
+540.9 / no-pair 569.2 us/frame — the pair chroma upload WINS (-5%),
+the lazy per-cell decode LOSES (+10%); the shipped default is
+pair+eager (lazy behind TPUVF_LAZY420=1).  Device traces are the
 instrument (fps windows are 2x noisy — round-4 rule).
 
 Run:  JAX_COMPILATION_CACHE_DIR=/tmp/tpuvf-tpu-cache python -u \
@@ -25,11 +27,11 @@ import bench.configs as cfgs
 from tpuvf.runtime.benchmark import measure_device_us, measure_fps
 
 VARIANTS = (
-    ("full", {}),
-    ("pairlz", {"TPUVF_NO_LAZY420": "1"}),
-    ("eager", {"TPUVF_NO_CHROMA_PAIR": "1"}),
+    ("pair_eager", {}),
+    ("pair_lazy", {"TPUVF_LAZY420": "1"}),
+    ("no_pair", {"TPUVF_NO_CHROMA_PAIR": "1"}),
 )
-KEYS = ("TPUVF_NO_LAZY420", "TPUVF_NO_CHROMA_PAIR")
+KEYS = ("TPUVF_LAZY420", "TPUVF_NO_CHROMA_PAIR")
 
 
 def with_env(env, fn):

@@ -1061,10 +1061,15 @@ class Compositor(Element):
 
                     if ("u_m" not in planes
                             or _os2.environ.get("TPUVF_NO_CHROMA_PAIR")
-                            or _os2.environ.get("TPUVF_NO_LAZY420")):
-                        # TPUVF_NO_LAZY420: A/B hatch — eager
-                        # sample_draw_split (which still rides the pair
-                        # chroma) instead of per-cell decode
+                            or not _os2.environ.get("TPUVF_LAZY420")):
+                        # Default is EAGER sample_draw_split (which
+                        # still rides the pair chroma): the round-5
+                        # 3-way device A/B read pair+eager 540.9
+                        # us/frame vs pair+lazy 596.3 vs no-pair 569.2
+                        # (scripts/bench_comp_pair3_ab.py) — the lazy
+                        # per-cell decode re-reads the pad chroma per
+                        # cell fold and loses more than fusion saves.
+                        # TPUVF_LAZY420=1 re-enables it for A/Bs.
                         return None
                     mi = d["matrix"]
 
