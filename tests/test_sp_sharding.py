@@ -242,6 +242,8 @@ def test_sp_scaling_chain_accepted():
 
 def test_sp_rejects_bad_height():
     require_devices(8)
+    # quad-provisioned NV12 chains SURVIVE a misaligned height since
+    # round 5 (proportional phase-row padding) — bitwise vs unsharded
     p = parse_pipeline(
         "videotestsrc num-buffers=2 "
         "! video/x-raw,format=NV12,width=64,height=36 "
@@ -250,8 +252,29 @@ def test_sp_rejects_bad_height():
     p.negotiate()
     p.build()
     m = pmesh.make_mesh({"dp": 1, "sp": 8})  # 36 % 8 != 0
+    p.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")
+    ref = parse_pipeline(
+        "videotestsrc num-buffers=2 "
+        "! video/x-raw,format=NV12,width=64,height=36 "
+        "! vfmetalvideofilter contrast=1.2 ! appsink"
+    )
+    ref.negotiate()
+    ref.build()
+    ref.run()
+    for fa, fb in zip(p.sinks[0].frames, ref.sinks[0].frames):
+        for k in fa:
+            np.testing.assert_array_equal(fa[k], fb[k])
+    # an RGB (non-quad-provisioned) chain has no phase plan to pad:
+    # the height check still rejects at dispatch time
+    r = parse_pipeline(
+        "videotestsrc num-buffers=2 "
+        "! video/x-raw,format=BGRA,width=64,height=36 "
+        "! vfmetalvideofilter contrast=1.2 ! appsink"
+    )
+    r.negotiate()
+    r.build()
     with pytest.raises(ValueError, match="height"):
-        p.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")
+        r.run_batched(2, batch_size=2, mesh=m, sp_axis="sp")
 
 
 def test_sp_axis_unknown_rejected():
