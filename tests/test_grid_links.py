@@ -592,6 +592,27 @@ def test_pack_420_grid64_edge_layout():
                                           uvb[2 * ca + h, :, c, j]), (ca, h)
 
 
+def test_overlay_joins_grid64(tmp_path):
+    # an ACTIVE overlay slices its rect by (row mod 8, col mod 8)
+    # host-side and blends per phase (Overlay._make_process_grid
+    # period=8); odd rect origins exercise the mod-8 span math
+    from PIL import Image
+
+    png = tmp_path / "ov.png"
+    Image.new("RGBA", (24, 24), (255, 0, 0, 128)).save(png)
+    for pos in ("x=13 y=7", "relative-x=0.3 relative-y=0.4"):
+        desc = ("videotestsrc num-buffers=1 ! video/x-raw,format=NV12,"
+                "width=96,height=56 ! vfmetalconvertscale "
+                "! video/x-raw,format=BGRA,width=384,height=224 "
+                "! vfmetalvideofilter brightness=0.1 "
+                f"! vfmetaloverlay location={png} {pos} ! appsink")
+        p = _run(desc)
+        ov = next(e.name for e in p.elements
+                  if e.ELEMENT_NAME == "vfoverlay")
+        assert p.link_plan[ov] == ("grid8", "packed32g8"), pos
+        _assert_within_1lsb(desc)
+
+
 def test_grid64_sharpness_stays_on_grid():
     # round 5: blur9 decomposes into mod-8 cross-phase stencils
     # (kfilter.blur9_gridk period=8), so sharpened 4x chains KEEP the

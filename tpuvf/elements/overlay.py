@@ -175,6 +175,22 @@ class Overlay(Element):
     def grid_output_ok(self, in_spec, out_spec):
         return self._grid_capable(in_spec, out_spec)
 
+    def _grid64_capable(self, in_spec, out_spec) -> bool:
+        """GRID64 (8x8 phase) dataflow: the rect blend slices host-side
+        by (row mod 8, col mod 8) — the same slicing at stride 8.  RGB
+        boundaries only (grid8 links carry {"r_00",...,"a_77"})."""
+        from tpuvf.core.formats import RGB_FORMATS
+
+        return (self._phase_capable(in_spec, out_spec)
+                and in_spec.format in RGB_FORMATS
+                and in_spec.width % 8 == 0 and in_spec.height % 8 == 0)
+
+    def grid64_input_ok(self, in_spec, out_spec):
+        return self._grid64_capable(in_spec, out_spec)
+
+    def grid64_output_ok(self, in_spec, out_spec):
+        return self._grid64_capable(in_spec, out_spec)
+
     def edge_packed32_ok(self, in_spec=None, out_spec=None) -> bool:
         """RGB sink edges emit u32 pixel words (one fusion; the
         per-channel u16 emit split into two fusions with six f32 4K
@@ -305,36 +321,43 @@ class Overlay(Element):
 
         return process_quad
 
-    def _make_process_grid(self, in_spec, out_spec, bufs, cfg, out_mode):
-        """GRID16 (4x4 phase) path: the overlay rect slices into sixteen
-        (row mod 4, col mod 4) pieces host-side; each phase blend is the
-        split path's expression verbatim (video*(1-a) + overlay*a on the
-        premultiplied image).  4:2:0 boundaries arrive in the grid420
-        layout (per-phase luma + 2x2-phase chroma) and re-emit it."""
+    def _make_process_grid(self, in_spec, out_spec, bufs, cfg, out_mode,
+                           period=4):
+        """GRID16/GRID64 (period x period phase) path: the overlay rect
+        slices into period^2 (row mod g, col mod g) pieces host-side;
+        each phase blend is the split path's expression verbatim
+        (video*(1-a) + overlay*a on the premultiplied image).  4:2:0
+        boundaries (mod-4 only) arrive in the grid420 layout (per-phase
+        luma + 2x2-phase chroma) and re-emit it."""
         from tpuvf.core.formats import RGB_FORMATS
-        from tpuvf.kernels.convert import GRID16_PHASES
+        from tpuvf.kernels.convert import GRID16_PHASES, GRID64_PHASES
 
+        g = period
+        phases = GRID64_PHASES if g == 8 else GRID16_PHASES
         w, h = in_spec.width, in_spec.height
         rx0, rx1, ry0, ry1 = cfg["rect"]
         ov_rect = cfg["planes"]  # (4, rh, rw) f32 premultiplied
-        n_r, n_c = h // 4, w // 4
+        n_r, n_c = h // g, w // g
         fetches = {}
-        for ph in GRID16_PHASES:
+        for ph in phases:
             qq, p = int(ph[0]), int(ph[1])
-            # plane index k covers canvas row 4k+qq: ry0 <= 4k+qq < ry1
-            r0 = max(0, (ry0 - qq + 3) // 4)
-            r1 = max(0, (ry1 - qq + 3) // 4)
-            c0 = max(0, (rx0 - p + 3) // 4)
-            c1 = max(0, (rx1 - p + 3) // 4)
+            # plane index k covers canvas row g*k+qq: ry0 <= g*k+qq < ry1
+            r0 = max(0, (ry0 - qq + g - 1) // g)
+            r1 = max(0, (ry1 - qq + g - 1) // g)
+            c0 = max(0, (rx0 - p + g - 1) // g)
+            c1 = max(0, (rx1 - p + g - 1) // g)
             if r1 <= r0 or c1 <= c0:
                 continue
-            roff = 4 * r0 + qq - ry0
-            coff = 4 * c0 + p - rx0
-            piece = np.ascontiguousarray(ov_rect[:, roff::4, coff::4])
+            roff = g * r0 + qq - ry0
+            coff = g * c0 + p - rx0
+            piece = np.ascontiguousarray(ov_rect[:, roff::g, coff::g])
             fetches[ph] = (bufs.add(piece, f"overlay_{ph}"),
                            ((r0, n_r - r1), (c0, n_c - c1)))
 
-        if in_spec.format in RGB_FORMATS:
+        if g == 8:
+            reader = lambda planes, params: convert.split_rgb_chans_grid64(
+                planes)
+        elif in_spec.format in RGB_FORMATS:
             reader = lambda planes, params: convert.split_rgb_chans_grid16(
                 planes)
         else:
@@ -359,7 +382,10 @@ class Overlay(Element):
                     ovc = spctx.shard_rows(jnp.pad(ov[c], pad_hw), rows)
                     chg[ph][c] = chg[ph][c] * (1.0 - a) + ovc * a
             chans = {ph: tuple(t) for ph, t in chg.items()}
-            if out_mode == "packed420g":
+            if g == 8:
+                out = convert.pack_rgba_grid64(
+                    chans, out_spec.format, matrix_out, mode=out_mode)
+            elif out_mode == "packed420g":
                 out = convert.pack_420_grid16(
                     chans, out_spec.format, matrix_out)
             else:
@@ -390,6 +416,15 @@ class Overlay(Element):
 
         bufs = WeightBuffers(self.name)
         matrix_out = out_spec.matrix_index
+        grid8 = (in_split == "grid8"
+                 or out_mode in ("grid8", "packed32g8"))
+        if grid8:
+            if not self._grid64_capable(in_spec, out_spec):
+                raise NotImplementedError(
+                    "overlay grid64 links require mod-8 RGB dimensions")
+            self._linked_quad = True
+            return self._make_process_grid(in_spec, out_spec, bufs,
+                                           cfg, out_mode, period=8)
         grid = (in_split == "grid"
                 or out_mode in ("grid", "packed32g", "packed420g"))
         if grid:
