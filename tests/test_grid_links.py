@@ -592,6 +592,36 @@ def test_pack_420_grid64_edge_layout():
                                           uvb[2 * ca + h, :, c, j]), (ca, h)
 
 
+def test_grid64_420_edge_sp_composition():
+    # packed420g8 keeps the grid64 plan under sp row sharding: aligned
+    # heights directly, misaligned heights via the proportional pad
+    # plan (which accepts grid64's ratio-4 height sets); bitwise vs
+    # unsharded in both cases
+    import jax
+
+    from tpuvf.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    for w, h, sp in ((96, 128, 4),   # aligned: 16 phase rows / sp=4
+                     (96, 64, 4)):   # misaligned: 8 phase rows -> pad
+        desc = ("videotestsrc num-buffers=4 pattern=ball "
+                f"! video/x-raw,format=NV12,width={w},height={h} "
+                f"! vfmetalconvertscale ! video/x-raw,format=NV12,"
+                f"width={4 * w},height={4 * h} ! appsink")
+        p = _run(desc)
+        cs = next(e.name for e in p.elements
+                  if e.ELEMENT_NAME == "vfconvertscale")
+        assert p.link_plan[cs] == ("quad", "packed420g8"), (h, sp)
+        mesh = make_mesh({"dp": 1, "sp": sp})
+        p.run_batched(4, batch_size=4, mesh=mesh, sp_axis="sp")
+        assert p.link_plan[cs] == ("quad", "packed420g8"), (h, sp)
+        ref = _run(desc)
+        for fa, fb in zip(p.sinks[0].frames, ref.sinks[0].frames):
+            for k in fa:
+                np.testing.assert_array_equal(fa[k], fb[k], err_msg=str(h))
+
+
 def test_overlay_joins_grid64(tmp_path):
     # an ACTIVE overlay slices its rect by (row mod 8, col mod 8)
     # host-side and blends per phase (Overlay._make_process_grid

@@ -1606,10 +1606,10 @@ class Pipeline:
         (transform, scaled convertscale) never negotiates these links,
         so it can't be mis-padded.
 
-        Chains may carry two heights in exactly-2x ratio (grid16 in/out);
-        one frame ratio pads both consistently.  The pad step is 2*g so
-        every derived plane's pad (full, half, quarter rows) stays
-        integral."""
+        Chains may carry heights in exactly-2x (grid16 in/out) or
+        exactly-4x ratio (grid64 in/out); one frame ratio pads all
+        consistently.  The pad step is 2*g so every derived plane's pad
+        (full, half, quarter rows) stays integral."""
         if self._sp_replicated or self._sp_rep_sources:
             return None
         quad_modes = {"quad", "packed32q", "packed16q",
@@ -1631,7 +1631,7 @@ class Pipeline:
         if not heights:
             return None
         h1 = heights[0]
-        if any(h % h1 or h // h1 not in (1, 2) for h in heights):
+        if any(h % h1 or h // h1 not in (1, 2, 4) for h in heights):
             return None
         step = 2 * g
         for pad in range(step, step * sp * 8 + 1, step):
