@@ -282,6 +282,20 @@ def config_scale1080to4k_nv12():
             in_spec)
 
 
+def config_scale540to4k_nv12():
+    """Beyond-BASELINE: format-preserving 4x upscale (NV12 540p ->
+    NV12 4K, the default fixation at 4x) — the GRID64 packed420g8 sink
+    edge (round 5: device 223.8 vs 756.6 us/frame over the kx-rows
+    election, scripts/bench_grid64_420_ab.py)."""
+    in_spec = FrameSpec(VideoFormat.NV12, 960, 540)
+    out_spec = FrameSpec(VideoFormat.NV12, 3840, 2160,
+                         matrix=in_spec.matrix)
+    elem = make("vfconvertscale")
+    step, state0, params = _element_step(elem, in_spec, out_spec)
+    return ("540p NV12 -> 4K NV12 4x-upscale", step, state0, params,
+            in_spec)
+
+
 def config_convert422():
     """Beyond-BASELINE: packed 4:2:2 decode at 4K identity (UYVY ->
     BGRA) — the round-4 can_split_422 column-phase plan (both output
@@ -309,5 +323,6 @@ ALL = {
     "scale1080to4k": config_scale1080to4k,
     "scale540to4k": config_scale540to4k,
     "scale1080to4k_nv12": config_scale1080to4k_nv12,
+    "scale540to4k_nv12": config_scale540to4k_nv12,
     "convert422": config_convert422,
 }
