@@ -622,6 +622,36 @@ def test_grid64_420_edge_sp_composition():
                 np.testing.assert_array_equal(fa[k], fb[k], err_msg=str(h))
 
 
+def test_grid_head_behind_quad_mids():
+    # round 5: quad-capable identity stages (deinterlace, filter) before
+    # a grid upscale head ride quad links; the head reads the quad
+    # boundary (same contract as the provisioned source planes).
+    # Bitwise on these seeds.
+    cases = (
+        # deinterlace then 2x upscale -> grid16 head
+        ("videotestsrc num-buffers=3 ! video/x-raw,format=NV12,"
+         "width=96,height=64,interlace-mode=interleaved "
+         "! vfmetaldeinterlace method=greedyh ! vfmetalconvertscale "
+         "! video/x-raw,format=BGRA,width=192,height=128 ! appsink",
+         "vfdeinterlace", ("quad", "quad"),
+         "vfconvertscale", ("quad", "packed32g")),
+        # NV12 filter then 4x upscale -> grid64 head, packed420g8 edge
+        ("videotestsrc num-buffers=2 ! video/x-raw,format=NV12,"
+         "width=96,height=64 "
+         "! vfmetalvideofilter brightness=0.1 ! vfmetalconvertscale "
+         "! video/x-raw,format=NV12,width=384,height=256 ! appsink",
+         "vfvideofilter", ("quad", "quad"),
+         "vfconvertscale", ("quad", "packed420g8")),
+    )
+    for desc, mid, mid_plan, head, head_plan in cases:
+        p = _run(desc)
+        names = {e.ELEMENT_NAME: e.name for e in p.elements}
+        assert p.link_plan[names[mid]] == mid_plan, desc
+        assert p.link_plan[names[head]] == head_plan, desc
+        assert any(v == "quad" for v in p._source_split.values())
+        _assert_within_1lsb(desc)
+
+
 def test_overlay_joins_grid64(tmp_path):
     # an ACTIVE overlay slices its rect by (row mod 8, col mod 8)
     # host-side and blends per phase (Overlay._make_process_grid

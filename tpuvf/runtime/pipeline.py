@@ -907,6 +907,40 @@ class Pipeline:
                 if not d[3]:
                     return node  # a real producer element
 
+        def quad_upstream_chain(e):
+            """Walk upstream from `e` to a single-output Source through
+            non-passthrough elements that carry quad links at identity
+            (round 5: a deinterlace/filter stage BEFORE a grid upscale
+            head rides the quad boundary — its {"y_ee",...,"u","v"}
+            f32 quant_sim planes are the same contract as the quad
+            source provisioning the grid samplers read).  Returns
+            (source, [(elem, in_spec, out_spec) innermost-first]) or
+            None."""
+            mids = []
+            node = e
+            while True:
+                ins = self._incoming(node)
+                if len(ins) != 1:
+                    return None
+                upn = ins[0].upstream
+                if isinstance(upn, SourceElement):
+                    if len(self._outgoing(upn)) != 1:
+                        return None
+                    mids.reverse()  # source-first order
+                    return upn, mids
+                d = info.get(id(upn))
+                if d is None:
+                    return None
+                ue, ui, uo, upt = d
+                if not upt:
+                    if len(self._outgoing(upn)) != 1:
+                        return None
+                    if not (ue.quad_input_ok(ui, uo)
+                            and ue.quad_output_ok(ui, uo)):
+                        return None
+                    mids.append((ue, ui, uo))
+                node = upn
+
         for e, i_s, o_s, pt in info.values():
             if pt or not e.split_input_ok(i_s, o_s):
                 continue
@@ -1032,9 +1066,19 @@ class Pipeline:
                 if pt or not e.grid_head_ok(i_s, o_s):
                     continue
                 up = real_upstream(e)
-                if not (isinstance(up, SourceElement)
+                if (isinstance(up, SourceElement)
                         and len(self._outgoing(up)) == 1):
-                    continue
+                    mids = []
+                else:
+                    # round 5: quad-capable identity stages (deinterlace,
+                    # filter) may sit between the source and the grid
+                    # head — they ride quad links and the head reads the
+                    # quad boundary (same contract as the provisioned
+                    # source planes)
+                    found = quad_upstream_chain(e)
+                    if found is None:
+                        continue
+                    up, mids = found
                 chain = [(e, i_s, o_s)]
                 node, reaches_sink = e, False
                 while True:
@@ -1065,6 +1109,8 @@ class Pipeline:
                     gedge = "packed420g"
                 else:
                     continue
+                for me_, _, _ in mids:
+                    plan[me_.name] = ["quad", "quad"]
                 plan[e.name] = ["quad",
                                 gedge if len(chain) == 1 else "grid"]
                 for ce, _, _ in chain[1:-1]:
@@ -1088,9 +1134,14 @@ class Pipeline:
                 if pt or not e.grid64_head_ok(i_s, o_s):
                     continue
                 up = real_upstream(e)
-                if not (isinstance(up, SourceElement)
+                if (isinstance(up, SourceElement)
                         and len(self._outgoing(up)) == 1):
-                    continue
+                    mids = []
+                else:
+                    found = quad_upstream_chain(e)  # round 5, see grid16
+                    if found is None:
+                        continue
+                    up, mids = found
                 chain = [(e, i_s, o_s)]
                 node, reaches_sink = e, False
                 while True:
@@ -1121,6 +1172,8 @@ class Pipeline:
                     g8edge = "packed420g8"
                 else:
                     continue
+                for me_, _, _ in mids:
+                    plan[me_.name] = ["quad", "quad"]
                 plan[e.name] = ["quad", g8edge
                                 if len(chain) == 1 else "grid8"]
                 for ce, _, _ in chain[1:-1]:
