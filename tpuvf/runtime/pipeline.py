@@ -931,10 +931,10 @@ class Pipeline:
                 d = info.get(id(upn))
                 if d is None:
                     return None
+                if len(self._outgoing(upn)) != 1:
+                    return None  # fan-out (tee) would leak quad planes
                 ue, ui, uo, upt = d
                 if not upt:
-                    if len(self._outgoing(upn)) != 1:
-                        return None
                     if not (ue.quad_input_ok(ui, uo)
                             and ue.quad_output_ok(ui, uo)):
                         return None
