@@ -33,6 +33,28 @@ def test_deinterleave2_roundtrip():
     np.testing.assert_array_equal(lib.interleave2(u, v), uv)
 
 
+def test_interleave_grid_u32_matches_numpy():
+    from tpuvf.native import lib
+
+    grid = [RNG.integers(0, 2**32, (5, 7), dtype=np.uint32)
+            for _ in range(64)]
+    out = lib.interleave_grid_u32(grid, 8)
+    want = np.empty((40, 56), np.uint32)
+    for i, g in enumerate(grid):
+        want[i // 8::8, i % 8::8] = g
+    np.testing.assert_array_equal(out, want)
+
+
+def test_interleave2_u32_matches_numpy():
+    from tpuvf.native import lib
+
+    a = RNG.integers(0, 2**32, (6, 9), dtype=np.uint32)
+    b = RNG.integers(0, 2**32, (6, 9), dtype=np.uint32)
+    out = lib.interleave2_u32(a, b)
+    np.testing.assert_array_equal(out[:, 0::2], a)
+    np.testing.assert_array_equal(out[:, 1::2], b)
+
+
 @pytest.mark.parametrize("fmt", ["UYVY", "YUY2"])
 def test_pack_422_roundtrip(fmt):
     from tpuvf.native import lib

@@ -178,9 +178,13 @@ def planes_to_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
             # the 8x8 rows+columns interleave in one repack pass
             wg = np.ascontiguousarray(planes["w_g8"])
             h8, w8 = wg.shape[-2:]
-            out = np.empty((8 * h8, 8 * w8), np.uint32)
-            for i in range(64):
-                out[i // 8::8, i % 8::8] = wg[i]
+            grid = [wg[i] for i in range(64)]
+            if nat is not None:
+                out = nat.interleave_grid_u32(grid, 8)
+            else:
+                out = np.empty((8 * h8, 8 * w8), np.uint32)
+                for i, gp in enumerate(grid):
+                    out[i // 8::8, i % 8::8] = gp
             return out.view(np.uint8).reshape(out.shape[0], out.shape[1], 4)
         if "w_g" in planes:
             # pipeline-edge "packed32g" plane: (16, H/4, W/4) u32 PIXEL
@@ -244,19 +248,26 @@ def planes_to_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
         # streams per block column (u32 ops), then rows mod 8 / mod 4.
         yg = np.ascontiguousarray(planes["y_g8"])
         h8, w8 = yg.shape[-2:]
+
+        def pair(a, b):
+            if nat is not None:
+                return nat.interleave2_u32(a, b)
+            out = np.empty((h8, 2 * w8), np.uint32)
+            out[:, 0::2] = a
+            out[:, 1::2] = b
+            return out
+
         y = np.empty((h, w), np.uint8)
-        row = np.empty((h8, 2 * w8), np.uint32)
         for qr in range(8):
-            row[:, 0::2] = yg[2 * qr]
-            row[:, 1::2] = yg[2 * qr + 1]
-            y[qr::8] = row.view(np.uint8).reshape(h8, w)
+            y[qr::8] = pair(yg[2 * qr],
+                            yg[2 * qr + 1]).view(np.uint8).reshape(h8, w)
         uvg = np.ascontiguousarray(planes["uv_g8"])
         cw, ch = chroma_dims_420(w, h)
         uv = np.empty((ch, 2 * cw), np.uint8)
         for ca in range(4):
-            row[:, 0::2] = uvg[2 * ca]
-            row[:, 1::2] = uvg[2 * ca + 1]
-            uv[ca::4] = row.view(np.uint8).reshape(h8, 2 * cw)
+            uv[ca::4] = pair(uvg[2 * ca],
+                             uvg[2 * ca + 1]).view(np.uint8).reshape(
+                                 h8, 2 * cw)
         if fmt == VideoFormat.NV12:
             return {"y": y, "uv": uv}
         if nat is not None:

@@ -29,6 +29,9 @@ def _load():
                                             i64, i64]
         _lib.vf_interleave16_u32.argtypes = [ctypes.POINTER(u32p), u32p,
                                              i64, i64]
+        _lib.vf_interleave_grid_u32.argtypes = [ctypes.POINTER(u32p), u32p,
+                                                i64, i64, ctypes.c_int]
+        _lib.vf_interleave2_u32.argtypes = [u32p, u32p, u32p, i64]
         _lib.vf_unpack_422.argtypes = [u8p, u8p, u8p, u8p, i64, i64,
                                        ctypes.c_int, ctypes.c_int,
                                        ctypes.c_int, ctypes.c_int]
@@ -132,6 +135,41 @@ def interleave16_u32(grid) -> np.ndarray:
     dst = np.empty((4 * h4, 4 * w4), np.uint32)
     ptrs = (u32p * 16)(*(a.ctypes.data_as(u32p) for a in grid))
     lib.vf_interleave16_u32(ptrs, dst.ctypes.data_as(u32p), h4, w4)
+    return dst
+
+
+def interleave_grid_u32(grid, g: int) -> np.ndarray:
+    """g*g (hg, wg) uint32 word planes (row-major grid phase order,
+    grid[g*qq + p]) -> (g*hg, g*wg) uint32 interleaved
+    (dst[g*r+qq, g*c+p] = grid[g*qq+p][r, c]) — the packed32g8 sink
+    edge at g=8."""
+    lib = _load()
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    grid = [np.ascontiguousarray(a, np.uint32) for a in grid]
+    if len(grid) != g * g:
+        raise ValueError(
+            f"interleave_grid_u32 needs {g * g} planes, got {len(grid)}")
+    hg, wg = grid[0].shape
+    dst = np.empty((g * hg, g * wg), np.uint32)
+    ptrs = (u32p * (g * g))(*(a.ctypes.data_as(u32p) for a in grid))
+    lib.vf_interleave_grid_u32(ptrs, dst.ctypes.data_as(u32p), hg, wg, g)
+    return dst
+
+
+def interleave2_u32(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise u32 column interleave of two equal-shape 2D planes:
+    dst[r, 2c] = a[r, c], dst[r, 2c+1] = b[r, c] (the packed420g8
+    half-word streams)."""
+    lib = _load()
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    a = np.ascontiguousarray(a, np.uint32)
+    b = np.ascontiguousarray(b, np.uint32)
+    if a.shape != b.shape:
+        raise ValueError("interleave2_u32 needs equal shapes")
+    h, w = a.shape
+    dst = np.empty((h, 2 * w), np.uint32)
+    lib.vf_interleave2_u32(a.ctypes.data_as(u32p), b.ctypes.data_as(u32p),
+                           dst.ctypes.data_as(u32p), h * w)
     return dst
 
 

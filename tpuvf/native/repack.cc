@@ -135,6 +135,33 @@ void vf_interleave16_u32(const uint32_t* const* ph, uint32_t* dst,
   }
 }
 
+// g*g (hg, wg) u32 word planes (row-major grid phase order
+// ph[g*qq + p]) -> (g*hg, g*wg) u32 interleaved (the packed32g8 sink
+// edge at g=8: dst[g*r+qq][g*c+p] = ph[g*qq+p][r][c])
+void vf_interleave_grid_u32(const uint32_t* const* ph, uint32_t* dst,
+                            int64_t hg, int64_t wg, int g) {
+  for (int64_t r = 0; r < hg; ++r) {
+    for (int qq = 0; qq < g; ++qq) {
+      uint32_t* drow = dst + (g * r + qq) * (g * wg);
+      for (int p = 0; p < g; ++p) {
+        const uint32_t* src = ph[g * qq + p] + r * wg;
+        uint32_t* d = drow + p;
+        for (int64_t c = 0; c < wg; ++c) d[g * c] = src[c];
+      }
+    }
+  }
+}
+
+// two flat u32 word streams -> pairwise interleave (the packed420g8
+// half-word column interleave: dst[2i] = a[i], dst[2i+1] = b[i])
+void vf_interleave2_u32(const uint32_t* a, const uint32_t* b, uint32_t* dst,
+                        int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    dst[2 * i] = a[i];
+    dst[2 * i + 1] = b[i];
+  }
+}
+
 // packed 4:2:2 [q0 q1 q2 q3] x (h * w/2) -> y (h, w), u, v (h, w/2)
 // order: positions of (u, y0, v, y1) within the quad; UYVY = (0, 1, 2, 3),
 // YUY2 = (1, 0, 3, 2)
