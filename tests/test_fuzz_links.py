@@ -27,9 +27,10 @@ from tpuvf.cli.launch import parse_pipeline
 FORMATS = ["BGRA", "RGBA", "NV12", "I420", "UYVY", "YUY2"]
 # even sizes engage the split machinery; odd ones exercise the fallbacks;
 # (64,48)->(128,96) transitions hit the 2x-upsample stencil path (grid16
-# plans) and (64,48)->(256,192) the 4x grid64 plans (round 5)
+# plans), (64,48)->(256,192) the 4x grid64 plans and (64,48)->(192,144)
+# the 3x grid36 plans (round 5)
 SIZES = [(64, 48), (128, 96), (62, 46), (37, 23), (64, 32), (96, 64),
-         (256, 192)]
+         (256, 192), (192, 144)]
 
 
 def _fuzz_png():

@@ -622,6 +622,89 @@ def test_grid64_420_edge_sp_composition():
                 np.testing.assert_array_equal(fa[k], fb[k], err_msg=str(h))
 
 
+CHAIN36 = (
+    "videotestsrc num-buffers=2 ! video/x-raw,format=NV12,width=96,height=48 "
+    "! vfmetalconvertscale ! video/x-raw,format=BGRA,width=288,height=144 "
+    "! vfmetalvideofilter brightness=0.1 contrast=1.2 saturation=1.3 "
+    "! appsink"
+)
+
+
+def test_grid36_chain_negotiated_and_close():
+    p = _run(CHAIN36)
+    names = {e.ELEMENT_NAME: e.name for e in p.elements}
+    assert p.link_plan[names["vfconvertscale"]] == ("quad", "grid6")
+    assert p.link_plan[names["vfvideofilter"]] == ("grid6", "packed32g6")
+    assert any(v == "quad" for v in p._source_split.values())
+    _assert_within_1lsb(CHAIN36)
+
+
+def test_grid36_head_only_and_sharpness():
+    desc = ("videotestsrc num-buffers=2 "
+            "! video/x-raw,format=NV12,width=96,height=48 "
+            "! vfmetalconvertscale ! video/x-raw,format=BGRA,"
+            "width=288,height=144 ! appsink")
+    p = _run(desc)
+    names = {e.ELEMENT_NAME: e.name for e in p.elements}
+    assert p.link_plan[names["vfconvertscale"]] == ("quad", "packed32g6")
+    _assert_within_1lsb(desc)
+    # sharpness stays on grid36 (blur9_gridk period=6)
+    desc2 = CHAIN36.replace("brightness=0.1", "brightness=0.1 sharpness=0.5")
+    p2 = _run(desc2)
+    names = {e.ELEMENT_NAME: e.name for e in p2.elements}
+    assert p2.link_plan[names["vfvideofilter"]] == ("grid6", "packed32g6")
+    _assert_within_1lsb(desc2)
+
+
+def test_grid36_gates():
+    from tpuvf.core.registry import make
+
+    elem = make("vfconvertscale")
+    in_spec = FrameSpec(VideoFormat.NV12, 96, 48)
+    ok = FrameSpec(VideoFormat.BGRA, 288, 144, matrix=in_spec.matrix)
+    assert elem.grid36_head_ok(in_spec, ok)
+    # not 3x
+    assert not elem.grid36_head_ok(
+        in_spec, FrameSpec(VideoFormat.BGRA, 192, 96,
+                           matrix=in_spec.matrix))
+    # 4:2:0 output: grid36 is RGB-out only
+    assert not elem.grid36_head_ok(
+        in_spec, FrameSpec(VideoFormat.NV12, 288, 144,
+                           matrix=in_spec.matrix))
+    # nearest method
+    elem.set_property("method", 1)
+    try:
+        assert not elem.grid36_head_ok(in_spec, ok)
+    finally:
+        elem.set_property("method", 0)
+
+
+def test_grid36_overlay_joins(tmp_path):
+    from PIL import Image
+
+    png = tmp_path / "ov.png"
+    Image.new("RGBA", (20, 20), (0, 255, 0, 100)).save(png)
+    desc = ("videotestsrc num-buffers=1 ! video/x-raw,format=NV12,"
+            "width=96,height=48 ! vfmetalconvertscale "
+            "! video/x-raw,format=BGRA,width=288,height=144 "
+            "! vfmetalvideofilter brightness=0.1 "
+            f"! vfmetaloverlay location={png} x=11 y=5 ! appsink")
+    p = _run(desc)
+    ov = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfoverlay")
+    assert p.link_plan[ov] == ("grid6", "packed32g6")
+    _assert_within_1lsb(desc)
+
+
+def test_grid36_720p_geometry_gate_passes():
+    # the real 720p -> 4K geometry passes the dense-weight consistency
+    # gate (stray 1e-15 epsilon taps on exact-integer phases are
+    # dropped by the table derivation; see convert._phase_stencil_table)
+    from tpuvf.kernels import convert as kconvert
+
+    spec = FrameSpec(VideoFormat.NV12, 1280, 720)
+    assert kconvert.can_grid36(spec, 3840, 2160)
+
+
 def test_grid_head_behind_quad_mids():
     # round 5: quad-capable identity stages (deinterlace, filter) before
     # a grid upscale head ride quad links; the head reads the quad

@@ -378,6 +378,28 @@ class Element:
         """True if make_process_linked(in_split="grid8") is supported."""
         return False
 
+    # -- GRID36 (6x6 row x col phase) dataflow (round 5) ---------------------
+    # The 3x-upscale extension (720p -> 4K): stencils derived from the
+    # dense sampler's own per-geometry f32 weights (convert.can_grid36).
+    # RGB outputs only.
+
+    def grid36_head_ok(self, in_spec: FrameSpec, out_spec: FrameSpec) -> bool:
+        """True if this element can HEAD a grid36 chain
+        (make_process_linked(in_split="quad",
+        out_mode="grid6"/"packed32g6"))."""
+        return False
+
+    def grid36_output_ok(self, in_spec: FrameSpec,
+                         out_spec: FrameSpec) -> bool:
+        """True if make_process_linked(out_mode="grid6"/"packed32g6") is
+        supported for this configuration."""
+        return False
+
+    def grid36_input_ok(self, in_spec: FrameSpec,
+                        out_spec: FrameSpec) -> bool:
+        """True if make_process_linked(in_split="grid6") is supported."""
+        return False
+
     def source_split_worth_it(self, in_spec: FrameSpec, out_spec: FrameSpec,
                               out_mode: str) -> bool:
         """Whether a split-provisioned SOURCE upload pays off for this

@@ -186,6 +186,20 @@ def planes_to_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
                 for i, gp in enumerate(grid):
                     out[i // 8::8, i % 8::8] = gp
             return out.view(np.uint8).reshape(out.shape[0], out.shape[1], 4)
+        if "w_g6" in planes:
+            # pipeline-edge "packed32g6" plane: (36, H/6, W/6) u32 PIXEL
+            # words, GRID36 (row mod 6 x col mod 6) phases stacked
+            # row-major (kernels.convert.pack_rgba_grid36, round 5)
+            wg = np.ascontiguousarray(planes["w_g6"])
+            h6, w6 = wg.shape[-2:]
+            grid = [wg[i] for i in range(36)]
+            if nat is not None:
+                out = nat.interleave_grid_u32(grid, 6)
+            else:
+                out = np.empty((6 * h6, 6 * w6), np.uint32)
+                for i, gp in enumerate(grid):
+                    out[i // 6::6, i % 6::6] = gp
+            return out.view(np.uint8).reshape(out.shape[0], out.shape[1], 4)
         if "w_g" in planes:
             # pipeline-edge "packed32g" plane: (16, H/4, W/4) u32 PIXEL
             # words, GRID16 (row mod 4 x col mod 4) phases stacked

@@ -273,6 +273,18 @@ class ConvertScale(Element):
                                        out_spec.height, scale_x, scale_y,
                                        border, filt))
 
+    def grid36_head_ok(self, in_spec, out_spec):
+        """GRID36 head: exactly-3x/3x bilinear 4:2:0->RGB upscale (720p
+        -> 4K) — stencils derived from (and plan-time gated on) the
+        dense sampler's own per-geometry f32 weights
+        (convert.can_grid36, round 5)."""
+        scale_x, scale_y, border, filt = self._split_geometry(
+            in_spec, out_spec)
+        return (out_spec.format in RGB_FORMATS
+                and convert.can_grid36(in_spec, out_spec.width,
+                                       out_spec.height, scale_x, scale_y,
+                                       border, filt))
+
     def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
         return self.make_process_linked(in_spec, out_spec, static)
 
@@ -317,6 +329,10 @@ class ConvertScale(Element):
         if out_mode in ("grid8", "packed32g8", "packed420g8"):
             self._linked_quad = True
             return self._make_process_grid64(in_spec, out_spec, static,
+                                             out_mode)
+        if out_mode in ("grid6", "packed32g6"):
+            self._linked_quad = True
+            return self._make_process_grid36(in_spec, out_spec, static,
                                              out_mode)
         quad = (in_split == "quad"
                 or out_mode in ("quad", "packed32q", "packed16q"))
@@ -487,6 +503,31 @@ class ConvertScale(Element):
             return out, state
 
         return process_grid64
+
+    def _make_process_grid36(self, in_spec, out_spec, static, out_mode):
+        """GRID36 head: quad-provisioned 4:2:0 source planes in,
+        thirty-six (row mod 6, col mod 6) output phases out — stencil
+        weights derived from the dense sampler's own f32 weights at
+        this geometry (convert.plan_rgba_sampler_grid36, round 5)."""
+        cfg = dict(static)
+        filt = NEAREST if cfg["method"] == METHOD_NEAREST else LINEAR
+        if not self.grid36_head_ok(in_spec, out_spec):
+            raise NotImplementedError(
+                "convertscale grid36 links require the exactly-3x "
+                "bilinear 4:2:0->RGB upscale geometry")
+        sampler_g = convert.plan_rgba_sampler_grid36(
+            in_spec, filter=filt, matrix_index=in_spec.matrix_index)
+        matrix_out = out_spec.matrix_index
+        self._buffers = {}
+
+        def process_grid36(planes, state, params):
+            chg = sampler_g(planes, params)
+            out = convert.pack_rgba_grid36(
+                chg, out_spec.format, matrix_out, mode=out_mode,
+                unit_range=True)
+            return out, state
+
+        return process_grid36
 
     def _make_process_quad(self, in_spec, out_spec, static, out_mode):
         """QUAD (row x col phase) path: 4:2:0 identity geometry, inputs

@@ -191,6 +191,21 @@ class Overlay(Element):
     def grid64_output_ok(self, in_spec, out_spec):
         return self._grid64_capable(in_spec, out_spec)
 
+    def _grid36_capable(self, in_spec, out_spec) -> bool:
+        """GRID36 (6x6 phase): mod-6 host rect slicing, RGB boundaries
+        only ({"r_00",...,"a_55"})."""
+        from tpuvf.core.formats import RGB_FORMATS
+
+        return (self._phase_capable(in_spec, out_spec)
+                and in_spec.format in RGB_FORMATS
+                and in_spec.width % 6 == 0 and in_spec.height % 6 == 0)
+
+    def grid36_input_ok(self, in_spec, out_spec):
+        return self._grid36_capable(in_spec, out_spec)
+
+    def grid36_output_ok(self, in_spec, out_spec):
+        return self._grid36_capable(in_spec, out_spec)
+
     def edge_packed32_ok(self, in_spec=None, out_spec=None) -> bool:
         """RGB sink edges emit u32 pixel words (one fusion; the
         per-channel u16 emit split into two fusions with six f32 4K
@@ -330,10 +345,12 @@ class Overlay(Element):
         boundaries (mod-4 only) arrive in the grid420 layout (per-phase
         luma + 2x2-phase chroma) and re-emit it."""
         from tpuvf.core.formats import RGB_FORMATS
-        from tpuvf.kernels.convert import GRID16_PHASES, GRID64_PHASES
+        from tpuvf.kernels.convert import (GRID16_PHASES, GRID36_PHASES,
+                                           GRID64_PHASES)
 
         g = period
-        phases = GRID64_PHASES if g == 8 else GRID16_PHASES
+        phases = {8: GRID64_PHASES, 6: GRID36_PHASES,
+                  4: GRID16_PHASES}[g]
         w, h = in_spec.width, in_spec.height
         rx0, rx1, ry0, ry1 = cfg["rect"]
         ov_rect = cfg["planes"]  # (4, rh, rw) f32 premultiplied
@@ -356,6 +373,9 @@ class Overlay(Element):
 
         if g == 8:
             reader = lambda planes, params: convert.split_rgb_chans_grid64(
+                planes)
+        elif g == 6:
+            reader = lambda planes, params: convert.split_rgb_chans_grid36(
                 planes)
         elif in_spec.format in RGB_FORMATS:
             reader = lambda planes, params: convert.split_rgb_chans_grid16(
@@ -384,6 +404,9 @@ class Overlay(Element):
             chans = {ph: tuple(t) for ph, t in chg.items()}
             if g == 8:
                 out = convert.pack_rgba_grid64(
+                    chans, out_spec.format, matrix_out, mode=out_mode)
+            elif g == 6:
+                out = convert.pack_rgba_grid36(
                     chans, out_spec.format, matrix_out, mode=out_mode)
             elif out_mode == "packed420g":
                 out = convert.pack_420_grid16(
@@ -425,6 +448,15 @@ class Overlay(Element):
             self._linked_quad = True
             return self._make_process_grid(in_spec, out_spec, bufs,
                                            cfg, out_mode, period=8)
+        grid6 = (in_split == "grid6"
+                 or out_mode in ("grid6", "packed32g6"))
+        if grid6:
+            if not self._grid36_capable(in_spec, out_spec):
+                raise NotImplementedError(
+                    "overlay grid36 links require mod-6 RGB dimensions")
+            self._linked_quad = True
+            return self._make_process_grid(in_spec, out_spec, bufs,
+                                           cfg, out_mode, period=6)
         grid = (in_split == "grid"
                 or out_mode in ("grid", "packed32g", "packed420g"))
         if grid:

@@ -306,6 +306,25 @@ class VideoFilter(Element):
     def grid64_output_ok(self, in_spec, out_spec):
         return self._grid64_capable(in_spec, out_spec)
 
+    def _grid36_capable(self, in_spec, out_spec) -> bool:
+        """GRID36 (6x6 phase) dataflow from a grid36 3x-upscale head
+        (RGB boundaries {"r_00",...,"a_55"}), dims divisible by 6, no
+        LUT (the gather-site rule); sharpness rides blur9_gridk
+        period=6.  Same structure as grid64 at stride 6."""
+        from tpuvf.core.formats import RGB_FORMATS
+
+        self._sync_lut()
+        return (in_spec.format in RGB_FORMATS
+                and out_spec.format == in_spec.format
+                and in_spec.width % 6 == 0 and in_spec.height % 6 == 0
+                and self._lut is None)
+
+    def grid36_input_ok(self, in_spec, out_spec):
+        return self._grid36_capable(in_spec, out_spec)
+
+    def grid36_output_ok(self, in_spec, out_spec):
+        return self._grid36_capable(in_spec, out_spec)
+
     def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
         return self.make_process_linked(in_spec, out_spec, static)
 
@@ -324,15 +343,22 @@ class VideoFilter(Element):
 
         bufs = WeightBuffers(self.name)
         grid8 = (in_split == "grid8" or out_mode in ("grid8", "packed32g8"))
-        grid = grid8 or (in_split == "grid"
-                         or out_mode in ("grid", "packed32g", "packed420g"))
+        grid6 = (in_split == "grid6" or out_mode in ("grid6", "packed32g6"))
+        grid = grid8 or grid6 or (
+            in_split == "grid"
+            or out_mode in ("grid", "packed32g", "packed420g"))
         if grid:
-            gp = 8 if grid8 else 4  # grid period (phases per axis)
+            gp = 8 if grid8 else (6 if grid6 else 4)  # phases per axis
             if grid8:
                 if not self._grid64_capable(in_spec, out_spec):
                     raise NotImplementedError(
                         "videofilter grid64 links require RGB planes with "
                         "mod-8 dims, no LUT and no sharpness")
+            elif grid6:
+                if not self._grid36_capable(in_spec, out_spec):
+                    raise NotImplementedError(
+                        "videofilter grid36 links require RGB planes with "
+                        "mod-6 dims and no LUT")
             elif not self._grid_capable(in_spec, out_spec):
                 raise NotImplementedError(
                     "videofilter grid16 links require phase-capable "
@@ -342,6 +368,8 @@ class VideoFilter(Element):
             self._buffers = bufs.buffers
             if grid8:
                 reader_g = convert.split_rgb_chans_grid64
+            elif grid6:
+                reader_g = convert.split_rgb_chans_grid36
             elif in_spec.format in RGB_FORMATS:
                 reader_g = lambda planes: \
                     convert.split_rgb_chans_grid16(planes)
@@ -418,6 +446,10 @@ class VideoFilter(Element):
                         unit_range=True)
                 elif grid8:
                     out = convert.pack_rgba_grid64(
+                        outg, out_spec.format, matrix_out, mode=out_mode,
+                        unit_range=True)
+                elif grid6:
+                    out = convert.pack_rgba_grid36(
                         outg, out_spec.format, matrix_out, mode=out_mode,
                         unit_range=True)
                 else:

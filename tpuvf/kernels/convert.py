@@ -1750,6 +1750,258 @@ def split_rgb_chans_grid64(planes):
             for ph in GRID64_PHASES}
 
 
+GRID36_PHASES = tuple(f"{qr}{qc}" for qr in range(6) for qc in range(6))
+
+
+def _phase_stencil_table(out_size: int, in_size: int, period: int):
+    """Per-output-phase (mod `period`) tap stencils of an integer-factor
+    LINEAR upsample, derived from the dense sampler's own f32 weights at
+    the ACTUAL geometry (sample.sample_matrix — same f64 texcoord math,
+    same f32 cast), so every stencil product multiplies the exact f32
+    values the canonical matmul would.
+
+    Exact-integer phases can pick up a stray ~1e-15 second tap from f64
+    rounding that varies across rows (the round-4 "odd k noisy" finding);
+    taps below 1e-3 are DROPPED — genuine k=3 weights are >= 1/12, and
+    the dropped term perturbs values by ~1e-12 of a quantization step,
+    inside the grid plans' <= 1 LSB knife-edge contract.  Any REAL
+    cross-row inconsistency (tap positions or retained f32 weights)
+    returns None and the caller keeps the matrix path.
+
+    Returns [(rels, ws)] * period — taps at source index n*step + rel —
+    or None.  Edge rows (clamped taps) are excluded from the check; the
+    stencil readers clamp-to-edge like the dense sampler."""
+    from tpuvf.kernels.sample import texcoords
+
+    step = in_size * period // out_size
+    if step * out_size != in_size * period:
+        return None
+    # the dense sampler's own tap math, vectorized (sample_matrix
+    # builds the same s/x0/f in f64 and casts weights to f32; f32
+    # subtraction is correctly rounded, so 1.0 - f matches bitwise)
+    t = texcoords(out_size)
+    s = t * in_size - 0.5
+    x0 = np.floor(s)
+    f = (s - x0).astype(np.float32)
+    w0 = np.float32(1.0) - f
+    i0 = x0.astype(np.int64)
+    n = np.arange(out_size, dtype=np.int64) // period
+    rel0 = i0 - n * step
+    # canonical retained-tap form per row (sub-eps stray taps dropped
+    # BEFORE the cross-row constancy check, so rows whose f64 noise
+    # differs only in a ~1e-15 tap — or in an x0 shift with a
+    # complementary ~1 weight — still compare equal)
+    k0 = w0 >= np.float32(1e-3)
+    k1 = f >= np.float32(1e-3)
+    nt = k0.astype(np.int64) + k1.astype(np.int64)
+    first_rel = np.where(k0, rel0, rel0 + 1)
+    wa = np.where(k0, w0, f)
+    wb = np.where(k0 & k1, f, np.float32(0.0))
+    table = []
+    for q in range(period):
+        rows = np.arange(q, out_size, period)
+        rows = rows[(rows >= period) & (rows < out_size - period)]
+        if rows.size == 0 or nt[rows[0]] == 0:
+            return None
+        r = rows[0]
+        if not (np.all(nt[rows] == nt[r])
+                and np.all(first_rel[rows] == first_rel[r])
+                and np.all(wa[rows] == wa[r])
+                and np.all(wb[rows] == wb[r])):
+            return None
+        taps = [(int(first_rel[r]), np.float32(wa[r]))]
+        if nt[r] == 2:
+            taps.append((int(first_rel[r]) + 1, np.float32(wb[r])))
+        table.append((tuple(rr for rr, _ in taps),
+                      tuple(wv for _, wv in taps)))
+    return table
+
+
+def can_grid36(in_spec: FrameSpec, out_w: int, out_h: int,
+               scale_x: float = 1.0, scale_y: float = 1.0,
+               border=None, filter: str = LINEAR) -> bool:
+    """GRID36 (6x6 row x col phase) dataflow at EXACTLY 3x/3x 4:2:0
+    upscale geometry (round 5 — covers 720p -> 4K, the classic HD
+    upscale).  Writing the output coordinate as 6n+q makes the luma
+    taps column/row-PARITY slices of the quad-provisioned planes (src
+    2n + rel) and the chroma 6x taps phase-fixed 2-tap stencils, like
+    grid16/grid64 at 2x/4x — but the third/twelfth weights are not
+    exact in f32, so the stencils are derived from (and gated on) the
+    dense sampler's own per-geometry f32 weights
+    (_phase_stencil_table)."""
+    import os
+
+    if os.environ.get("TPUVF_NO_SPLIT_SCALED") \
+            or os.environ.get("TPUVF_NO_GRID36"):
+        return False
+    if not (in_spec.format in (VideoFormat.NV12, VideoFormat.I420)
+            and filter == LINEAR
+            and scale_x == 1.0 and scale_y == 1.0 and border is None
+            and out_w == 3 * in_spec.width and out_h == 3 * in_spec.height
+            and in_spec.width % 2 == 0 and in_spec.height % 2 == 0):
+        return False
+    return _grid36_tables(in_spec) is not None
+
+
+def _grid36_tables(in_spec: FrameSpec):
+    """(luma rows, luma cols, chroma rows, chroma cols) phase stencil
+    tables for the exactly-3x geometry, or None when any axis fails the
+    dense-weight consistency gate."""
+    h, w = in_spec.height, in_spec.width
+    t = (_phase_stencil_table(3 * h, h, 6),
+         _phase_stencil_table(3 * w, w, 6),
+         _phase_stencil_table(3 * h, h // 2, 6),
+         _phase_stencil_table(3 * w, w // 2, 6))
+    if any(x is None for x in t):
+        return None
+    # luma tables address parity planes (step 2): rels within [-1, 2];
+    # chroma tables address the half-res planes directly (step 1)
+    if any(r < -1 or r > 2 for q in t[0] + t[1] for r in q[0]):
+        return None
+    if any(r < -1 or r > 1 for q in t[2] + t[3] for r in q[0]):
+        return None
+    return t
+
+
+def _read_parity_rows(y0, y1, rel):
+    """Source row 2n + rel from row-parity planes y0 (even) / y1 (odd),
+    rel in [-1, 2]; out-of-frame taps clamp to the TRUE frame edge
+    (shift_rows_cross_phase handles sp halos + global clamps)."""
+    if rel == 0:
+        return y0
+    if rel == 1:
+        return y1
+    if rel == -1:
+        return shift_rows_cross_phase(y1, -1, y0)
+    return shift_rows_cross_phase(y0, +1, y1)  # rel == 2
+
+
+def _read_parity_cols(e, o, rel):
+    """Column mirror of _read_parity_rows (source col 2j + rel)."""
+    if rel == 0:
+        return e
+    if rel == 1:
+        return o
+    if rel == -1:
+        return jnp.concatenate([e[..., :, :1], o[..., :, :-1]], axis=-1)
+    # rel == 2: src col 2j+2 = e[j+1]; clamp j = w2-1 -> col W-1 = o[-1]
+    return jnp.concatenate([e[..., :, 1:], o[..., :, -1:]], axis=-1)
+
+
+def _tap_parity(y0, y1, tap, axis):
+    """Apply a parity-plane phase stencil (one or two taps)."""
+    rels, ws = tap
+    read = _read_parity_rows if axis == -2 else _read_parity_cols
+    if len(rels) == 1 and float(ws[0]) == 1.0:
+        return read(y0, y1, rels[0])  # exact-integer phase: passthrough
+    acc = None
+    for rel, wv in zip(rels, ws):
+        t = read(y0, y1, rel) * wv
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _tap_full(c, tap, axis):
+    """Apply a full-plane phase stencil (chroma 6x; rels in [-1, 1]).
+    Row-axis +1 taps clamp at the TRUE frame bottom."""
+    rels, ws = tap
+    acc = None
+    for rel, wv in zip(rels, ws):
+        if rel == 0:
+            t = c
+        elif rel == -1:
+            t = _shift_edge(c, axis, -1)
+        else:
+            t = (shift_rows_cross_phase(c, +1, c)
+                 if axis in (-2, c.ndim - 2) else _shift_edge(c, axis, +1))
+        tt = t * wv
+        acc = tt if acc is None else acc + tt
+    return acc
+
+
+def plan_rgba_sampler_grid36(in_spec: FrameSpec, filter: str = LINEAR,
+                             matrix_index: int | None = None):
+    """3x/3x 4:2:0 upscale -> {grid phase: (r, g, b, a)} planes, each
+    (H_out/6, W_out/6) = (H_in/2, W_in/2) — the same shape as the quad
+    luma parity planes AND the chroma planes (homogeneous per-phase
+    emits, like plan_rgba_sampler_grid64).
+
+    Inputs are QUAD-provisioned.  Stencil weights come from the dense
+    sampler's own f32 weights at this geometry (_phase_stencil_table)
+    so products match the canonical matmul's; sums may contract
+    differently (FMA) and exact-integer phases drop a ~1e-15 stray tap
+    -> <= 1 LSB knife-edge flips vs canonical (the grid contract).
+    Bilinear sample semantics: /root/reference/src/convertscale/
+    metalconvertscale_shaders.h:71-148."""
+    if matrix_index is None:
+        matrix_index = in_spec.matrix_index
+    if filter != LINEAR:
+        raise NotImplementedError("grid36 links are bilinear-only")
+    tables = _grid36_tables(in_spec)
+    if tables is None:
+        raise NotImplementedError(
+            "grid36 dense-weight consistency gate failed at this geometry")
+    t_rows, t_cols, ct_rows, ct_cols = tables
+    from tpuvf.kernels.color import as_unit_float
+
+    def run_grid(planes, params):
+        ys = {ph: as_unit_float(planes[f"y_{ph}"]) for ph in QUAD_PHASES}
+        uf = as_unit_float(planes["u"])
+        vf = as_unit_float(planes["v"])
+        out = {}
+        for qr in range(6):
+            e = _tap_parity(ys["ee"], ys["oe"], t_rows[qr], -2)
+            o = _tap_parity(ys["eo"], ys["oo"], t_rows[qr], -2)
+            u_r = _tap_full(uf, ct_rows[qr], -2)
+            v_r = _tap_full(vf, ct_rows[qr], -2)
+            for qc in range(6):
+                y = _tap_parity(e, o, t_cols[qc], -1)
+                u = _tap_full(u_r, ct_cols[qc], -1)
+                v = _tap_full(v_r, ct_cols[qc], -1)
+                r, g, b = color.yuv_to_rgb(y, u, v, matrix_index)
+                out[f"{qr}{qc}"] = (r, g, b, jnp.ones_like(r))
+        return out
+
+    return run_grid
+
+
+def pack_rgba_grid36(chans: dict, out_format: VideoFormat,
+                     matrix_index: int, mode: str,
+                     unit_range: bool = False) -> dict:
+    """pack_rgba_grid64's 36-phase analog (RGB outputs only).
+
+    Modes: "grid6" (f32 quant_sim boundary planes {"r_00",...,"a_55"})
+    and "packed32g6" ({"w_g6": (36, H/6, W/6)} u32 pixel words, one
+    stacked scan output — the lax.scan in-place-stacking rule; host
+    interleave via native vf_interleave_grid_u32 at g=6)."""
+    from tpuvf.kernels.color import quant_sim, quant_sim_unit, quant_unit
+
+    if out_format not in RGB_FORMATS:
+        raise ValueError("grid36 links support RGB output formats only")
+    if mode == "grid6":
+        sim = quant_sim_unit if unit_range else quant_sim
+        names = ("r", "g", "b", "a")
+        return {f"{n}_{ph}": sim(c)
+                for ph in GRID36_PHASES
+                for n, c in zip(names, chans[ph])}
+    if mode == "packed32g6":
+        qfn = quant_unit if unit_range else quant
+        return {"w_g6": jnp.stack(
+            [pack_words_u32(tuple(qfn(c) for c in chans[ph]), out_format)
+             for ph in GRID36_PHASES],
+            axis=-3)}
+    raise ValueError(f"unknown grid36 pack mode {mode}")
+
+
+def split_rgb_chans_grid36(planes):
+    """{"r_00",...} grid36 boundary planes -> {phase: (r, g, b, a)}."""
+    from tpuvf.kernels.color import as_unit_float
+
+    names = ("r", "g", "b", "a")
+    return {ph: tuple(as_unit_float(planes[f"{n}_{ph}"]) for n in names)
+            for ph in GRID36_PHASES}
+
+
 def can_split_scaled(in_spec: FrameSpec, out_w: int, out_h: int) -> bool:
     """Column-phase dataflow at SCALED geometry (round 3b).
 

@@ -1181,6 +1181,61 @@ class Pipeline:
                 if len(chain) > 1:
                     plan[tail.name] = ["grid8", g8edge]
                 source_split[up.name] = "quad"
+
+        # -- GRID36 (6x6 phase) upgrade for exactly-3x 4:2:0 -> RGB
+        # upscale chains (round 5): covers 720p -> 4K; per-phase
+        # stencils derived from the dense sampler's own f32 weights
+        # (convert.can_grid36 gates on per-geometry consistency).  RGB
+        # sink edges only.
+        if (not os.environ.get("TPUVF_NO_QUAD_LINKS")
+                and getattr(self, "_quad_links_enabled", True)):
+            from tpuvf.core.formats import RGB_FORMATS as _RGB
+
+            for e, i_s, o_s, pt in list(info.values()):
+                if pt or not e.grid36_head_ok(i_s, o_s):
+                    continue
+                up = real_upstream(e)
+                if (isinstance(up, SourceElement)
+                        and len(self._outgoing(up)) == 1):
+                    mids = []
+                else:
+                    found = quad_upstream_chain(e)  # see grid16
+                    if found is None:
+                        continue
+                    up, mids = found
+                chain = [(e, i_s, o_s)]
+                node, reaches_sink = e, False
+                while True:
+                    outs = self._outgoing(node)
+                    if len(outs) != 1:
+                        break
+                    node = outs[0].downstream
+                    d = info.get(id(node))
+                    if d is None:
+                        reaches_sink = isinstance(node, SinkElement)
+                        break
+                    if d[3]:
+                        continue  # passthrough forwards the dict untouched
+                    ce, ci, co, _ = d
+                    if not (ce.grid36_input_ok(ci, co)
+                            and ce.grid36_output_ok(ci, co)):
+                        break
+                    chain.append((ce, ci, co))
+                if not reaches_sink:
+                    continue
+                tail, t_i, t_o = chain[-1]
+                if not (t_o.format in _RGB
+                        and tail.edge_packed32_ok(t_i, t_o)):
+                    continue
+                for me_, _, _ in mids:
+                    plan[me_.name] = ["quad", "quad"]
+                plan[e.name] = ["quad", "packed32g6"
+                                if len(chain) == 1 else "grid6"]
+                for ce, _, _ in chain[1:-1]:
+                    plan[ce.name] = ["grid6", "grid6"]
+                if len(chain) > 1:
+                    plan[tail.name] = ["grid6", "packed32g6"]
+                source_split[up.name] = "quad"
         return ({k: (v[0], v[1]) for k, v in plan.items()},
                 source_split, comp_split_pads)
 
@@ -1622,6 +1677,10 @@ class Pipeline:
                     or out_mode in ("grid8", "packed32g8", "packed420g8")):
                 return 8
         for in_split, out_mode in (self.link_plan or {}).values():
+            if (in_split == "grid6"
+                    or out_mode in ("grid6", "packed32g6")):
+                return 6
+        for in_split, out_mode in (self.link_plan or {}).values():
             if (in_split == "grid"
                     or out_mode in ("grid", "packed32g", "packed420g")):
                 return 4
@@ -1667,7 +1726,8 @@ class Pipeline:
             return None
         quad_modes = {"quad", "packed32q", "packed16q",
                       "grid", "packed32g", "packed420g",
-                      "grid8", "packed32g8", "packed420g8"}
+                      "grid8", "packed32g8", "packed420g8",
+                      "grid6", "packed32g6"}
         plan = self.link_plan or {}
         for st in self._stages:
             if st.passthrough or st.in_spec is None:
@@ -1684,7 +1744,7 @@ class Pipeline:
         if not heights:
             return None
         h1 = heights[0]
-        if any(h % h1 or h // h1 not in (1, 2, 4) for h in heights):
+        if any(h % h1 or h // h1 not in (1, 2, 3, 4) for h in heights):
             return None
         step = 2 * g
         for pad in range(step, step * sp * 8 + 1, step):
