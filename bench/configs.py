@@ -53,6 +53,33 @@ def _element_step(elem, in_spec, out_spec=None):
         return proc, elem.init_state(in_spec, out_spec), \
             elem.traced_params()
     if (not os.environ.get("TPUVF_NO_QUAD_LINKS")
+            and getattr(elem, "grid64_head_ok",
+                        lambda *_: False)(in_spec, out_spec)):
+        # GRID64 head (exactly-4x): packed32g8 (RGB) / packed420g8
+        # (format-preserving 4:2:0) sink edge — round 5
+        if (out_spec.format in RGB_FORMATS
+                and elem.edge_packed32_ok(in_spec, out_spec)):
+            g8_edge = "packed32g8"
+        else:
+            g8_edge = "packed420g8"
+        proc = elem.make_process_linked(in_spec, out_spec, static,
+                                        in_split="quad", out_mode=g8_edge)
+        proc.source_split = "quad"
+        return proc, elem.init_state(in_spec, out_spec), \
+            elem.traced_params()
+    if (not os.environ.get("TPUVF_NO_QUAD_LINKS")
+            and out_spec.format in RGB_FORMATS
+            and getattr(elem, "grid36_head_ok",
+                        lambda *_: False)(in_spec, out_spec)
+            and elem.edge_packed32_ok(in_spec, out_spec)):
+        # GRID36 head (exactly-3x, RGB out only) — round 5
+        proc = elem.make_process_linked(in_spec, out_spec, static,
+                                        in_split="quad",
+                                        out_mode="packed32g6")
+        proc.source_split = "quad"
+        return proc, elem.init_state(in_spec, out_spec), \
+            elem.traced_params()
+    if (not os.environ.get("TPUVF_NO_QUAD_LINKS")
             and in_spec.format in (VideoFormat.NV12, VideoFormat.I420)
             and elem.quad_input_ok(in_spec, out_spec)
             and elem.quad_output_ok(in_spec, out_spec)):
@@ -282,6 +309,15 @@ def config_scale1080to4k_nv12():
             in_spec)
 
 
+def config_scale720to4k():
+    """Beyond-BASELINE: 720p NV12 -> 4K BGRA 3x-UPSAMPLE + videofilter
+    chain (exercises the GRID36 mod-6 phase path, round 5: stencils
+    derived from the dense sampler's per-geometry f32 weights)."""
+    return _chain_config(
+        "720p NV12 -> 4K BGRA 3x-upscale convertscale+videofilter chain",
+        1280, 720, 3840, 2160)
+
+
 def config_scale540to4k_nv12():
     """Beyond-BASELINE: format-preserving 4x upscale (NV12 540p ->
     NV12 4K, the default fixation at 4x) — the GRID64 packed420g8 sink
@@ -322,6 +358,7 @@ ALL = {
     "scale8k4k": config_scale8k4k,
     "scale1080to4k": config_scale1080to4k,
     "scale540to4k": config_scale540to4k,
+    "scale720to4k": config_scale720to4k,
     "scale1080to4k_nv12": config_scale1080to4k_nv12,
     "scale540to4k_nv12": config_scale540to4k_nv12,
     "convert422": config_convert422,
