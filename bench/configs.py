@@ -68,14 +68,17 @@ def _element_step(elem, in_spec, out_spec=None):
         return proc, elem.init_state(in_spec, out_spec), \
             elem.traced_params()
     if (not os.environ.get("TPUVF_NO_QUAD_LINKS")
-            and out_spec.format in RGB_FORMATS
             and getattr(elem, "grid36_head_ok",
-                        lambda *_: False)(in_spec, out_spec)
-            and elem.edge_packed32_ok(in_spec, out_spec)):
-        # GRID36 head (exactly-3x, RGB out only) — round 5
+                        lambda *_: False)(in_spec, out_spec)):
+        # GRID36 head (exactly-3x): packed32g6 (RGB) / packed420g6
+        # (format-preserving 4:2:0) sink edge — round 5
+        if (out_spec.format in RGB_FORMATS
+                and elem.edge_packed32_ok(in_spec, out_spec)):
+            g6_edge = "packed32g6"
+        else:
+            g6_edge = "packed420g6"
         proc = elem.make_process_linked(in_spec, out_spec, static,
-                                        in_split="quad",
-                                        out_mode="packed32g6")
+                                        in_split="quad", out_mode=g6_edge)
         proc.source_split = "quad"
         return proc, elem.init_state(in_spec, out_spec), \
             elem.traced_params()
@@ -332,6 +335,20 @@ def config_scale540to4k_nv12():
             in_spec)
 
 
+def config_scale720to4k_nv12():
+    """Beyond-BASELINE: format-preserving 3x upscale (NV12 720p ->
+    NV12 4K, the default fixation at 3x) — the GRID36 packed420g6 sink
+    edge (round 5: stencils from the dense sampler's per-geometry f32
+    weights, 6-byte-period host re-join)."""
+    in_spec = FrameSpec(VideoFormat.NV12, 1280, 720)
+    out_spec = FrameSpec(VideoFormat.NV12, 3840, 2160,
+                         matrix=in_spec.matrix)
+    elem = make("vfconvertscale")
+    step, state0, params = _element_step(elem, in_spec, out_spec)
+    return ("720p NV12 -> 4K NV12 3x-upscale", step, state0, params,
+            in_spec)
+
+
 def config_convert422():
     """Beyond-BASELINE: packed 4:2:2 decode at 4K identity (UYVY ->
     BGRA) — the round-4 can_split_422 column-phase plan (both output
@@ -361,5 +378,6 @@ ALL = {
     "scale720to4k": config_scale720to4k,
     "scale1080to4k_nv12": config_scale1080to4k_nv12,
     "scale540to4k_nv12": config_scale540to4k_nv12,
+    "scale720to4k_nv12": config_scale720to4k_nv12,
     "convert422": config_convert422,
 }

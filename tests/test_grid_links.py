@@ -667,9 +667,13 @@ def test_grid36_gates():
     assert not elem.grid36_head_ok(
         in_spec, FrameSpec(VideoFormat.BGRA, 192, 96,
                            matrix=in_spec.matrix))
-    # 4:2:0 output: grid36 is RGB-out only
-    assert not elem.grid36_head_ok(
+    # 4:2:0 outputs ride the packed420g6 sink edge (round 5)
+    assert elem.grid36_head_ok(
         in_spec, FrameSpec(VideoFormat.NV12, 288, 144,
+                           matrix=in_spec.matrix))
+    # but not packed 4:2:2
+    assert not elem.grid36_head_ok(
+        in_spec, FrameSpec(VideoFormat.UYVY, 288, 144,
                            matrix=in_spec.matrix))
     # nearest method
     elem.set_property("method", 1)
@@ -703,6 +707,85 @@ def test_grid36_720p_geometry_gate_passes():
 
     spec = FrameSpec(VideoFormat.NV12, 1280, 720)
     assert kconvert.can_grid36(spec, 3840, 2160)
+
+
+def test_grid36_420_out_packed420g6_edge():
+    # format-preserving 3x upscale (the default fixation at 3x): the
+    # head emits the 4:2:0 edge directly (convert.pack_420_grid36);
+    # cross-4:2:0 outputs (NV12 -> I420) ride the same edge
+    for infmt, outfmt in (("NV12", "NV12"), ("I420", "I420"),
+                          ("NV12", "I420")):
+        desc = ("videotestsrc num-buffers=2 pattern=ball "
+                f"! video/x-raw,format={infmt},width=96,height=48 "
+                f"! vfmetalconvertscale ! video/x-raw,format={outfmt},"
+                "width=288,height=144 ! appsink")
+        p = _run(desc)
+        cs = next(e.name for e in p.elements
+                  if e.ELEMENT_NAME == "vfconvertscale")
+        assert p.link_plan[cs] == ("quad", "packed420g6"), (infmt, outfmt)
+        _assert_within_1lsb(desc)
+
+
+def test_pack_420_grid36_edge_layout():
+    # a_g6 entries 0-5: luma row phase qr's col phases 0-3 one byte per
+    # u32 word; b_g6: col phases 4-5 per u16; entries 6-8: chroma row
+    # phase ca, NV12-ordered uv bytes for chroma cols 3c+{0,1} (a) and
+    # 3c+2 (b) — checked via the host repack against the canonical
+    # per-phase byte interleave
+    from tpuvf.core.frame import planes_to_host
+
+    out_spec = FrameSpec(VideoFormat.NV12, 24, 24)
+    rng = np.random.default_rng(13)
+    ag = rng.integers(0, 2**32, (9, 4, 4), dtype=np.uint32)
+    bg = rng.integers(0, 2**16, (9, 4, 4), dtype=np.uint16)
+    out = planes_to_host({"a_g6": ag, "b_g6": bg}, out_spec)
+    y, uv = out["y"], out["uv"]
+    ab = ag.view(np.uint8).reshape(9, 4, 4, 4)
+    bb = bg.view(np.uint8).reshape(9, 4, 4, 2)
+    for qr in range(6):
+        for c in range(4):
+            for j in range(4):
+                assert np.array_equal(y[qr::6, 6 * c + j],
+                                      ab[qr, :, c, j]), (qr, c, j)
+            for j in range(2):
+                assert np.array_equal(y[qr::6, 6 * c + 4 + j],
+                                      bb[qr, :, c, j]), (qr, c, j)
+    for ca in range(3):
+        for c in range(4):
+            for j in range(4):
+                assert np.array_equal(uv[ca::3, 6 * c + j],
+                                      ab[6 + ca, :, c, j]), (ca, c, j)
+            for j in range(2):
+                assert np.array_equal(uv[ca::3, 6 * c + 4 + j],
+                                      bb[6 + ca, :, c, j]), (ca, c, j)
+
+
+def test_grid36_420_edge_sp_composition():
+    # packed420g6 keeps the grid36 plan under sp row sharding; bitwise
+    # vs unsharded (aligned and pad-plan heights)
+    import jax
+
+    from tpuvf.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    for w, h, sp in ((96, 96, 4),   # aligned: 48 phase rows / sp=4
+                     (96, 48, 4)):  # misaligned: 24 phase rows -> pad
+        desc = ("videotestsrc num-buffers=4 pattern=ball "
+                f"! video/x-raw,format=NV12,width={w},height={h} "
+                f"! vfmetalconvertscale ! video/x-raw,format=NV12,"
+                f"width={3 * w},height={3 * h} ! appsink")
+        p = _run(desc)
+        cs = next(e.name for e in p.elements
+                  if e.ELEMENT_NAME == "vfconvertscale")
+        assert p.link_plan[cs] == ("quad", "packed420g6"), (h, sp)
+        mesh = make_mesh({"dp": 1, "sp": sp})
+        p.run_batched(4, batch_size=4, mesh=mesh, sp_axis="sp")
+        assert p.link_plan[cs] == ("quad", "packed420g6"), (h, sp)
+        ref = _run(desc)
+        for fa, fb in zip(p.sinks[0].frames, ref.sinks[0].frames):
+            for k in fa:
+                np.testing.assert_array_equal(fa[k], fb[k], err_msg=str(h))
 
 
 def test_grid_head_behind_quad_mids():

@@ -166,7 +166,7 @@ def planes_to_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
     fmt, w, h = spec.format, spec.width, spec.height
     planes = {k: np.asarray(v) for k, v in planes.items()}
     for k, v in list(planes.items()):
-        if v.dtype == np.uint16:
+        if v.dtype == np.uint16 and k != "b_g6":  # b_g6: 6-byte re-join below
             v = np.ascontiguousarray(v)
             planes[k] = v.view(np.uint8).reshape(v.shape[:-1] + (2 * v.shape[-1],))
     nat = _get_native()
@@ -253,6 +253,40 @@ def planes_to_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
         uvs = np.ascontiguousarray(planes["uv_s"])
         planes = dict(planes, u=uvs[0], v=uvs[1])
         del planes["uv_s"]
+    if "a_g6" in planes and fmt in (VideoFormat.NV12, VideoFormat.I420):
+        # pipeline-edge "packed420g6" planes (kernels.convert.
+        # pack_420_grid36): a_g6 (9, H/6, W/6) u32 + b_g6 (9, H/6, W/6)
+        # u16 — entries 0-5 luma row phases (col phases 0-3 / 4-5 one
+        # byte each), entries 6-8 chroma row phases (NV12-ordered uv
+        # bytes for chroma cols 3c+{0,1} / {2}).  One 6-byte-period
+        # (u32, u16) interleave per phase, then rows mod 6 / mod 3.
+        ag = np.ascontiguousarray(planes["a_g6"])
+        bg = np.ascontiguousarray(planes["b_g6"])
+        h6, w6 = ag.shape[-2:]
+
+        def six(a, b):
+            if nat is not None:
+                return nat.interleave_6byte(a, b)
+            out = np.empty((h6, w6, 6), np.uint8)
+            out[..., :4] = a.view(np.uint8).reshape(h6, w6, 4)
+            out[..., 4:] = b.view(np.uint8).reshape(h6, w6, 2)
+            return out.reshape(h6, 6 * w6)
+
+        y = np.empty((h, w), np.uint8)
+        for qr in range(6):
+            y[qr::6] = six(ag[qr], bg[qr])
+        cw, ch = chroma_dims_420(w, h)
+        uv = np.empty((ch, 2 * cw), np.uint8)
+        for ca in range(3):
+            uv[ca::3] = six(ag[6 + ca], bg[6 + ca])
+        if fmt == VideoFormat.NV12:
+            return {"y": y, "uv": uv}
+        if nat is not None:
+            u, v = nat.deinterleave2(uv)
+        else:
+            u = np.ascontiguousarray(uv[:, 0::2])
+            v = np.ascontiguousarray(uv[:, 1::2])
+        return {"y": y, "u": u, "v": v}
     if "y_g8" in planes and fmt in (VideoFormat.NV12, VideoFormat.I420):
         # pipeline-edge "packed420g8" planes (kernels.convert.
         # pack_420_grid64): y_g8 (16, H/8, W/8) u32 — entry 2*qr+h is row

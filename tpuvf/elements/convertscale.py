@@ -274,13 +274,18 @@ class ConvertScale(Element):
                                        border, filt))
 
     def grid36_head_ok(self, in_spec, out_spec):
-        """GRID36 head: exactly-3x/3x bilinear 4:2:0->RGB upscale (720p
-        -> 4K) — stencils derived from (and plan-time gated on) the
-        dense sampler's own per-geometry f32 weights
-        (convert.can_grid36, round 5)."""
+        """GRID36 head: exactly-3x/3x bilinear 4:2:0 upscale (720p ->
+        4K) — stencils derived from (and plan-time gated on) the dense
+        sampler's own per-geometry f32 weights (convert.can_grid36,
+        round 5).  RGB outputs feed grid6 boundaries/packed32g6 edges;
+        4:2:0 outputs (the format-preserving default fixation, e.g.
+        NV12 720p -> NV12 4K) emit the packed420g6 sink edge directly."""
+        from tpuvf.core.formats import VideoFormat as _VF
+
         scale_x, scale_y, border, filt = self._split_geometry(
             in_spec, out_spec)
-        return (out_spec.format in RGB_FORMATS
+        return ((out_spec.format in RGB_FORMATS
+                 or out_spec.format in (_VF.NV12, _VF.I420))
                 and convert.can_grid36(in_spec, out_spec.width,
                                        out_spec.height, scale_x, scale_y,
                                        border, filt))
@@ -330,7 +335,7 @@ class ConvertScale(Element):
             self._linked_quad = True
             return self._make_process_grid64(in_spec, out_spec, static,
                                              out_mode)
-        if out_mode in ("grid6", "packed32g6"):
+        if out_mode in ("grid6", "packed32g6", "packed420g6"):
             self._linked_quad = True
             return self._make_process_grid36(in_spec, out_spec, static,
                                              out_mode)
@@ -519,6 +524,15 @@ class ConvertScale(Element):
             in_spec, filter=filt, matrix_index=in_spec.matrix_index)
         matrix_out = out_spec.matrix_index
         self._buffers = {}
+
+        if out_mode == "packed420g6":
+            def process_grid36_420(planes, state, params):
+                chg = sampler_g(planes, params)
+                out = convert.pack_420_grid36(
+                    chg, out_spec.format, matrix_out, unit_range=True)
+                return out, state
+
+            return process_grid36_420
 
         def process_grid36(planes, state, params):
             chg = sampler_g(planes, params)

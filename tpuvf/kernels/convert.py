@@ -2002,6 +2002,84 @@ def split_rgb_chans_grid36(planes):
             for ph in GRID36_PHASES}
 
 
+def pack_420_grid36(chans: dict, out_format: VideoFormat,
+                    matrix_index: int, unit_range: bool = False) -> dict:
+    """GRID36 phases -> the "packed420g6" 4:2:0 sink edge (3x NV12/I420
+    upscale chains — the format-preserving default fixation at 3x, e.g.
+    NV12 720p -> NV12 4K).  pack_420_grid64's mod-6 analog.
+
+    Value path (identical order to pack_420_grid16/grid64 and the
+    canonical pack): quantize each phase's RGB (the RGBA8 render-target
+    write, vfmetalshaders.m:104-124), dequantize, RGB->YUV per phase
+    for luma, and the 2x2 box average BEFORE the matrix for chroma
+    (row pairs then column pairs, color.rgb_to_chroma_downsampled's
+    order).  The box's 2x2 output pixels are adjacent grid phases:
+    chroma pixel (3k+ca, 3l+cb) averages grid row phases {2ca, 2ca+1}
+    x col phases {2cb, 2cb+1} at block (k, l) — chroma is a 3x3 phase
+    grid of the SAME (H_out/6, W_out/6) shape as the luma phases.
+
+    Six bytes per phase-block column don't fill u32 words evenly, so
+    each stream splits into a u32 (first four bytes) + u16 (last two)
+    pair the host re-joins with one 6-byte-period interleave
+    (native vf_interleave_6byte; output cols 6c+{0..3} then 6c+{4,5}).
+    Outputs (TWO stacked arrays — the lax.scan in-place-stacking rule,
+    see pack_rgba_grid16):
+    - "a_g6": (9, H_out/6, W_out/6) u32 — entries 0-5: luma row phase
+              qr's col phases 0-3 one byte each (little-endian byte j
+              = output col 6c+j); entries 6-8: chroma row phase ca,
+              words u[cb=0] | v[0]<<8 | u[1]<<16 | v[1]<<24 (bytes
+              equal NV12's interleaved uv rows).
+    - "b_g6": (9, H_out/6, W_out/6) u16 — same indexing: luma col
+              phases {4, 5}; chroma u[cb=2] | v[2]<<8."""
+    from tpuvf.kernels.color import quant_unit
+
+    if out_format not in (VideoFormat.NV12, VideoFormat.I420):
+        raise ValueError("packed420g6 applies to 4:2:0 output formats")
+    qfn = quant_unit if unit_range else quant
+    q = {ph: tuple(qfn(c) for c in chans[ph]) for ph in GRID36_PHASES}
+    d = {ph: tuple(dequant(c) for c in q[ph][:3]) for ph in GRID36_PHASES}
+
+    def u32(x):
+        return x.astype(jnp.uint32)
+
+    def word4(b):
+        return (u32(b[0]) | (u32(b[1]) << np.uint32(8))
+                | (u32(b[2]) << np.uint32(16))
+                | (u32(b[3]) << np.uint32(24)))
+
+    def word2(b):
+        return (u32(b[0]) | (u32(b[1]) << np.uint32(8))).astype(jnp.uint16)
+
+    a_words, b_words = [], []
+    for qr in range(6):
+        yq = []
+        for p in range(6):
+            yph, _, _ = color.rgb_to_yuv(*d[f"{qr}{p}"], matrix_index)
+            yq.append(quant(yph))
+        a_words.append(word4(yq[0:4]))
+        b_words.append(word2(yq[4:6]))
+
+    half = np.float32(0.5)
+
+    def chroma(ca, cb):
+        def box(ci):
+            ae = (d[f"{2 * ca}{2 * cb}"][ci]
+                  + d[f"{2 * ca + 1}{2 * cb}"][ci]) * half
+            ao = (d[f"{2 * ca}{2 * cb + 1}"][ci]
+                  + d[f"{2 * ca + 1}{2 * cb + 1}"][ci]) * half
+            return (ae + ao) * half
+
+        _, uu, vv = color.rgb_to_yuv(box(0), box(1), box(2), matrix_index)
+        return quant(uu), quant(vv)
+
+    for ca in range(3):
+        (u0, v0), (u1, v1), (u2, v2) = [chroma(ca, cb) for cb in range(3)]
+        a_words.append(word4((u0, v0, u1, v1)))
+        b_words.append(word2((u2, v2)))
+    return {"a_g6": jnp.stack(a_words, axis=-3),
+            "b_g6": jnp.stack(b_words, axis=-3)}
+
+
 def can_split_scaled(in_spec: FrameSpec, out_w: int, out_h: int) -> bool:
     """Column-phase dataflow at SCALED geometry (round 3b).
 

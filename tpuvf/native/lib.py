@@ -32,6 +32,8 @@ def _load():
         _lib.vf_interleave_grid_u32.argtypes = [ctypes.POINTER(u32p), u32p,
                                                 i64, i64, ctypes.c_int]
         _lib.vf_interleave2_u32.argtypes = [u32p, u32p, u32p, i64]
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        _lib.vf_interleave_6byte.argtypes = [u32p, u16p, u8p, i64]
         _lib.vf_unpack_422.argtypes = [u8p, u8p, u8p, u8p, i64, i64,
                                        ctypes.c_int, ctypes.c_int,
                                        ctypes.c_int, ctypes.c_int]
@@ -170,6 +172,25 @@ def interleave2_u32(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     dst = np.empty((h, 2 * w), np.uint32)
     lib.vf_interleave2_u32(a.ctypes.data_as(u32p), b.ctypes.data_as(u32p),
                            dst.ctypes.data_as(u32p), h * w)
+    return dst
+
+
+def interleave_6byte(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(h, w) u32 + (h, w) u16 word streams -> (h, 6w) u8 rows with a
+    6-byte period: dst[r, 6c+{0..3}] = a[r, c] bytes, dst[r, 6c+{4,5}]
+    = b[r, c] bytes (the packed420g6 sink-edge row re-join)."""
+    lib = _load()
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    a = np.ascontiguousarray(a, np.uint32)
+    b = np.ascontiguousarray(b, np.uint16)
+    if a.shape != b.shape:
+        raise ValueError("interleave_6byte needs equal shapes")
+    h, w = a.shape
+    dst = np.empty((h, 6 * w), np.uint8)
+    lib.vf_interleave_6byte(a.ctypes.data_as(u32p), b.ctypes.data_as(u16p),
+                            dst.ctypes.data_as(u8p), h * w)
     return dst
 
 

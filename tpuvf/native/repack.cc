@@ -162,6 +162,18 @@ void vf_interleave2_u32(const uint32_t* a, const uint32_t* b, uint32_t* dst,
   }
 }
 
+// (u32, u16) word-pair streams -> a 6-byte-period byte stream (the
+// packed420g6 row re-join: dst[6i..6i+3] = a[i] bytes, dst[6i+4..5] =
+// b[i] bytes — output cols 6c+{0..3} come four-per-u32, 6c+{4,5}
+// two-per-u16)
+void vf_interleave_6byte(const uint32_t* a, const uint16_t* b, uint8_t* dst,
+                         int64_t n) {
+  for (int64_t i = 0; i < n; ++i) {
+    std::memcpy(dst + 6 * i, a + i, 4);
+    std::memcpy(dst + 6 * i + 4, b + i, 2);
+  }
+}
+
 // packed 4:2:2 [q0 q1 q2 q3] x (h * w/2) -> y (h, w), u, v (h, w/2)
 // order: positions of (u, y0, v, y1) within the quad; UYVY = (0, 1, 2, 3),
 // YUY2 = (1, 0, 3, 2)

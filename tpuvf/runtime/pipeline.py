@@ -1190,6 +1190,7 @@ class Pipeline:
         if (not os.environ.get("TPUVF_NO_QUAD_LINKS")
                 and getattr(self, "_quad_links_enabled", True)):
             from tpuvf.core.formats import RGB_FORMATS as _RGB
+            from tpuvf.core.formats import VideoFormat as _VFt
 
             for e, i_s, o_s, pt in list(info.values()):
                 if pt or not e.grid36_head_ok(i_s, o_s):
@@ -1224,17 +1225,23 @@ class Pipeline:
                 if not reaches_sink:
                     continue
                 tail, t_i, t_o = chain[-1]
-                if not (t_o.format in _RGB
-                        and tail.edge_packed32_ok(t_i, t_o)):
+                if t_o.format in _RGB and tail.edge_packed32_ok(t_i, t_o):
+                    g6edge = "packed32g6"
+                elif t_o.format in (_VFt.NV12, _VFt.I420):
+                    # format-preserving 3x upscale (e.g. NV12 720p ->
+                    # NV12 4K, the default fixation): the head emits
+                    # the 4:2:0 edge directly (convert.pack_420_grid36)
+                    g6edge = "packed420g6"
+                else:
                     continue
                 for me_, _, _ in mids:
                     plan[me_.name] = ["quad", "quad"]
-                plan[e.name] = ["quad", "packed32g6"
+                plan[e.name] = ["quad", g6edge
                                 if len(chain) == 1 else "grid6"]
                 for ce, _, _ in chain[1:-1]:
                     plan[ce.name] = ["grid6", "grid6"]
                 if len(chain) > 1:
-                    plan[tail.name] = ["grid6", "packed32g6"]
+                    plan[tail.name] = ["grid6", g6edge]
                 source_split[up.name] = "quad"
         return ({k: (v[0], v[1]) for k, v in plan.items()},
                 source_split, comp_split_pads)
@@ -1678,7 +1685,7 @@ class Pipeline:
                 return 8
         for in_split, out_mode in (self.link_plan or {}).values():
             if (in_split == "grid6"
-                    or out_mode in ("grid6", "packed32g6")):
+                    or out_mode in ("grid6", "packed32g6", "packed420g6")):
                 return 6
         for in_split, out_mode in (self.link_plan or {}).values():
             if (in_split == "grid"
@@ -1727,7 +1734,7 @@ class Pipeline:
         quad_modes = {"quad", "packed32q", "packed16q",
                       "grid", "packed32g", "packed420g",
                       "grid8", "packed32g8", "packed420g8",
-                      "grid6", "packed32g6"}
+                      "grid6", "packed32g6", "packed420g6"}
         plan = self.link_plan or {}
         for st in self._stages:
             if st.passthrough or st.in_spec is None:
