@@ -83,6 +83,18 @@ def _element_step(elem, in_spec, out_spec=None):
         return proc, elem.init_state(in_spec, out_spec), \
             elem.traced_params()
     if (not os.environ.get("TPUVF_NO_QUAD_LINKS")
+            and out_spec.format in RGB_FORMATS
+            and getattr(elem, "grid9_head_ok",
+                        lambda *_: False)(in_spec, out_spec)
+            and elem.edge_packed32_ok(in_spec, out_spec)):
+        # GRID9 head (exactly-1.5x, RGB out only) — round 5
+        proc = elem.make_process_linked(in_spec, out_spec, static,
+                                        in_split="quad",
+                                        out_mode="packed32g3")
+        proc.source_split = "quad"
+        return proc, elem.init_state(in_spec, out_spec), \
+            elem.traced_params()
+    if (not os.environ.get("TPUVF_NO_QUAD_LINKS")
             and in_spec.format in (VideoFormat.NV12, VideoFormat.I420)
             and elem.quad_input_ok(in_spec, out_spec)
             and elem.quad_output_ok(in_spec, out_spec)):
@@ -335,6 +347,16 @@ def config_scale540to4k_nv12():
             in_spec)
 
 
+def config_scale720to1080():
+    """Beyond-BASELINE: 720p NV12 -> 1080p BGRA 1.5x-UPSAMPLE +
+    videofilter chain — the most common HD upscale (exercises the
+    GRID9 mod-3 phase path, round 5: the grid36 stencil machinery at
+    period 3)."""
+    return _chain_config(
+        "720p NV12 -> 1080p BGRA 1.5x-upscale convertscale+videofilter "
+        "chain", 1280, 720, 1920, 1080)
+
+
 def config_scale720to4k_nv12():
     """Beyond-BASELINE: format-preserving 3x upscale (NV12 720p ->
     NV12 4K, the default fixation at 3x) — the GRID36 packed420g6 sink
@@ -376,6 +398,7 @@ ALL = {
     "scale1080to4k": config_scale1080to4k,
     "scale540to4k": config_scale540to4k,
     "scale720to4k": config_scale720to4k,
+    "scale720to1080": config_scale720to1080,
     "scale1080to4k_nv12": config_scale1080to4k_nv12,
     "scale540to4k_nv12": config_scale540to4k_nv12,
     "scale720to4k_nv12": config_scale720to4k_nv12,

@@ -45,7 +45,7 @@ def _frames(p):
     return out
 
 
-def _assert_within_1lsb(desc):
+def _assert_within_1lsb(desc, tol=1):
     a = _frames(_run(desc))
     b = _frames(_run(desc, disable_links=True))
     assert len(a) == len(b)
@@ -54,7 +54,7 @@ def _assert_within_1lsb(desc):
         for k in fa:
             diff = np.abs(np.asarray(fa[k]).astype(np.int32)
                           - np.asarray(fb[k]).astype(np.int32))
-            assert diff.max() <= 1, (k, int(diff.max()))
+            assert diff.max() <= tol, (k, int(diff.max()))
             assert (diff > 0).mean() < 0.02, (k, float((diff > 0).mean()))
 
 
@@ -786,6 +786,120 @@ def test_grid36_420_edge_sp_composition():
         for fa, fb in zip(p.sinks[0].frames, ref.sinks[0].frames):
             for k in fa:
                 np.testing.assert_array_equal(fa[k], fb[k], err_msg=str(h))
+
+
+CHAIN9 = (
+    "videotestsrc num-buffers=2 ! video/x-raw,format=NV12,width=96,height=48 "
+    "! vfmetalconvertscale ! video/x-raw,format=BGRA,width=144,height=72 "
+    "! vfmetalvideofilter brightness=0.1 contrast=1.2 saturation=1.3 "
+    "! appsink"
+)
+
+
+def test_grid9_chain_negotiated_and_close():
+    p = _run(CHAIN9)
+    names = {e.ELEMENT_NAME: e.name for e in p.elements}
+    assert p.link_plan[names["vfconvertscale"]] == ("quad", "grid3")
+    assert p.link_plan[names["vfvideofilter"]] == ("grid3", "packed32g3")
+    assert any(v == "quad" for v in p._source_split.values())
+    _assert_within_1lsb(CHAIN9)
+
+
+def test_grid9_head_only_and_sharpness():
+    desc = ("videotestsrc num-buffers=2 "
+            "! video/x-raw,format=NV12,width=96,height=48 "
+            "! vfmetalconvertscale ! video/x-raw,format=BGRA,"
+            "width=144,height=72 ! appsink")
+    p = _run(desc)
+    names = {e.ELEMENT_NAME: e.name for e in p.elements}
+    assert p.link_plan[names["vfconvertscale"]] == ("quad", "packed32g3")
+    _assert_within_1lsb(desc)
+    # sharpness stays on grid9 (blur9_gridk period=3).  tol 2: the
+    # sampler's 1-LSB knife-edge flips (1/6-weight sums contract
+    # differently across program shapes) pass through the unsharp
+    # mask's o + (o-bl)*amount TWICE — measured max 2 LSB at 0.012% of
+    # pixels on CPU seeds; head-only is bitwise, so this is the
+    # double-quantize amplification class, not a stencil bug
+    desc2 = CHAIN9.replace("brightness=0.1", "brightness=0.1 sharpness=0.5")
+    p2 = _run(desc2)
+    names = {e.ELEMENT_NAME: e.name for e in p2.elements}
+    assert p2.link_plan[names["vfvideofilter"]] == ("grid3", "packed32g3")
+    _assert_within_1lsb(desc2, tol=2)
+
+
+def test_grid9_gates():
+    from tpuvf.core.registry import make
+
+    elem = make("vfconvertscale")
+    in_spec = FrameSpec(VideoFormat.NV12, 96, 48)
+    ok = FrameSpec(VideoFormat.BGRA, 144, 72, matrix=in_spec.matrix)
+    assert elem.grid9_head_ok(in_spec, ok)
+    # not 1.5x
+    assert not elem.grid9_head_ok(
+        in_spec, FrameSpec(VideoFormat.BGRA, 192, 96,
+                           matrix=in_spec.matrix))
+    # 4:2:0 output: grid9 is RGB-out only (a 1.5x chroma output would
+    # need lane-strided column-parity reads)
+    assert not elem.grid9_head_ok(
+        in_spec, FrameSpec(VideoFormat.NV12, 144, 72,
+                           matrix=in_spec.matrix))
+    # nearest method
+    elem.set_property("method", 1)
+    try:
+        assert not elem.grid9_head_ok(in_spec, ok)
+    finally:
+        elem.set_property("method", 0)
+
+
+def test_grid9_overlay_joins(tmp_path):
+    from PIL import Image
+
+    png = tmp_path / "ov.png"
+    Image.new("RGBA", (20, 20), (0, 255, 0, 100)).save(png)
+    desc = ("videotestsrc num-buffers=1 ! video/x-raw,format=NV12,"
+            "width=96,height=48 ! vfmetalconvertscale "
+            "! video/x-raw,format=BGRA,width=144,height=72 "
+            "! vfmetalvideofilter brightness=0.1 "
+            f"! vfmetaloverlay location={png} x=11 y=5 ! appsink")
+    p = _run(desc)
+    ov = next(e.name for e in p.elements if e.ELEMENT_NAME == "vfoverlay")
+    assert p.link_plan[ov] == ("grid3", "packed32g3")
+    _assert_within_1lsb(desc)
+
+
+def test_grid9_720p_geometry_gate_passes():
+    # the real 720p -> 1080p geometry passes the dense-weight
+    # consistency gate
+    from tpuvf.kernels import convert as kconvert
+
+    spec = FrameSpec(VideoFormat.NV12, 1280, 720)
+    assert kconvert.can_grid9(spec, 1920, 1080)
+
+
+def test_grid9_sp_composition():
+    # grid9 plans keep under sp row sharding when phase rows align;
+    # bitwise vs unsharded
+    import jax
+
+    from tpuvf.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    w, h, sp = 96, 96, 4  # out 144: phase rows 48, /4 = 12 per shard
+    desc = ("videotestsrc num-buffers=4 pattern=ball "
+            f"! video/x-raw,format=NV12,width={w},height={h} "
+            f"! vfmetalconvertscale ! video/x-raw,format=BGRA,"
+            f"width={3 * w // 2},height={3 * h // 2} ! appsink")
+    p = _run(desc)
+    cs = next(e.name for e in p.elements
+              if e.ELEMENT_NAME == "vfconvertscale")
+    assert p.link_plan[cs] == ("quad", "packed32g3")
+    mesh = make_mesh({"dp": 1, "sp": sp})
+    p.run_batched(4, batch_size=4, mesh=mesh, sp_axis="sp")
+    ref = _run(desc)
+    for fa, fb in zip(_frames(p), _frames(ref)):
+        for k in fa:
+            np.testing.assert_array_equal(fa[k], fb[k])
 
 
 def test_grid_head_behind_quad_mids():

@@ -400,6 +400,28 @@ class Element:
         """True if make_process_linked(in_split="grid6") is supported."""
         return False
 
+    # -- GRID9 (3x3 row x col phase) dataflow (round 5) ----------------------
+    # The 1.5x-upscale extension (720p -> 1080p, the most common HD
+    # upscale): the grid36 stencil machinery at period 3
+    # (convert.can_grid9).  RGB outputs only.
+
+    def grid9_head_ok(self, in_spec: FrameSpec, out_spec: FrameSpec) -> bool:
+        """True if this element can HEAD a grid9 chain
+        (make_process_linked(in_split="quad",
+        out_mode="grid3"/"packed32g3"))."""
+        return False
+
+    def grid9_output_ok(self, in_spec: FrameSpec,
+                        out_spec: FrameSpec) -> bool:
+        """True if make_process_linked(out_mode="grid3"/"packed32g3") is
+        supported for this configuration."""
+        return False
+
+    def grid9_input_ok(self, in_spec: FrameSpec,
+                       out_spec: FrameSpec) -> bool:
+        """True if make_process_linked(in_split="grid3") is supported."""
+        return False
+
     def source_split_worth_it(self, in_spec: FrameSpec, out_spec: FrameSpec,
                               out_mode: str) -> bool:
         """Whether a split-provisioned SOURCE upload pays off for this

@@ -171,34 +171,23 @@ def planes_to_host(planes: Dict[str, np.ndarray], spec: FrameSpec):
             planes[k] = v.view(np.uint8).reshape(v.shape[:-1] + (2 * v.shape[-1],))
     nat = _get_native()
     if fmt in RGB_FORMATS:
-        if "w_g8" in planes:
-            # pipeline-edge "packed32g8" plane: (64, H/8, W/8) u32 PIXEL
-            # words, GRID64 (row mod 8 x col mod 8) phases stacked
-            # row-major (kernels.convert.pack_rgba_grid64, round 5) —
-            # the 8x8 rows+columns interleave in one repack pass
-            wg = np.ascontiguousarray(planes["w_g8"])
-            h8, w8 = wg.shape[-2:]
-            grid = [wg[i] for i in range(64)]
+        for key, g in (("w_g8", 8), ("w_g6", 6), ("w_g3", 3)):
+            # pipeline-edge "packed32g{8,6,3}" plane: (g*g, H/g, W/g)
+            # u32 PIXEL words, (row mod g x col mod g) phases stacked
+            # row-major (kernels.convert.pack_rgba_grid{64,36,9},
+            # round 5) — the g x g rows+columns interleave in one
+            # repack pass
+            if key not in planes:
+                continue
+            wg = np.ascontiguousarray(planes[key])
+            hg, wgw = wg.shape[-2:]
+            grid = [wg[i] for i in range(g * g)]
             if nat is not None:
-                out = nat.interleave_grid_u32(grid, 8)
+                out = nat.interleave_grid_u32(grid, g)
             else:
-                out = np.empty((8 * h8, 8 * w8), np.uint32)
+                out = np.empty((g * hg, g * wgw), np.uint32)
                 for i, gp in enumerate(grid):
-                    out[i // 8::8, i % 8::8] = gp
-            return out.view(np.uint8).reshape(out.shape[0], out.shape[1], 4)
-        if "w_g6" in planes:
-            # pipeline-edge "packed32g6" plane: (36, H/6, W/6) u32 PIXEL
-            # words, GRID36 (row mod 6 x col mod 6) phases stacked
-            # row-major (kernels.convert.pack_rgba_grid36, round 5)
-            wg = np.ascontiguousarray(planes["w_g6"])
-            h6, w6 = wg.shape[-2:]
-            grid = [wg[i] for i in range(36)]
-            if nat is not None:
-                out = nat.interleave_grid_u32(grid, 6)
-            else:
-                out = np.empty((6 * h6, 6 * w6), np.uint32)
-                for i, gp in enumerate(grid):
-                    out[i // 6::6, i % 6::6] = gp
+                    out[i // g::g, i % g::g] = gp
             return out.view(np.uint8).reshape(out.shape[0], out.shape[1], 4)
         if "w_g" in planes:
             # pipeline-edge "packed32g" plane: (16, H/4, W/4) u32 PIXEL

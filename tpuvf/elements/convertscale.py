@@ -290,6 +290,19 @@ class ConvertScale(Element):
                                        out_spec.height, scale_x, scale_y,
                                        border, filt))
 
+    def grid9_head_ok(self, in_spec, out_spec):
+        """GRID9 head: exactly-1.5x/1.5x bilinear 4:2:0->RGB upscale
+        (720p -> 1080p, the most common HD upscale) — the grid36
+        stencil machinery at period 3 (convert.can_grid9, round 5).
+        RGB outputs only: a 1.5x 4:2:0 chroma output would need
+        column-parity reads of the half-res planes (lane-strided)."""
+        scale_x, scale_y, border, filt = self._split_geometry(
+            in_spec, out_spec)
+        return (out_spec.format in RGB_FORMATS
+                and convert.can_grid9(in_spec, out_spec.width,
+                                      out_spec.height, scale_x, scale_y,
+                                      border, filt))
+
     def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
         return self.make_process_linked(in_spec, out_spec, static)
 
@@ -339,6 +352,10 @@ class ConvertScale(Element):
             self._linked_quad = True
             return self._make_process_grid36(in_spec, out_spec, static,
                                              out_mode)
+        if out_mode in ("grid3", "packed32g3"):
+            self._linked_quad = True
+            return self._make_process_grid9(in_spec, out_spec, static,
+                                            out_mode)
         quad = (in_split == "quad"
                 or out_mode in ("quad", "packed32q", "packed16q"))
         self._linked_quad = quad
@@ -542,6 +559,31 @@ class ConvertScale(Element):
             return out, state
 
         return process_grid36
+
+    def _make_process_grid9(self, in_spec, out_spec, static, out_mode):
+        """GRID9 head: quad-provisioned 4:2:0 source planes in, nine
+        (row mod 3, col mod 3) output phases out — the grid36 stencil
+        machinery at period 3 for the exactly-1.5x geometry (720p ->
+        1080p; convert.plan_rgba_sampler_grid9, round 5)."""
+        cfg = dict(static)
+        filt = NEAREST if cfg["method"] == METHOD_NEAREST else LINEAR
+        if not self.grid9_head_ok(in_spec, out_spec):
+            raise NotImplementedError(
+                "convertscale grid9 links require the exactly-1.5x "
+                "bilinear 4:2:0->RGB upscale geometry")
+        sampler_g = convert.plan_rgba_sampler_grid9(
+            in_spec, filter=filt, matrix_index=in_spec.matrix_index)
+        matrix_out = out_spec.matrix_index
+        self._buffers = {}
+
+        def process_grid9(planes, state, params):
+            chg = sampler_g(planes, params)
+            out = convert.pack_rgba_grid9(
+                chg, out_spec.format, matrix_out, mode=out_mode,
+                unit_range=True)
+            return out, state
+
+        return process_grid9
 
     def _make_process_quad(self, in_spec, out_spec, static, out_mode):
         """QUAD (row x col phase) path: 4:2:0 identity geometry, inputs

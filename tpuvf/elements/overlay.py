@@ -206,6 +206,21 @@ class Overlay(Element):
     def grid36_output_ok(self, in_spec, out_spec):
         return self._grid36_capable(in_spec, out_spec)
 
+    def _grid9_capable(self, in_spec, out_spec) -> bool:
+        """GRID9 (3x3 phase): mod-3 host rect slicing, RGB boundaries
+        only ({"r_00",...,"a_22"})."""
+        from tpuvf.core.formats import RGB_FORMATS
+
+        return (self._phase_capable(in_spec, out_spec)
+                and in_spec.format in RGB_FORMATS
+                and in_spec.width % 3 == 0 and in_spec.height % 3 == 0)
+
+    def grid9_input_ok(self, in_spec, out_spec):
+        return self._grid9_capable(in_spec, out_spec)
+
+    def grid9_output_ok(self, in_spec, out_spec):
+        return self._grid9_capable(in_spec, out_spec)
+
     def edge_packed32_ok(self, in_spec=None, out_spec=None) -> bool:
         """RGB sink edges emit u32 pixel words (one fusion; the
         per-channel u16 emit split into two fusions with six f32 4K
@@ -345,12 +360,12 @@ class Overlay(Element):
         boundaries (mod-4 only) arrive in the grid420 layout (per-phase
         luma + 2x2-phase chroma) and re-emit it."""
         from tpuvf.core.formats import RGB_FORMATS
-        from tpuvf.kernels.convert import (GRID16_PHASES, GRID36_PHASES,
-                                           GRID64_PHASES)
+        from tpuvf.kernels.convert import (GRID9_PHASES, GRID16_PHASES,
+                                           GRID36_PHASES, GRID64_PHASES)
 
         g = period
         phases = {8: GRID64_PHASES, 6: GRID36_PHASES,
-                  4: GRID16_PHASES}[g]
+                  4: GRID16_PHASES, 3: GRID9_PHASES}[g]
         w, h = in_spec.width, in_spec.height
         rx0, rx1, ry0, ry1 = cfg["rect"]
         ov_rect = cfg["planes"]  # (4, rh, rw) f32 premultiplied
@@ -376,6 +391,9 @@ class Overlay(Element):
                 planes)
         elif g == 6:
             reader = lambda planes, params: convert.split_rgb_chans_grid36(
+                planes)
+        elif g == 3:
+            reader = lambda planes, params: convert.split_rgb_chans_grid9(
                 planes)
         elif in_spec.format in RGB_FORMATS:
             reader = lambda planes, params: convert.split_rgb_chans_grid16(
@@ -407,6 +425,9 @@ class Overlay(Element):
                     chans, out_spec.format, matrix_out, mode=out_mode)
             elif g == 6:
                 out = convert.pack_rgba_grid36(
+                    chans, out_spec.format, matrix_out, mode=out_mode)
+            elif g == 3:
+                out = convert.pack_rgba_grid9(
                     chans, out_spec.format, matrix_out, mode=out_mode)
             elif out_mode == "packed420g":
                 out = convert.pack_420_grid16(
@@ -457,6 +478,15 @@ class Overlay(Element):
             self._linked_quad = True
             return self._make_process_grid(in_spec, out_spec, bufs,
                                            cfg, out_mode, period=6)
+        grid3 = (in_split == "grid3"
+                 or out_mode in ("grid3", "packed32g3"))
+        if grid3:
+            if not self._grid9_capable(in_spec, out_spec):
+                raise NotImplementedError(
+                    "overlay grid9 links require mod-3 RGB dimensions")
+            self._linked_quad = True
+            return self._make_process_grid(in_spec, out_spec, bufs,
+                                           cfg, out_mode, period=3)
         grid = (in_split == "grid"
                 or out_mode in ("grid", "packed32g", "packed420g"))
         if grid:

@@ -325,6 +325,25 @@ class VideoFilter(Element):
     def grid36_output_ok(self, in_spec, out_spec):
         return self._grid36_capable(in_spec, out_spec)
 
+    def _grid9_capable(self, in_spec, out_spec) -> bool:
+        """GRID9 (3x3 phase) dataflow from a grid9 1.5x-upscale head
+        (RGB boundaries {"r_00",...,"a_22"}), dims divisible by 3, no
+        LUT (the gather-site rule); sharpness rides blur9_gridk
+        period=3.  Same structure as grid36 at stride 3."""
+        from tpuvf.core.formats import RGB_FORMATS
+
+        self._sync_lut()
+        return (in_spec.format in RGB_FORMATS
+                and out_spec.format == in_spec.format
+                and in_spec.width % 3 == 0 and in_spec.height % 3 == 0
+                and self._lut is None)
+
+    def grid9_input_ok(self, in_spec, out_spec):
+        return self._grid9_capable(in_spec, out_spec)
+
+    def grid9_output_ok(self, in_spec, out_spec):
+        return self._grid9_capable(in_spec, out_spec)
+
     def make_process(self, in_spec: FrameSpec, out_spec: FrameSpec, static):
         return self.make_process_linked(in_spec, out_spec, static)
 
@@ -344,11 +363,13 @@ class VideoFilter(Element):
         bufs = WeightBuffers(self.name)
         grid8 = (in_split == "grid8" or out_mode in ("grid8", "packed32g8"))
         grid6 = (in_split == "grid6" or out_mode in ("grid6", "packed32g6"))
-        grid = grid8 or grid6 or (
+        grid3 = (in_split == "grid3" or out_mode in ("grid3", "packed32g3"))
+        grid = grid8 or grid6 or grid3 or (
             in_split == "grid"
             or out_mode in ("grid", "packed32g", "packed420g"))
         if grid:
-            gp = 8 if grid8 else (6 if grid6 else 4)  # phases per axis
+            # phases per axis
+            gp = 8 if grid8 else (6 if grid6 else (3 if grid3 else 4))
             if grid8:
                 if not self._grid64_capable(in_spec, out_spec):
                     raise NotImplementedError(
@@ -359,6 +380,11 @@ class VideoFilter(Element):
                     raise NotImplementedError(
                         "videofilter grid36 links require RGB planes with "
                         "mod-6 dims and no LUT")
+            elif grid3:
+                if not self._grid9_capable(in_spec, out_spec):
+                    raise NotImplementedError(
+                        "videofilter grid9 links require RGB planes with "
+                        "mod-3 dims and no LUT")
             elif not self._grid_capable(in_spec, out_spec):
                 raise NotImplementedError(
                     "videofilter grid16 links require phase-capable "
@@ -370,6 +396,8 @@ class VideoFilter(Element):
                 reader_g = convert.split_rgb_chans_grid64
             elif grid6:
                 reader_g = convert.split_rgb_chans_grid36
+            elif grid3:
+                reader_g = convert.split_rgb_chans_grid9
             elif in_spec.format in RGB_FORMATS:
                 reader_g = lambda planes: \
                     convert.split_rgb_chans_grid16(planes)
@@ -450,6 +478,10 @@ class VideoFilter(Element):
                         unit_range=True)
                 elif grid6:
                     out = convert.pack_rgba_grid36(
+                        outg, out_spec.format, matrix_out, mode=out_mode,
+                        unit_range=True)
+                elif grid3:
+                    out = convert.pack_rgba_grid9(
                         outg, out_spec.format, matrix_out, mode=out_mode,
                         unit_range=True)
                 else:

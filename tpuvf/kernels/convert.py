@@ -1829,29 +1829,58 @@ def can_grid36(in_spec: FrameSpec, out_w: int, out_h: int,
     exact in f32, so the stencils are derived from (and gated on) the
     dense sampler's own per-geometry f32 weights
     (_phase_stencil_table)."""
+    return _can_gridp(in_spec, out_w, out_h, 6, "TPUVF_NO_GRID36",
+                      scale_x, scale_y, border, filter)
+
+
+def can_grid9(in_spec: FrameSpec, out_w: int, out_h: int,
+              scale_x: float = 1.0, scale_y: float = 1.0,
+              border=None, filter: str = LINEAR) -> bool:
+    """GRID9 (3x3 row x col phase) dataflow at EXACTLY 1.5x/1.5x 4:2:0
+    upscale geometry (round 5 — covers 720p -> 1080p, the most common
+    HD upscale).  period=3 with luma step 2: the mod-3 output phases
+    tap the quad parity planes at rel in [-1, 2] and the chroma taps
+    are a 3x upsample of the half-res planes (step 1) — the exact
+    grid36 machinery at period 3."""
+    return _can_gridp(in_spec, out_w, out_h, 3, "TPUVF_NO_GRID9",
+                      scale_x, scale_y, border, filter)
+
+
+def _can_gridp(in_spec: FrameSpec, out_w: int, out_h: int, period: int,
+               env_gate: str, scale_x: float, scale_y: float,
+               border, filter: str) -> bool:
+    """Shared gate for the period-parametrized stencil grids (grid36 at
+    period 6 = 3x, grid9 at period 3 = 1.5x): 4:2:0 input, bilinear,
+    no letterbox, out = (period/2) * in exactly on both axes, and the
+    dense-weight consistency check passes per geometry."""
     import os
 
-    if os.environ.get("TPUVF_NO_SPLIT_SCALED") \
-            or os.environ.get("TPUVF_NO_GRID36"):
+    if os.environ.get("TPUVF_NO_SPLIT_SCALED") or os.environ.get(env_gate):
         return False
     if not (in_spec.format in (VideoFormat.NV12, VideoFormat.I420)
             and filter == LINEAR
             and scale_x == 1.0 and scale_y == 1.0 and border is None
-            and out_w == 3 * in_spec.width and out_h == 3 * in_spec.height
+            and 2 * out_w == period * in_spec.width
+            and 2 * out_h == period * in_spec.height
             and in_spec.width % 2 == 0 and in_spec.height % 2 == 0):
         return False
-    return _grid36_tables(in_spec) is not None
+    return _gridp_tables(in_spec, period) is not None
 
 
 def _grid36_tables(in_spec: FrameSpec):
+    return _gridp_tables(in_spec, 6)
+
+
+def _gridp_tables(in_spec: FrameSpec, period: int):
     """(luma rows, luma cols, chroma rows, chroma cols) phase stencil
-    tables for the exactly-3x geometry, or None when any axis fails the
-    dense-weight consistency gate."""
+    tables for the exactly-(period/2)x geometry, or None when any axis
+    fails the dense-weight consistency gate."""
     h, w = in_spec.height, in_spec.width
-    t = (_phase_stencil_table(3 * h, h, 6),
-         _phase_stencil_table(3 * w, w, 6),
-         _phase_stencil_table(3 * h, h // 2, 6),
-         _phase_stencil_table(3 * w, w // 2, 6))
+    oh, ow = period * h // 2, period * w // 2
+    t = (_phase_stencil_table(oh, h, period),
+         _phase_stencil_table(ow, w, period),
+         _phase_stencil_table(oh, h // 2, period),
+         _phase_stencil_table(ow, w // 2, period))
     if any(x is None for x in t):
         return None
     # luma tables address parity planes (step 2): rels within [-1, 2];
@@ -1933,14 +1962,29 @@ def plan_rgba_sampler_grid36(in_spec: FrameSpec, filter: str = LINEAR,
     -> <= 1 LSB knife-edge flips vs canonical (the grid contract).
     Bilinear sample semantics: /root/reference/src/convertscale/
     metalconvertscale_shaders.h:71-148."""
+    return _plan_rgba_sampler_gridp(in_spec, 6, "grid36", filter,
+                                    matrix_index)
+
+
+def plan_rgba_sampler_grid9(in_spec: FrameSpec, filter: str = LINEAR,
+                            matrix_index: int | None = None):
+    """1.5x/1.5x 4:2:0 upscale -> {grid phase: (r, g, b, a)} planes,
+    each (H_out/3, W_out/3) = (H_in/2, W_in/2) — plan_rgba_sampler_
+    grid36 at period 3 (the 720p -> 1080p classic)."""
+    return _plan_rgba_sampler_gridp(in_spec, 3, "grid9", filter,
+                                    matrix_index)
+
+
+def _plan_rgba_sampler_gridp(in_spec: FrameSpec, period: int, tag: str,
+                             filter: str, matrix_index: int | None):
     if matrix_index is None:
         matrix_index = in_spec.matrix_index
     if filter != LINEAR:
-        raise NotImplementedError("grid36 links are bilinear-only")
-    tables = _grid36_tables(in_spec)
+        raise NotImplementedError(f"{tag} links are bilinear-only")
+    tables = _gridp_tables(in_spec, period)
     if tables is None:
         raise NotImplementedError(
-            "grid36 dense-weight consistency gate failed at this geometry")
+            f"{tag} dense-weight consistency gate failed at this geometry")
     t_rows, t_cols, ct_rows, ct_cols = tables
     from tpuvf.kernels.color import as_unit_float
 
@@ -1949,12 +1993,12 @@ def plan_rgba_sampler_grid36(in_spec: FrameSpec, filter: str = LINEAR,
         uf = as_unit_float(planes["u"])
         vf = as_unit_float(planes["v"])
         out = {}
-        for qr in range(6):
+        for qr in range(period):
             e = _tap_parity(ys["ee"], ys["oe"], t_rows[qr], -2)
             o = _tap_parity(ys["eo"], ys["oo"], t_rows[qr], -2)
             u_r = _tap_full(uf, ct_rows[qr], -2)
             v_r = _tap_full(vf, ct_rows[qr], -2)
-            for qc in range(6):
+            for qc in range(period):
                 y = _tap_parity(e, o, t_cols[qc], -1)
                 u = _tap_full(u_r, ct_cols[qc], -1)
                 v = _tap_full(v_r, ct_cols[qc], -1)
@@ -2000,6 +2044,46 @@ def split_rgb_chans_grid36(planes):
     names = ("r", "g", "b", "a")
     return {ph: tuple(as_unit_float(planes[f"{n}_{ph}"]) for n in names)
             for ph in GRID36_PHASES}
+
+
+GRID9_PHASES = tuple(f"{qr}{qc}" for qr in range(3) for qc in range(3))
+
+
+def pack_rgba_grid9(chans: dict, out_format: VideoFormat,
+                    matrix_index: int, mode: str,
+                    unit_range: bool = False) -> dict:
+    """pack_rgba_grid36's 9-phase analog (RGB outputs only; 1.5x).
+
+    Modes: "grid3" (f32 quant_sim boundary planes {"r_00",...,"a_22"})
+    and "packed32g3" ({"w_g3": (9, H/3, W/3)} u32 pixel words, one
+    stacked scan output; host interleave via native
+    vf_interleave_grid_u32 at g=3)."""
+    from tpuvf.kernels.color import quant_sim, quant_sim_unit, quant_unit
+
+    if out_format not in RGB_FORMATS:
+        raise ValueError("grid9 links support RGB output formats only")
+    if mode == "grid3":
+        sim = quant_sim_unit if unit_range else quant_sim
+        names = ("r", "g", "b", "a")
+        return {f"{n}_{ph}": sim(c)
+                for ph in GRID9_PHASES
+                for n, c in zip(names, chans[ph])}
+    if mode == "packed32g3":
+        qfn = quant_unit if unit_range else quant
+        return {"w_g3": jnp.stack(
+            [pack_words_u32(tuple(qfn(c) for c in chans[ph]), out_format)
+             for ph in GRID9_PHASES],
+            axis=-3)}
+    raise ValueError(f"unknown grid9 pack mode {mode}")
+
+
+def split_rgb_chans_grid9(planes):
+    """{"r_00",...} grid9 boundary planes -> {phase: (r, g, b, a)}."""
+    from tpuvf.kernels.color import as_unit_float
+
+    names = ("r", "g", "b", "a")
+    return {ph: tuple(as_unit_float(planes[f"{n}_{ph}"]) for n in names)
+            for ph in GRID9_PHASES}
 
 
 def pack_420_grid36(chans: dict, out_format: VideoFormat,

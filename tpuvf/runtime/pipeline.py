@@ -1243,6 +1243,61 @@ class Pipeline:
                 if len(chain) > 1:
                     plan[tail.name] = ["grid6", g6edge]
                 source_split[up.name] = "quad"
+
+        # -- GRID9 (3x3 phase) upgrade for exactly-1.5x 4:2:0 -> RGB
+        # upscale chains (round 5): covers 720p -> 1080p, the most
+        # common HD upscale — the grid36 stencil machinery at period 3
+        # (convert.can_grid9).  RGB sink edges only (a 1.5x 4:2:0
+        # chroma output would need lane-strided column-parity reads).
+        if (not os.environ.get("TPUVF_NO_QUAD_LINKS")
+                and getattr(self, "_quad_links_enabled", True)):
+            from tpuvf.core.formats import RGB_FORMATS as _RGB
+
+            for e, i_s, o_s, pt in list(info.values()):
+                if pt or not e.grid9_head_ok(i_s, o_s):
+                    continue
+                up = real_upstream(e)
+                if (isinstance(up, SourceElement)
+                        and len(self._outgoing(up)) == 1):
+                    mids = []
+                else:
+                    found = quad_upstream_chain(e)  # see grid16
+                    if found is None:
+                        continue
+                    up, mids = found
+                chain = [(e, i_s, o_s)]
+                node, reaches_sink = e, False
+                while True:
+                    outs = self._outgoing(node)
+                    if len(outs) != 1:
+                        break
+                    node = outs[0].downstream
+                    d = info.get(id(node))
+                    if d is None:
+                        reaches_sink = isinstance(node, SinkElement)
+                        break
+                    if d[3]:
+                        continue  # passthrough forwards the dict untouched
+                    ce, ci, co, _ = d
+                    if not (ce.grid9_input_ok(ci, co)
+                            and ce.grid9_output_ok(ci, co)):
+                        break
+                    chain.append((ce, ci, co))
+                if not reaches_sink:
+                    continue
+                tail, t_i, t_o = chain[-1]
+                if not (t_o.format in _RGB
+                        and tail.edge_packed32_ok(t_i, t_o)):
+                    continue
+                for me_, _, _ in mids:
+                    plan[me_.name] = ["quad", "quad"]
+                plan[e.name] = ["quad", "packed32g3"
+                                if len(chain) == 1 else "grid3"]
+                for ce, _, _ in chain[1:-1]:
+                    plan[ce.name] = ["grid3", "grid3"]
+                if len(chain) > 1:
+                    plan[tail.name] = ["grid3", "packed32g3"]
+                source_split[up.name] = "quad"
         return ({k: (v[0], v[1]) for k, v in plan.items()},
                 source_split, comp_split_pads)
 
@@ -1688,6 +1743,10 @@ class Pipeline:
                     or out_mode in ("grid6", "packed32g6", "packed420g6")):
                 return 6
         for in_split, out_mode in (self.link_plan or {}).values():
+            if (in_split == "grid3"
+                    or out_mode in ("grid3", "packed32g3")):
+                return 3
+        for in_split, out_mode in (self.link_plan or {}).values():
             if (in_split == "grid"
                     or out_mode in ("grid", "packed32g", "packed420g")):
                 return 4
@@ -1734,7 +1793,8 @@ class Pipeline:
         quad_modes = {"quad", "packed32q", "packed16q",
                       "grid", "packed32g", "packed420g",
                       "grid8", "packed32g8", "packed420g8",
-                      "grid6", "packed32g6", "packed420g6"}
+                      "grid6", "packed32g6", "packed420g6",
+                      "grid3", "packed32g3"}
         plan = self.link_plan or {}
         for st in self._stages:
             if st.passthrough or st.in_spec is None:
