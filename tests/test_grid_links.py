@@ -922,6 +922,20 @@ def test_grid_head_behind_quad_mids():
          "! video/x-raw,format=NV12,width=384,height=256 ! appsink",
          "vfvideofilter", ("quad", "quad"),
          "vfconvertscale", ("quad", "packed420g8")),
+        # deinterlace then 1.5x upscale -> grid9 head (round 5)
+        ("videotestsrc num-buffers=3 ! video/x-raw,format=NV12,"
+         "width=96,height=64,interlace-mode=interleaved "
+         "! vfmetaldeinterlace method=linear ! vfmetalconvertscale "
+         "! video/x-raw,format=BGRA,width=144,height=96 ! appsink",
+         "vfdeinterlace", ("quad", "quad"),
+         "vfconvertscale", ("quad", "packed32g3")),
+        # NV12 filter then 3x upscale -> grid36 head, packed420g6 edge
+        ("videotestsrc num-buffers=2 ! video/x-raw,format=NV12,"
+         "width=96,height=64 "
+         "! vfmetalvideofilter brightness=0.1 ! vfmetalconvertscale "
+         "! video/x-raw,format=NV12,width=288,height=192 ! appsink",
+         "vfvideofilter", ("quad", "quad"),
+         "vfconvertscale", ("quad", "packed420g6")),
     )
     for desc, mid, mid_plan, head, head_plan in cases:
         p = _run(desc)
