@@ -885,21 +885,26 @@ def test_grid9_sp_composition():
 
     if len(jax.devices()) < 4:
         pytest.skip("needs >= 4 devices")
-    w, h, sp = 96, 96, 4  # out 144: phase rows 48, /4 = 12 per shard
-    desc = ("videotestsrc num-buffers=4 pattern=ball "
-            f"! video/x-raw,format=NV12,width={w},height={h} "
-            f"! vfmetalconvertscale ! video/x-raw,format=BGRA,"
-            f"width={3 * w // 2},height={3 * h // 2} ! appsink")
-    p = _run(desc)
-    cs = next(e.name for e in p.elements
-              if e.ELEMENT_NAME == "vfconvertscale")
-    assert p.link_plan[cs] == ("quad", "packed32g3")
-    mesh = make_mesh({"dp": 1, "sp": sp})
-    p.run_batched(4, batch_size=4, mesh=mesh, sp_axis="sp")
-    ref = _run(desc)
-    for fa, fb in zip(_frames(p), _frames(ref)):
-        for k in fa:
-            np.testing.assert_array_equal(fa[k], fb[k])
+    # aligned: out 144 -> 48 phase rows / sp=4; misaligned: sp=3 leaves
+    # the input's 96/3 = 32 phase rows unsplit -> the HALF-INTEGER-ratio
+    # pad plan (round 5: heights {h, 1.5h} carry m = 2h/h1 in {2, 3})
+    for w, h, sp in ((96, 96, 4), (96, 96, 3)):
+        desc = ("videotestsrc num-buffers=4 pattern=ball "
+                f"! video/x-raw,format=NV12,width={w},height={h} "
+                f"! vfmetalconvertscale ! video/x-raw,format=BGRA,"
+                f"width={3 * w // 2},height={3 * h // 2} ! appsink")
+        p = _run(desc)
+        cs = next(e.name for e in p.elements
+                  if e.ELEMENT_NAME == "vfconvertscale")
+        assert p.link_plan[cs] == ("quad", "packed32g3"), (h, sp)
+        mesh = make_mesh({"dp": 1, "sp": sp})
+        p.run_batched(4, batch_size=4, mesh=mesh, sp_axis="sp")
+        assert p.link_plan[cs] == ("quad", "packed32g3"), (h, sp)
+        ref = _run(desc)
+        for fa, fb in zip(_frames(p), _frames(ref)):
+            for k in fa:
+                np.testing.assert_array_equal(fa[k], fb[k],
+                                              err_msg=str((h, sp)))
 
 
 def test_grid_head_behind_quad_mids():

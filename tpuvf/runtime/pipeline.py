@@ -1784,10 +1784,13 @@ class Pipeline:
         (transform, scaled convertscale) never negotiates these links,
         so it can't be mis-padded.
 
-        Chains may carry heights in exactly-2x (grid16 in/out) or
-        exactly-4x ratio (grid64 in/out); one frame ratio pads all
-        consistently.  The pad step is 2*g so every derived plane's pad
-        (full, half, quarter rows) stays integral."""
+        Chains may carry heights in exactly-2x (grid16 in/out), 3x
+        (grid36), 4x (grid64) or HALF-INTEGER 1.5x ratio (grid9 in/out
+        — the ratio machinery is rational per plane, so m = 2h/h1 in
+        {2,3,4,6,8} all pad consistently; h1 and the 2*g pad step are
+        even, keeping every m*hp/2 integral).  The pad step is 2*g so
+        every derived plane's pad (full, half, quarter rows) stays
+        integral."""
         if self._sp_replicated or self._sp_rep_sources:
             return None
         quad_modes = {"quad", "packed32q", "packed16q",
@@ -1811,12 +1814,14 @@ class Pipeline:
         if not heights:
             return None
         h1 = heights[0]
-        if any(h % h1 or h // h1 not in (1, 2, 3, 4) for h in heights):
+        if h1 % 2 or any((2 * h) % h1 or (2 * h) // h1 not in (2, 3, 4, 6, 8)
+                         for h in heights):
             return None
         step = 2 * g
         for pad in range(step, step * sp * 8 + 1, step):
             hp = h1 + pad
-            if all(self._phase_rows_fit(h // h1 * hp, sp, g)
+            if all((2 * h // h1) * hp % 2 == 0
+                   and self._phase_rows_fit((2 * h // h1) * hp // 2, sp, g)
                    for h in heights):
                 return (h1, hp)
         return None
